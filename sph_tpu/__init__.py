@@ -1,0 +1,30 @@
+"""sph_tpu — a TPU-native SPH engine.
+
+Brand-new implementation of the capability surface of mskr/sph-tutorial
+(a single-file C++ weakly-compressible SPH tutorial; see SURVEY.md for the
+component inventory and provenance notes — the reference mount is empty, so
+"ref" citations point at SURVEY.md sections rather than reference file:line).
+
+Design stance (SURVEY.md §7): functional core — `State` pytree, pure
+`step(state) -> state` — everything shape-static (capacity-N arrays plus
+active masks, fixed-size cell tiles), one fused jitted step, `lax.scan` over
+steps so the host is touched once per frame, not once per step.
+"""
+
+from sph_tpu.params import SimParams, Scene, Block, Emitter, preset
+from sph_tpu.state import State, init
+from sph_tpu.step import make_step, run
+
+__all__ = [
+    "SimParams",
+    "Scene",
+    "Block",
+    "Emitter",
+    "preset",
+    "State",
+    "init",
+    "make_step",
+    "run",
+]
+
+__version__ = "0.1.0"

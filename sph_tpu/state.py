@@ -1,0 +1,174 @@
+"""Particle state pytree and scene initialization (SURVEY.md C2, C3, C13).
+
+TPU-native restatement of the reference's `std::vector<Particle>` (AoS,
+dynamically grown on keypress): a fixed-capacity structure-of-arrays pytree.
+Dynamic particle counts become *activation schedules* — every slot has an
+`emit_step`; a slot is active iff `emit_step <= state.step`.  Emitting
+particles mid-run changes no shapes and needs no host sync: the step counter
+advances inside the jitted step and the mask follows (SURVEY.md §7 hard-part
+6).  Inactive slots are parked far outside the domain and masked out of all
+pair sums.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sph_tpu.params import Scene
+
+INACTIVE = np.int32(2**31 - 1)  # emit_step sentinel: never activates
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class State:
+    """Structure-of-arrays particle state; all arrays capacity-N, fp32.
+
+    x, v, acc : [N, D]  position / velocity / acceleration (force/rho)
+    rho, p    : [N]     density / pressure (as of the last completed step)
+    kind      : [N] i32 0 = fluid, 1 = static boundary particle
+    emit_step : [N] i32 step at which the slot activates (INACTIVE = never)
+    step      : i32     completed-step counter
+    """
+
+    x: jax.Array
+    v: jax.Array
+    acc: jax.Array
+    rho: jax.Array
+    p: jax.Array
+    kind: jax.Array
+    emit_step: jax.Array
+    step: jax.Array
+
+    @property
+    def capacity(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.x.shape[1]
+
+    @property
+    def active(self) -> jax.Array:
+        """[N] bool — slots live at the current step."""
+        return self.emit_step <= self.step
+
+    def n_active(self) -> jax.Array:
+        return jnp.sum(self.active.astype(jnp.int32))
+
+
+def _lattice(lo, hi, spacing, rng, jitter_frac):
+    """Host-side lattice fill of an axis-aligned box, with jitter."""
+    lo = np.asarray(lo, np.float64)
+    hi = np.asarray(hi, np.float64)
+    axes = [np.arange(l + spacing * 0.5, h, spacing) for l, h in zip(lo, hi)]
+    # a block thinner than the pitch still seeds one plane at its midpoint
+    axes = [
+        a if a.size else np.array([(l + h) * 0.5]) for a, l, h in zip(axes, lo, hi)
+    ]
+    grids = np.meshgrid(*axes, indexing="ij")
+    pts = np.stack([g.ravel() for g in grids], axis=-1)
+    pts += (rng.random(pts.shape) - 0.5) * (jitter_frac * spacing)
+    return pts.astype(np.float32)
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def park_position(scene: Scene) -> np.ndarray:
+    """Where inactive slots sit: far outside the domain (never a neighbor)."""
+    lo = np.asarray(scene.lo, np.float32)
+    return lo - np.float32(1e6)
+
+
+def init(scene: Scene, capacity_multiple: int = 256) -> State:
+    """Seed a scene into a `State` (reference `initSPH`, SURVEY.md C3).
+
+    Lattice-fills each `Block` (fluid or static boundary), schedules emitter
+    slots with precomputed positions/velocities/activation steps, pads to a
+    TPU-friendly capacity, and parks the spare slots.
+    """
+    p = scene.params
+    d = p.dim
+    spacing = scene.spacing or p.h * 0.55
+    rng = np.random.default_rng(scene.seed)
+
+    xs, kinds = [], []
+    for b in scene.blocks:
+        pts = _lattice(b.lo, b.hi, spacing, rng, scene.jitter)
+        xs.append(pts)
+        kinds.append(np.full(len(pts), b.kind, np.int32))
+    x = np.concatenate(xs, 0) if xs else np.zeros((0, d), np.float32)
+    kind = np.concatenate(kinds, 0) if kinds else np.zeros((0,), np.int32)
+    n_seed = len(x)
+    v = np.zeros_like(x)
+    off = 0
+    for b, pts in zip(scene.blocks, xs):
+        if b.velocity is not None:
+            v[off : off + len(pts)] = np.asarray(b.velocity, np.float32)
+        off += len(pts)
+
+    emit_step = np.zeros(n_seed, np.int32)
+
+    # Emitter slots: schedule activation steps and precompute spawn states.
+    cap = scene.capacity or 0
+    if scene.emitters and not cap:
+        cap = _round_up(max(4 * n_seed, 16384), capacity_multiple)
+    cap = max(cap, _round_up(max(n_seed, 1), capacity_multiple))
+
+    n_spare = cap - n_seed
+    ex, ev, estep = [], [], []
+    if scene.emitters and n_spare > 0:
+        budget = n_spare
+        per = budget // len(scene.emitters)
+        for em in scene.emitters:
+            k = per
+            # activation step of the i-th particle from this emitter
+            steps = em.start_step + np.floor(np.arange(k) / em.rate).astype(np.int64)
+            steps = np.where(steps < em.stop_step, steps, np.int64(INACTIVE))
+            pos = np.asarray(em.pos, np.float32) + (
+                rng.random((k, d)).astype(np.float32) - 0.5
+            ) * (em.jitter * p.h)
+            vel = np.broadcast_to(np.asarray(em.velocity, np.float32), (k, d)).copy()
+            ex.append(pos)
+            ev.append(vel)
+            estep.append(np.minimum(steps, INACTIVE).astype(np.int32))
+        ex = np.concatenate(ex, 0)
+        ev = np.concatenate(ev, 0)
+        estep = np.concatenate(estep, 0)
+    else:
+        ex = np.zeros((0, d), np.float32)
+        ev = np.zeros((0, d), np.float32)
+        estep = np.zeros((0,), np.int32)
+
+    n_used = n_seed + len(ex)
+    n_pad = cap - n_used
+    park = park_position(scene)
+
+    x_all = np.concatenate(
+        [x, ex, np.broadcast_to(park, (n_pad, d)).astype(np.float32)], 0
+    )
+    v_all = np.concatenate([v, ev, np.zeros((n_pad, d), np.float32)], 0)
+    kind_all = np.concatenate([kind, np.zeros(len(ex) + n_pad, np.int32)], 0)
+    emit_all = np.concatenate(
+        [emit_step, estep, np.full(n_pad, INACTIVE, np.int32)], 0
+    )
+    # Park the not-yet-active emitter slots too?  No: their spawn position is
+    # precomputed; they must already sit at the spawn point when activated.
+    # They are masked out of all sums until emit_step <= step.
+
+    return State(
+        x=jnp.asarray(x_all),
+        v=jnp.asarray(v_all),
+        acc=jnp.zeros((cap, d), jnp.float32),
+        rho=jnp.full((cap,), np.float32(p.rest_density)),
+        p=jnp.zeros((cap,), jnp.float32),
+        kind=jnp.asarray(kind_all),
+        emit_step=jnp.asarray(emit_all),
+        step=jnp.asarray(0, jnp.int32),
+    )

@@ -1,0 +1,179 @@
+"""Compose one jitted simulation step + the scan driver (SURVEY.md C1, §3.5).
+
+The reference's `update(dt)` (density→pressure→forces→integrate→boundaries,
+SURVEY.md §3.2) becomes a single pure function `step(state) -> state`, traced
+once with static shapes and scanned on device: `advance()` runs S steps per
+dispatch with `lax.scan`, so host↔device crossings are one dispatch + one
+fetch per S steps — measured on this platform a dispatch round-trip costs
+~35–110 ms while a step costs ~1 ms, so per-step dispatch would be ~100×
+slower than the physics (SURVEY.md §3.5 [M]).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from sph_tpu import physics
+from sph_tpu.params import Scene, SimParams
+from sph_tpu.state import State
+
+
+def _rho_p_f(x, v, active, movable, scene: Scene, method: str, grid=None):
+    """Density → EOS → pairwise forces + gravity + wall penalty, one x eval."""
+    params = scene.params
+    if method == "naive":
+        rho = physics.density_naive(x, active, params)
+        p = physics.eos_pressure(rho, params)
+        f = physics.forces_naive(x, v, rho, p, active, params)
+    elif method == "grid":
+        from sph_tpu import neighbors
+
+        rho, p, f = neighbors.grid_rho_p_f(x, v, active, params, grid)
+    elif method == "pallas":
+        from sph_tpu import pallas_step
+
+        rho, p, f = pallas_step.pallas_rho_p_f(x, v, active, params, grid)
+    else:
+        raise ValueError(f"unknown neighbor method {method!r}")
+    f = f + physics.gravity_force(rho, params)
+    if params.boundary_mode == "penalty":
+        f = f + physics.wall_penalty_force(x, v, scene.lo, scene.hi, params)
+    return rho, p, f
+
+
+def make_step(scene: Scene, method: str = "naive") -> Callable[[State], State]:
+    """Build the pure step function for `scene` (closes over all statics).
+
+    method: "naive" (O(N²), C9) | "grid" (cell-hash, C10) | "pallas" (C11).
+    """
+    params = scene.params
+    dt = params.dt
+    grid = None
+    if method in ("grid", "pallas"):
+        from sph_tpu import neighbors
+
+        grid = neighbors.GridSpec.for_scene(scene)
+
+    def step(state: State) -> State:
+        active = state.active
+        movable = active & (state.kind == 0)
+        mov = movable[:, None].astype(state.x.dtype)
+        x, v, acc = state.x, state.v, state.acc
+
+        if params.integrator == "leapfrog":
+            # KDK with stored acceleration: one force eval per step.
+            v = v + (0.5 * dt) * acc * mov
+            x = x + dt * v * mov
+            rho, p, f = _rho_p_f(x, v, active, movable, scene, method, grid)
+            a = f / jnp.maximum(rho, 1e-12)[:, None]
+            v = v + (0.5 * dt) * a * mov
+            acc = jnp.where(movable[:, None], a, 0.0)
+        elif params.integrator == "euler":
+            # Semi-implicit (symplectic) Euler: v += dt f/ρ; x += dt v.
+            rho, p, f = _rho_p_f(x, v, active, movable, scene, method, grid)
+            a = f / jnp.maximum(rho, 1e-12)[:, None]
+            v = v + dt * a * mov
+            x = x + dt * v * mov
+            acc = jnp.where(movable[:, None], a, 0.0)
+        else:
+            raise ValueError(f"unknown integrator {params.integrator!r}")
+
+        if params.boundary_mode == "clamp":
+            xc, vc = physics.clamp_boundary(x, v, scene.lo, scene.hi, params)
+            x = jnp.where(movable[:, None], xc, x)
+            v = jnp.where(movable[:, None], vc, v)
+
+        return State(
+            x=x,
+            v=v,
+            acc=acc,
+            rho=jnp.where(active, rho, state.rho),
+            p=jnp.where(active, p, state.p),
+            kind=state.kind,
+            emit_step=state.emit_step,
+            step=state.step + 1,
+        )
+
+    return step
+
+
+def prime(scene: Scene, state: State, method: str = "naive") -> State:
+    """Fill `state.acc` (and rho/p) from the current positions.
+
+    Leapfrog KDK needs a valid acceleration *before* its first half-kick; a
+    cold start from acc = 0 shifts the trajectory by half a step.  `run`
+    calls this automatically at step 0.
+    """
+    params = scene.params
+    grid = None
+    if method in ("grid", "pallas"):
+        from sph_tpu import neighbors
+
+        grid = neighbors.GridSpec.for_scene(scene)
+    active = state.active
+    movable = active & (state.kind == 0)
+    rho, p, f = _rho_p_f(state.x, state.v, active, movable, scene, method, grid)
+    a = f / jnp.maximum(rho, 1e-12)[:, None]
+    return State(
+        x=state.x,
+        v=state.v,
+        acc=jnp.where(movable[:, None], a, 0.0),
+        rho=jnp.where(active, rho, state.rho),
+        p=jnp.where(active, p, state.p),
+        kind=state.kind,
+        emit_step=state.emit_step,
+        step=state.step,
+    )
+
+
+def make_advance(
+    scene: Scene, method: str = "naive", steps_per_dispatch: int = 100
+):
+    """jitted `advance(state) -> state` running S steps in one `lax.scan`."""
+    step = make_step(scene, method)
+
+    @jax.jit
+    def advance(state: State) -> State:
+        def body(s, _):
+            return step(s), None
+
+        out, _ = jax.lax.scan(body, state, length=steps_per_dispatch)
+        return out
+
+    return advance
+
+
+def run(
+    scene: Scene,
+    n_steps: int,
+    method: str = "naive",
+    steps_per_dispatch: int = 100,
+    state: State | None = None,
+    frame_callback: Callable[[State], None] | None = None,
+) -> State:
+    """Top-level driver (reference main loop, SURVEY.md §3.5).
+
+    Host loop is coarse-grained: one device dispatch per `steps_per_dispatch`
+    steps; `frame_callback` (render/metrics) runs once per dispatch.
+    """
+    from sph_tpu.state import init
+
+    if state is None:
+        state = init(scene)
+    if scene.params.integrator == "leapfrog" and int(state.step) == 0:
+        state = jax.jit(functools.partial(prime, scene, method=method))(state)
+    n_disp, rem = divmod(n_steps, steps_per_dispatch)
+    advance = make_advance(scene, method, steps_per_dispatch)
+    for _ in range(n_disp):
+        state = advance(state)
+        if frame_callback is not None:
+            frame_callback(state)
+    if rem:
+        state = make_advance(scene, method, rem)(state)
+        if frame_callback is not None:
+            frame_callback(state)
+    return state
