@@ -172,9 +172,50 @@ def _pad_trailing(arr, n_pad, value):
     return jnp.pad(arr, pad_width, constant_values=value)
 
 
+# Workspace budget for unchunked candidate matrices (floats).  Above this,
+# fall back to lax.map over particle chunks (recomputing candidate indices
+# per chunk to keep peak memory O(chunk·K)).
+_UNCHUNKED_BUDGET = 192 * 1024 * 1024
+
+
+def _density_block(xc, idx, x_pad, n, params):
+    xj = x_pad[idx]                                   # [C, K, D]
+    dx = xc[:, None, :] - xj
+    r2 = jnp.sum(dx * dx, axis=-1)
+    mask = (idx < n).astype(xc.dtype)
+    return jnp.sum(physics.density_contrib(r2, mask, params), axis=-1)
+
+
+def _force_block(xc, vc, pc, idx, feat_pad, n, d, params):
+    """One wide gather of packed [x | v | rho | p] rows — TPU gathers cost
+    per *row* fetched, so packing beats four separate gathers ~4×."""
+    fj = feat_pad[idx]                                # [C, K, 2D+2]
+    dx = xc[:, None, :] - fj[..., :d]
+    r2 = jnp.sum(dx * dx, axis=-1)
+    mask = (idx < n).astype(xc.dtype)
+    return jnp.sum(
+        physics.force_contrib(
+            dx,
+            r2,
+            vc[:, None, :],
+            fj[..., d : 2 * d],
+            pc[:, None],
+            fj[..., 2 * d + 1],
+            fj[..., 2 * d],
+            mask,
+            params,
+        ),
+        axis=-2,
+    )
+
+
 def grid_rho_p_f(x, v, active, params: SimParams, grid: GridSpec):
     """Density → EOS → pairwise forces using cell tiles; matches the naive
-    path up to fp reduction order (tests/test_grid_equiv.py)."""
+    path up to fp reduction order (tests/test_grid_equiv.py).
+
+    Small problems run unchunked with the candidate index matrix built once
+    and reused across both passes; large ones stream particle chunks through
+    `lax.map` so peak memory stays O(chunk · 3^D · cap)."""
     n, d = x.shape
     k_cand = grid.n_offsets * grid.cap
 
@@ -184,9 +225,27 @@ def grid_rho_p_f(x, v, active, params: SimParams, grid: GridSpec):
     # padded particle arrays: index n is a far-away dummy (W = 0 vs anything)
     far = jnp.full((1, d), 1e18, x.dtype)
     x_pad = jnp.concatenate([x, far], axis=0)
-    v_pad = jnp.concatenate([v, jnp.zeros((1, d), v.dtype)], axis=0)
 
-    # chunk layout: pad N up to a multiple of chunk with dummy entries
+    def _feat_pad(rho, p):
+        """[N+1, 2D+2] packed rows: x | v | rho | p (dummy: far, 0, 1, 0)."""
+        feat = jnp.concatenate([x, v, rho[:, None], p[:, None]], axis=1)
+        dummy = jnp.concatenate(
+            [far, jnp.zeros((1, d)), jnp.ones((1, 1)), jnp.zeros((1, 1))],
+            axis=1,
+        ).astype(feat.dtype)
+        return jnp.concatenate([feat, dummy], axis=0)
+
+    if n * k_cand * (d + 3) <= _UNCHUNKED_BUDGET:
+        rows = _neighbor_rows(ci, grid)               # [N, 3^D]
+        idx = tile[rows].reshape(n, k_cand)           # [N, K] — built ONCE
+        rho = _density_block(x, idx, x_pad, n, params)
+        rho = jnp.where(active, rho, params.rest_density)
+        p = physics.eos_pressure(rho, params)
+        f = _force_block(x, v, p, idx, _feat_pad(rho, p), n, d, params)
+        f = f * active[:, None].astype(x.dtype)
+        return rho, p, f
+
+    # --- chunked streaming path (large N) ---
     n_padded = _round_up(n, grid.chunk)
     xq = _pad_trailing(x, n_padded - n, 0.0)
     ciq = _pad_trailing(ci, n_padded - n, 0)
@@ -194,13 +253,9 @@ def grid_rho_p_f(x, v, active, params: SimParams, grid: GridSpec):
 
     def density_chunk(args):
         xc, cic = args
-        rows = _neighbor_rows(cic, grid)              # [C, 3^D]
-        idx = tile[rows].reshape(-1, k_cand)          # [C, K]
-        xj = x_pad[idx]                               # [C, K, D]
-        dx = xc[:, None, :] - xj
-        r2 = jnp.sum(dx * dx, axis=-1)
-        mask = (idx < n).astype(x.dtype)
-        return jnp.sum(physics.density_contrib(r2, mask, params), axis=-1)
+        rows = _neighbor_rows(cic, grid)
+        idx = tile[rows].reshape(-1, k_cand)
+        return _density_block(xc, idx, x_pad, n, params)
 
     rho = jax.lax.map(
         density_chunk,
@@ -212,41 +267,21 @@ def grid_rho_p_f(x, v, active, params: SimParams, grid: GridSpec):
     rho = jnp.where(active, rho, params.rest_density)
     p = physics.eos_pressure(rho, params)
 
-    rho_pad = jnp.concatenate([rho, jnp.ones((1,), rho.dtype)], axis=0)
-    p_pad = jnp.concatenate([p, jnp.zeros((1,), p.dtype)], axis=0)
+    feat_pad = _feat_pad(rho, p)
     vq = _pad_trailing(v, n_padded - n, 0.0)
-    rhoq = _pad_trailing(rho, n_padded - n, 1.0)
     pq = _pad_trailing(p, n_padded - n, 0.0)
 
     def force_chunk(args):
-        xc, vc, rc, pc, cic = args
+        xc, vc, pc, cic = args
         rows = _neighbor_rows(cic, grid)
         idx = tile[rows].reshape(-1, k_cand)
-        xj = x_pad[idx]
-        dx = xc[:, None, :] - xj
-        r2 = jnp.sum(dx * dx, axis=-1)
-        mask = (idx < n).astype(x.dtype)
-        return jnp.sum(
-            physics.force_contrib(
-                dx,
-                r2,
-                vc[:, None, :],
-                v_pad[idx],
-                pc[:, None],
-                p_pad[idx],
-                rho_pad[idx],
-                mask,
-                params,
-            ),
-            axis=-2,
-        )
+        return _force_block(xc, vc, pc, idx, feat_pad, n, d, params)
 
     f = jax.lax.map(
         force_chunk,
         (
             xq.reshape(n_chunks, grid.chunk, d),
             vq.reshape(n_chunks, grid.chunk, d),
-            rhoq.reshape(n_chunks, grid.chunk),
             pq.reshape(n_chunks, grid.chunk),
             ciq.reshape(n_chunks, grid.chunk, d),
         ),
