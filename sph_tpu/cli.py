@@ -1,0 +1,122 @@
+"""CLI driver (SURVEY.md C1): run / render / bench entry points.
+
+The reference's main() opens a window and loops input→step→render; headless
+TPU-native form: `sph-tpu run <preset>` scans steps on device, streams frame
+PNGs + JSONL metrics to an output directory, watchdog-checked, with periodic
+checkpoints and resume.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+
+from sph_tpu import diagnostics, render
+from sph_tpu.params import preset, preset_names
+from sph_tpu.state import init
+from sph_tpu.step import make_advance, prime
+
+
+def cmd_run(args) -> int:
+    scene = preset(args.preset)
+    if args.resume:
+        state, scene = diagnostics.load_checkpoint(args.resume)
+    else:
+        state = init(scene)
+        if scene.params.integrator == "leapfrog":
+            state = jax.jit(
+                lambda s: prime(scene, s, method=args.method)
+            )(state)
+    os.makedirs(args.out, exist_ok=True)
+    adv = make_advance(scene, args.method, args.steps_per_frame)
+    pack_fn = jax.jit(
+        lambda s: diagnostics.scalar_pack(s, scene.params)
+    )
+    watchdog = diagnostics.Watchdog(scene.params)
+    metrics_path = os.path.join(args.out, "metrics.jsonl")
+    t0 = time.perf_counter()
+    with open(metrics_path, "a") as mf:
+        for frame in range(args.frames):
+            state = adv(state)
+            pack = pack_fn(state)
+            if args.render:
+                render.save_frame(
+                    state,
+                    scene,
+                    os.path.join(args.out, f"frame_{frame:05d}.png"),
+                    width=args.width,
+                    height=args.height,
+                    mode=args.mode,
+                )
+            try:
+                scalars = watchdog.check(pack)
+            except diagnostics.SimulationDiverged as e:
+                dump = os.path.join(args.out, "diverged_state.npz")
+                diagnostics.save_checkpoint(dump, state, scene)
+                print(f"DIVERGED at frame {frame}: {e}; state -> {dump}",
+                      file=sys.stderr)
+                return 2
+            scalars["frame"] = frame
+            scalars["step"] = int(state.step)
+            scalars["wall_s"] = time.perf_counter() - t0
+            cfl = diagnostics.cfl_limit(scene.params, scalars["max_speed"])
+            if cfl is not None and scene.params.dt > cfl:
+                scalars["cfl_warning"] = True
+                print(
+                    f"warning: dt={scene.params.dt:.2e} exceeds CFL {cfl:.2e}",
+                    file=sys.stderr,
+                )
+            mf.write(json.dumps(scalars) + "\n")
+            mf.flush()
+            if args.checkpoint_every and (frame + 1) % args.checkpoint_every == 0:
+                diagnostics.save_checkpoint(
+                    os.path.join(args.out, f"ckpt_{frame:05d}.npz"),
+                    state,
+                    scene,
+                )
+            if not args.quiet:
+                print(
+                    f"frame {frame:4d} step {int(state.step):7d} "
+                    f"n={int(scalars['n_active'])} "
+                    f"max|v|={scalars['max_speed']:8.2f} "
+                    f"rho={scalars['mean_rho']:8.2f} "
+                    f"({scalars['wall_s']:.1f}s)"
+                )
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="sph-tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    runp = sub.add_parser("run", help="run a preset scene")
+    runp.add_argument("preset", choices=preset_names())
+    runp.add_argument("--method", default="grid",
+                      choices=["naive", "grid", "pallas"])
+    runp.add_argument("--frames", type=int, default=60)
+    runp.add_argument("--steps-per-frame", type=int, default=100)
+    runp.add_argument("--out", default="out")
+    runp.add_argument("--render", action="store_true")
+    runp.add_argument("--mode", default="density",
+                      choices=["density", "rho", "speed"])
+    runp.add_argument("--width", type=int, default=400)
+    runp.add_argument("--height", type=int, default=300)
+    runp.add_argument("--checkpoint-every", type=int, default=0)
+    runp.add_argument("--resume", default=None)
+    runp.add_argument("--quiet", action="store_true")
+    runp.set_defaults(fn=cmd_run)
+
+    listp = sub.add_parser("presets", help="list presets")
+    listp.set_defaults(fn=lambda a: (print("\n".join(preset_names())), 0)[1])
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

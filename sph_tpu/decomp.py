@@ -1,0 +1,608 @@
+"""Multi-chip domain decomposition via `shard_map` + XLA collectives over ICI
+(SURVEY.md C16/C17, §5.7-5.8).
+
+The reference is single-threaded CPU — there is nothing to port.  The
+TPU-native scaling axes are:
+
+1. `make_dp_step` — data-parallel over particles: each device owns a fixed
+   index-slice of the capacity, `all_gather`s positions/velocities once per
+   force evaluation, and computes pair sums for its local rows only.  Per-row
+   reduction shape matches the single-device naive path, so trajectories are
+   BITWISE identical to it (tests/test_domain_decomp.py) — this is the
+   correctness anchor for the mesh machinery.  Scales compute 1/n but not
+   memory.
+
+2. `make_spatial_step` — true spatial decomposition, ring-attention-shaped
+   (SURVEY.md §5.7): each device owns a slab of the domain along one axis;
+   per step it
+     (a) exchanges *ghost* particles within h of its slab faces with ring
+         neighbors via `lax.ppermute` (fixed-capacity buffers + masks — the
+         TPU form of dynamic halo lists),
+     (b) runs the local grid pipeline over locals+ghosts,
+     (c) integrates its locals, and
+     (d) *migrates* particles that crossed a slab face (fixed-capacity send
+         buffers; receivers scatter into inactive slots).
+   Scales compute AND memory 1/n; bitwise equality with single-device is
+   impossible (slot order changes under migration), so the test contract is
+   tight-tolerance trajectories + exact mass/activation conservation.
+
+The "communication backend" is deliberately just these XLA collectives
+(`ppermute`, `all_gather`, `psum`) reached through this one module — mesh
+shape and buffer capacities are the only tunables; DCN multi-host would use
+the same code via a bigger mesh (SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sph_tpu import physics
+from sph_tpu.params import Scene
+from sph_tpu.state import INACTIVE, State
+
+AXIS = "shard"
+
+
+def mesh1d(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (AXIS,))
+
+
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# 1. Data-parallel over particles (bitwise anchor)
+# ---------------------------------------------------------------------------
+
+
+def shard_state(state: State, mesh: Mesh) -> State:
+    """Place a State with capacity padded to the mesh size, sharded on the
+    particle axis (scalars replicated)."""
+    n = mesh.shape[AXIS]
+    cap = _round_up(state.capacity, n)
+    pad = cap - state.capacity
+    if pad:
+        state = State(
+            x=jnp.pad(state.x, ((0, pad), (0, 0))),
+            v=jnp.pad(state.v, ((0, pad), (0, 0))),
+            acc=jnp.pad(state.acc, ((0, pad), (0, 0))),
+            rho=jnp.pad(state.rho, ((0, pad),), constant_values=1.0),
+            p=jnp.pad(state.p, ((0, pad),)),
+            kind=jnp.pad(state.kind, ((0, pad),)),
+            emit_step=jnp.pad(
+                state.emit_step, ((0, pad),), constant_values=INACTIVE
+            ),
+            step=state.step,
+        )
+
+    def spec(leaf):
+        if getattr(leaf, "ndim", 0) >= 1 and leaf.shape[0] == cap:
+            return NamedSharding(mesh, P(AXIS, *([None] * (leaf.ndim - 1))))
+        return NamedSharding(mesh, P())
+
+    return jax.device_put(state, jax.tree.map(spec, state))
+
+
+def make_dp_step(scene: Scene, mesh: Mesh) -> Callable[[State], State]:
+    """Particle-sharded all-pairs step; bitwise-matches the naive path."""
+    params = scene.params
+    dt = params.dt
+
+    def sharded(state: State) -> State:
+        # leaves arrive as per-device shards
+        active = state.emit_step <= state.step
+        movable = active & (state.kind == 0)
+        mov = movable[:, None].astype(state.x.dtype)
+        x, v = state.x, state.v
+
+        x_all = jax.lax.all_gather(x, AXIS, tiled=True)
+        v_all = jax.lax.all_gather(v, AXIS, tiled=True)
+        act_all = jax.lax.all_gather(active, AXIS, tiled=True)
+
+        dx = x[:, None, :] - x_all[None, :, :]
+        r2 = jnp.sum(dx * dx, axis=-1)
+        mask = act_all[None, :].astype(x.dtype)
+        rho = jnp.sum(physics.density_contrib(r2, mask, params), axis=1)
+        rho = jnp.where(active, rho, params.rest_density)
+        p = physics.eos_pressure(rho, params)
+
+        rho_all = jax.lax.all_gather(rho, AXIS, tiled=True)
+        p_all = jax.lax.all_gather(p, AXIS, tiled=True)
+        f = jnp.sum(
+            physics.force_contrib(
+                dx,
+                r2,
+                v[:, None, :],
+                v_all[None, :, :],
+                p[:, None],
+                p_all[None, :],
+                rho_all[None, :],
+                mask,
+                params,
+            ),
+            axis=1,
+        ) * active[:, None].astype(x.dtype)
+        f = f + physics.gravity_force(rho, params)
+        if params.boundary_mode == "penalty":
+            f = f + physics.wall_penalty_force(x, v, scene.lo, scene.hi, params)
+
+        a = f / jnp.maximum(rho, 1e-12)[:, None]
+        v = v + dt * a * mov
+        x = x + dt * v * mov
+        acc = jnp.where(movable[:, None], a, 0.0)
+        if params.boundary_mode == "clamp":
+            xc, vc = physics.clamp_boundary(x, v, scene.lo, scene.hi, params)
+            x = jnp.where(movable[:, None], xc, x)
+            v = jnp.where(movable[:, None], vc, v)
+        return State(
+            x=x,
+            v=v,
+            acc=acc,
+            rho=jnp.where(active, rho, state.rho),
+            p=jnp.where(active, p, state.p),
+            kind=state.kind,
+            emit_step=state.emit_step,
+            step=state.step + 1,
+        )
+
+    part = P(AXIS)
+    spec = State(
+        x=part, v=part, acc=part, rho=part, p=part,
+        kind=part, emit_step=part, step=P(),
+    )
+    return jax.jit(
+        jax.shard_map(
+            sharded, mesh=mesh, in_specs=(spec,), out_specs=spec,
+            check_vma=False,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Spatial slab decomposition with halo exchange + migration
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class SpatialSpec:
+    """Static decomposition geometry: slabs along `axis` of the domain."""
+
+    n_shards: int
+    axis: int            # position component the domain is sliced along
+    slab_lo: float       # global domain lo along axis
+    slab_w: float        # slab width
+    cap_local: int       # particle capacity per device
+    cap_ghost: int       # ghost-buffer capacity per face
+    cap_mig: int         # migration-buffer capacity per face
+
+    @staticmethod
+    def for_scene(
+        scene: Scene,
+        n_shards: int,
+        capacity: int,
+        axis: int = 0,
+        balance: float = 4.0,
+    ) -> "SpatialSpec":
+        """`balance` is the tolerated load imbalance: each slab can hold up
+        to balance× the even share (dam-break columns start very lumpy)."""
+        lo, hi = scene.lo[axis], scene.hi[axis]
+        slab_w = (hi - lo) / n_shards
+        if slab_w < 2 * scene.params.h:
+            raise ValueError(
+                f"slab width {slab_w} < 2h; fewer shards or a wider domain"
+            )
+        cap_local = min(
+            _round_up(capacity, 64),
+            _round_up(int(capacity / n_shards * balance) + 64, 64),
+        )
+        return SpatialSpec(
+            n_shards=n_shards,
+            axis=axis,
+            slab_lo=lo,
+            slab_w=slab_w,
+            cap_local=cap_local,
+            cap_ghost=_round_up(cap_local // 2 + 64, 64),
+            cap_mig=_round_up(cap_local // 4 + 64, 64),
+        )
+
+
+def _chained(x, prev):
+    """Order collectives: make `x` depend on `prev` so independent
+    ppermutes cannot be reordered across devices (the CPU in-process
+    communicator deadlocks on cross-device reordering; TPU channels would
+    tolerate it, but a fixed order is also what determinism wants)."""
+    if prev is None:
+        return x
+    return jax.lax.optimization_barrier((x, prev))[0]
+
+
+def _pack(mask, payload, cap):
+    """Fixed-size compaction: rows of `payload` where mask, padded.
+
+    Returns (buf [cap, F], valid [cap] bool, overflow count)."""
+    n = mask.shape[0]
+    idx = jnp.nonzero(mask, size=cap, fill_value=n)[0]
+    buf = jnp.concatenate(
+        [payload, jnp.zeros((1, payload.shape[1]), payload.dtype)], 0
+    )[idx]
+    valid = idx < n
+    overflow = jnp.maximum(jnp.sum(mask.astype(jnp.int32)) - cap, 0)
+    return buf, valid, overflow
+
+
+def spatial_shard_state(state: State, scene: Scene, spec: SpatialSpec, mesh: Mesh):
+    """Host-side: split a global State into per-slab local States, stacked on
+    a leading device axis and device_put sharded."""
+    n = spec.n_shards
+    x = np.asarray(state.x)
+    active = np.asarray(state.emit_step) <= int(state.step)
+    slab = np.clip(
+        ((x[:, spec.axis] - spec.slab_lo) // spec.slab_w).astype(int), 0, n - 1
+    )
+    fields = {
+        f.name: np.asarray(getattr(state, f.name))
+        for f in dataclasses.fields(state)
+        if f.name != "step"
+    }
+    out = {k: [] for k in fields}
+    park = x.min(axis=0) * 0 + np.float32(-1e6)
+    for s in range(n):
+        sel = active & (slab == s)
+        cnt = sel.sum()
+        if cnt > spec.cap_local:
+            raise ValueError(f"slab {s} holds {cnt} > cap_local {spec.cap_local}")
+        pad = spec.cap_local - cnt
+        for k, arr in fields.items():
+            take = arr[sel]
+            if k == "x":
+                fill = np.broadcast_to(park, (pad, take.shape[1]))
+            elif k == "emit_step":
+                fill = np.full((pad,), INACTIVE, take.dtype)
+            elif k == "rho":
+                fill = np.ones((pad,), take.dtype)
+            else:
+                fill = np.zeros((pad,) + take.shape[1:], take.dtype)
+            out[k].append(np.concatenate([take, fill], axis=0))
+    stacked = {k: np.stack(v, axis=0) for k, v in out.items()}
+    # emit_step of live locals: keep original (<= step); pads INACTIVE
+    loc = State(step=state.step, **{k: jnp.asarray(v) for k, v in stacked.items()})
+
+    def sspec(leaf):
+        if getattr(leaf, "ndim", 0) >= 1 and leaf.shape[0] == n:
+            return NamedSharding(mesh, P(AXIS, *([None] * (leaf.ndim - 1))))
+        return NamedSharding(mesh, P())
+
+    return jax.device_put(loc, jax.tree.map(sspec, loc))
+
+
+def spatial_gather_state(loc: State) -> State:
+    """Device→host: flatten the per-slab states back into one global State
+    (slot order is per-slab; use invariants, not bitwise, to compare)."""
+    flat = {
+        f.name: np.asarray(getattr(loc, f.name)).reshape(
+            (-1,) + getattr(loc, f.name).shape[2:]
+        )
+        for f in dataclasses.fields(loc)
+        if f.name != "step"
+    }
+    return State(step=loc.step, **{k: jnp.asarray(v) for k, v in flat.items()})
+
+
+def _make_spatial_local(
+    scene: Scene, spec: SpatialSpec, mesh: Mesh, method: str = "grid"
+):
+    """Build the per-device slab step body (halo exchange → local grid
+    compute → integrate → migrate); wrapped by make_spatial_step/advance."""
+    if scene.emitters:
+        raise NotImplementedError(
+            "spatial decomposition + emitters: pending slots would collide "
+            "with migration free-slot reuse (round-2 work)"
+        )
+    params = scene.params
+    dt = params.dt
+    n_sh = spec.n_shards
+    ax = spec.axis
+    h = params.h
+
+    grid = None
+    if method == "grid":
+        from sph_tpu import neighbors
+
+        grid = neighbors.GridSpec.for_scene(scene)
+
+    right = [(i, (i + 1) % n_sh) for i in range(n_sh)]
+    left = [(i, (i - 1) % n_sh) for i in range(n_sh)]
+
+    F_GHOST = 7  # x3 | v3 | kind   (2D uses first 2 of each)
+    F_MIG = 11   # x3 | v3 | acc3 | kind | emit_step
+
+    def pack_payload(x, v, kind, d):
+        z = jnp.zeros((x.shape[0], 3 - d), x.dtype)
+        return jnp.concatenate(
+            [x, z, v, z, kind[:, None].astype(x.dtype)], axis=1
+        )
+
+    def pack_mig(x, v, acc, kind, emit, d):
+        z = jnp.zeros((x.shape[0], 3 - d), x.dtype)
+        return jnp.concatenate(
+            [
+                x, z, v, z, acc, z,
+                kind[:, None].astype(x.dtype),
+                emit[:, None].astype(x.dtype),
+            ],
+            axis=1,
+        )
+
+    def sharded(st: State) -> State:
+        # local views arrive as [1, cap_local, ...]: drop the stack axis
+        st = State(
+            step=st.step,
+            **{
+                f.name: getattr(st, f.name)[0]
+                for f in dataclasses.fields(st)
+                if f.name != "step"
+            },
+        )
+        d = st.x.shape[1]
+        me = jax.lax.axis_index(AXIS)
+        my_lo = spec.slab_lo + me.astype(jnp.float32) * spec.slab_w
+        my_hi = my_lo + spec.slab_w
+
+        active = st.emit_step <= st.step
+        movable = active & (st.kind == 0)
+        mov = movable[:, None].astype(st.x.dtype)
+        x, v, acc = st.x, st.v, st.acc
+
+        # ---- (a) ghost exchange: faces within h of each slab boundary ----
+        near_lo = active & (x[:, ax] < my_lo + h)
+        near_hi = active & (x[:, ax] >= my_hi - h)
+        pay = pack_payload(x, v, st.kind, d)
+        buf_lo, val_lo, ov1 = _pack(near_lo, pay, spec.cap_ghost)
+        buf_hi, val_hi, ov2 = _pack(near_hi, pay, spec.cap_ghost)
+        # send my lo-face to left neighbor, my hi-face to right neighbor
+        g_from_right = jax.lax.ppermute(
+            jnp.concatenate([buf_lo, val_lo[:, None].astype(pay.dtype)], 1),
+            AXIS,
+            left,
+        )
+        g_from_left = jax.lax.ppermute(
+            _chained(
+                jnp.concatenate([buf_hi, val_hi[:, None].astype(pay.dtype)], 1),
+                g_from_right,
+            ),
+            AXIS,
+            right,
+        )
+        # edge slabs: ring wraps, but a wrapped ghost lies ≥ slab_w - 2h
+        # away along `ax` from every local particle, so W(r)=0 kills it —
+        # EXCEPT with very few shards.  Mask wrapped ghosts explicitly:
+        is_first = me == 0
+        is_last = me == n_sh - 1
+        gl_valid = (g_from_left[:, F_GHOST] > 0) & ~is_first
+        gr_valid = (g_from_right[:, F_GHOST] > 0) & ~is_last
+
+        def unpack_ghost(g, valid):
+            gx = g[:, 0:d]
+            gv = g[:, 3 : 3 + d]
+            gkind = g[:, 6].astype(jnp.int32)
+            far = jnp.full_like(gx, 1e18)
+            gx = jnp.where(valid[:, None], gx, far)
+            return gx, jnp.where(valid[:, None], gv, 0.0), gkind, valid
+
+        glx, glv, glk, glm = unpack_ghost(g_from_left, gl_valid)
+        grx, grv, grk, grm = unpack_ghost(g_from_right, gr_valid)
+
+        cx = jnp.concatenate([x, glx, grx], axis=0)
+        cv = jnp.concatenate([v, glv, grv], axis=0)
+        c_act = jnp.concatenate([active, glm, grm], axis=0)
+
+        # ---- (b) local density over locals + h-deep ghosts ----
+        # Locals' kernel support is complete (ghosts cover the missing h
+        # band), so their rho is exact.  Ghost rows get garbage rho here —
+        # their own support is truncated — so their true (rho, p) is
+        # re-imported below before the force pass (halo-depth correctness:
+        # the alternative would be 2h-deep ghosts).
+        nl = spec.cap_local
+        if method == "grid":
+            from sph_tpu import neighbors
+
+            rho_c = neighbors.grid_density(cx, c_act, params, grid)
+        else:
+            rho_c = physics.density_naive(cx, c_act, params)
+        rho = rho_c[:nl]
+        p = physics.eos_pressure(rho, params)
+
+        # re-exchange computed (rho, p) for the same face particles, in the
+        # same packed order (same masks -> same nonzero compaction)
+        rp = jnp.stack([rho, p], axis=1)
+        rp_lo, _, _ = _pack(near_lo, rp, spec.cap_ghost)
+        rp_hi, _, _ = _pack(near_hi, rp, spec.cap_ghost)
+        rp_from_right = jax.lax.ppermute(
+            _chained(rp_lo, g_from_left), AXIS, left
+        )
+        rp_from_left = jax.lax.ppermute(
+            _chained(rp_hi, rp_from_right), AXIS, right
+        )
+        ghost_rho = jnp.concatenate(
+            [
+                jnp.where(gl_valid, rp_from_left[:, 0], 1.0),
+                jnp.where(gr_valid, rp_from_right[:, 0], 1.0),
+            ]
+        )
+        ghost_p = jnp.concatenate(
+            [
+                jnp.where(gl_valid, rp_from_left[:, 1], 0.0),
+                jnp.where(gr_valid, rp_from_right[:, 1], 0.0),
+            ]
+        )
+        rho_cc = jnp.concatenate([rho, ghost_rho])
+        p_cc = jnp.concatenate([p, ghost_p])
+
+        # ---- (b') force pass with correct ghost rho/p ----
+        if method == "grid":
+            f_c = neighbors.grid_forces(
+                cx, cv, rho_cc, p_cc, c_act, params, grid
+            )
+        else:
+            f_c = physics.forces_naive(cx, cv, rho_cc, p_cc, c_act, params)
+        f = f_c[:nl]
+        f = f + physics.gravity_force(rho, params)
+        if params.boundary_mode == "penalty":
+            f = f + physics.wall_penalty_force(x, v, scene.lo, scene.hi, params)
+
+        # ---- (c) integrate locals (semi-implicit Euler) ----
+        a = f / jnp.maximum(rho, 1e-12)[:, None]
+        v = v + dt * a * mov
+        x = x + dt * v * mov
+        acc = jnp.where(movable[:, None], a, 0.0)
+        if params.boundary_mode == "clamp":
+            xc, vc = physics.clamp_boundary(x, v, scene.lo, scene.hi, params)
+            x = jnp.where(movable[:, None], xc, x)
+            v = jnp.where(movable[:, None], vc, v)
+
+        # ---- (d) migration: locals that crossed a slab face ----
+        # (first/last slab faces are domain walls: nothing leaves there)
+        go_left = active & (x[:, ax] < my_lo) & ~is_first
+        go_right = active & (x[:, ax] >= my_hi) & ~is_last
+        stay = active & ~go_left & ~go_right
+        mig = pack_mig(x, v, acc, st.kind, st.emit_step, d)
+        m_lo, mval_lo, ov3 = _pack(go_left, mig, spec.cap_mig)
+        m_hi, mval_hi, ov4 = _pack(go_right, mig, spec.cap_mig)
+        m_from_right = jax.lax.ppermute(
+            _chained(
+                jnp.concatenate([m_lo, mval_lo[:, None].astype(mig.dtype)], 1),
+                g_from_left,
+            ),
+            AXIS,
+            left,
+        )
+        m_from_left = jax.lax.ppermute(
+            _chained(
+                jnp.concatenate([m_hi, mval_hi[:, None].astype(mig.dtype)], 1),
+                m_from_right,
+            ),
+            AXIS,
+            right,
+        )
+        mr_valid = (m_from_right[:, F_MIG] > 0) & ~is_last
+        ml_valid = (m_from_left[:, F_MIG] > 0) & ~is_first
+        incoming = jnp.concatenate([m_from_left, m_from_right], axis=0)
+        inc_valid = jnp.concatenate([ml_valid, mr_valid], axis=0)
+
+        # deactivate leavers: park + INACTIVE
+        park = jnp.full((d,), -1e6, x.dtype)
+        x = jnp.where(stay[:, None], x, park[None, :])
+        v = jnp.where(stay[:, None], v, 0.0)
+        acc = jnp.where(stay[:, None], acc, 0.0)
+        emit = jnp.where(stay, st.emit_step, INACTIVE)
+
+        # insert arrivals into inactive slots
+        free = emit > st.step  # inactive (incl. freshly parked)
+        free_idx = jnp.nonzero(
+            free, size=2 * spec.cap_mig, fill_value=spec.cap_local
+        )[0]
+        slot = jnp.where(inc_valid, free_idx, spec.cap_local)
+        ins_overflow = jnp.sum(
+            (inc_valid & (free_idx >= spec.cap_local)).astype(jnp.int32)
+        )
+        x = x.at[slot, :].set(incoming[:, 0:d], mode="drop")
+        v = v.at[slot, :].set(incoming[:, 3 : 3 + d], mode="drop")
+        acc = acc.at[slot, :].set(incoming[:, 6 : 6 + d], mode="drop")
+        kind = st.kind.at[slot].set(
+            incoming[:, 9].astype(jnp.int32), mode="drop"
+        )
+        emit = emit.at[slot].set(
+            incoming[:, 10].astype(jnp.int32), mode="drop"
+        )
+
+        overflow = ov1 + ov2 + ov3 + ov4 + ins_overflow
+        overflow = jax.lax.psum(overflow, AXIS)
+        return (
+            State(
+                x=x[None],
+                v=v[None],
+                acc=acc[None],
+                rho=jnp.where(active, rho, st.rho)[None],
+                p=jnp.where(active, p, st.p)[None],
+                kind=kind[None],
+                emit_step=emit[None],
+                step=st.step + 1,
+            ),
+            overflow,
+        )
+
+    return sharded
+
+
+def _spatial_specs():
+    part = P(AXIS)
+    return State(
+        x=part, v=part, acc=part, rho=part, p=part,
+        kind=part, emit_step=part, step=P(),
+    )
+
+
+def make_spatial_step(
+    scene: Scene, spec: SpatialSpec, mesh: Mesh, method: str = "grid"
+):
+    """jitted single sharded step (stacked local State in/out).
+
+    NOTE: back-to-back *separate* dispatches of collective programs can
+    deadlock the CPU in-process communicator (devices end up in different
+    runs at a rendezvous); for multi-step driving use
+    `make_spatial_advance`, which scans steps inside ONE program — also the
+    production dispatch shape (SURVEY.md §3.5)."""
+    sharded = _make_spatial_local(scene, spec, mesh, method)
+    spec_in = _spatial_specs()
+    return jax.jit(
+        jax.shard_map(
+            sharded, mesh=mesh, in_specs=(spec_in,),
+            out_specs=(spec_in, P()),
+            check_vma=False,
+        )
+    )
+
+
+def make_spatial_advance(
+    scene: Scene,
+    spec: SpatialSpec,
+    mesh: Mesh,
+    method: str = "grid",
+    steps_per_dispatch: int = 50,
+):
+    """jitted advance: `steps_per_dispatch` sharded steps in one lax.scan.
+
+    Returns (state, worst_overflow): worst_overflow > 0 means a ghost/
+    migration/local buffer cap dropped particles in some step — raise
+    `balance` or the buffer caps (watchdog hook, SURVEY.md §5.2-5.3)."""
+    sharded = _make_spatial_local(scene, spec, mesh, method)
+
+    def scanned(st: State):
+        def body(carry, _):
+            s, worst = carry
+            s, over = sharded(s)
+            return (s, jnp.maximum(worst, over)), None
+
+        (out, worst), _ = jax.lax.scan(
+            body, (st, jnp.int32(0)), length=steps_per_dispatch
+        )
+        return out, worst
+
+    spec_in = _spatial_specs()
+    return jax.jit(
+        jax.shard_map(
+            scanned, mesh=mesh, in_specs=(spec_in,),
+            out_specs=(spec_in, P()),
+            check_vma=False,
+        )
+    )

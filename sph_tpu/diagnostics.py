@@ -1,0 +1,181 @@
+"""Diagnostics, watchdog, checkpoint/resume (SURVEY.md §5.3–5.5).
+
+The reference has none of these (tutorial code verifies visually); this is
+the proportionate TPU-native build:
+
+- `scalar_pack`: one small on-device reduction per frame (max |v|, density
+  stats, total momentum, kinetic energy, active count) fetched together with
+  the frame — one transfer, no extra sync.
+- `Watchdog`: halts on NaN/exploding fetched scalars (failure detection);
+  fault injection = overwrite particles with NaN and assert detection
+  (tests/test_diagnostics.py).
+- checkpoints: `State` is a pytree → .npz (+ scene json) with bitwise
+  resume; cheap at this scale, zero extra deps (no orbax needed).
+- CFL monitor: warn when dt > cfl_fraction · h / max|v|.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sph_tpu.params import Scene, SimParams
+from sph_tpu.state import State
+
+SCALARS = (
+    "max_speed",
+    "min_rho",
+    "mean_rho",
+    "max_rho",
+    "momentum_x",
+    "momentum_y",
+    "momentum_z",
+    "kinetic_energy",
+    "n_active",
+)
+
+
+def scalar_pack(state: State, params: SimParams) -> jax.Array:
+    """[9] float32 frame diagnostics, computed on device (SURVEY.md §5.5)."""
+    act = state.active
+    w = act.astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    speed2 = jnp.sum(state.v * state.v, axis=-1)
+    max_speed = jnp.sqrt(jnp.max(jnp.where(act, speed2, 0.0)))
+    rho = jnp.where(act, state.rho, jnp.nan)
+    min_rho = jnp.min(jnp.where(act, state.rho, jnp.inf))
+    mean_rho = jnp.sum(jnp.where(act, state.rho, 0.0)) / n
+    max_rho = jnp.max(jnp.where(act, state.rho, -jnp.inf))
+    mom = params.mass * jnp.sum(state.v * w[:, None], axis=0)
+    mom3 = jnp.concatenate([mom, jnp.zeros((3 - mom.shape[0],), mom.dtype)])
+    ke = 0.5 * params.mass * jnp.sum(speed2 * w)
+    return jnp.stack(
+        [max_speed, min_rho, mean_rho, max_rho, mom3[0], mom3[1], mom3[2], ke, n]
+    )
+
+
+def scalars_dict(pack) -> dict:
+    vals = np.asarray(pack, np.float64)
+    return dict(zip(SCALARS, vals.tolist()))
+
+
+def cfl_limit(params: SimParams, max_speed: float, fraction: float = 0.4):
+    """Largest stable-ish dt at the observed speed; None if at rest."""
+    if max_speed <= 0:
+        return None
+    return fraction * params.h / max_speed
+
+
+class Watchdog:
+    """Failure detection on fetched frame scalars (SURVEY.md §5.3).
+
+    Raises SimulationDiverged when density or speed leaves sane bounds or
+    turns NaN — by construction within one frame of the fault.
+    """
+
+    def __init__(self, params: SimParams, rho_factor: float = 100.0,
+                 speed_limit: float | None = None):
+        self.params = params
+        self.rho_factor = rho_factor
+        self.speed_limit = speed_limit
+
+    def check(self, pack) -> dict:
+        s = scalars_dict(pack)
+        bad = []
+        for k, v in s.items():
+            if not np.isfinite(v):
+                bad.append(f"{k} is not finite ({v})")
+        if s["max_rho"] > self.rho_factor * self.params.rest_density:
+            bad.append(f"max_rho {s['max_rho']:.3g} exploded")
+        if self.speed_limit and s["max_speed"] > self.speed_limit:
+            bad.append(f"max_speed {s['max_speed']:.3g} exploded")
+        if bad:
+            raise SimulationDiverged("; ".join(bad), scalars=s)
+        return s
+
+
+class SimulationDiverged(RuntimeError):
+    def __init__(self, msg, scalars=None):
+        super().__init__(msg)
+        self.scalars = scalars
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint / resume (SURVEY.md §5.4)
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(path: str, state: State, scene: Scene) -> None:
+    """State pytree + scene config → one .npz; resume is bitwise."""
+    arrays = {
+        f.name: np.asarray(getattr(state, f.name))
+        for f in dataclasses.fields(state)
+    }
+    arrays["__scene_json__"] = np.frombuffer(
+        json.dumps(_scene_to_dict(scene)).encode(), dtype=np.uint8
+    )
+    np.savez_compressed(path, **arrays)
+
+
+def load_checkpoint(path: str) -> tuple[State, Scene]:
+    with np.load(path) as z:
+        scene = _scene_from_dict(
+            json.loads(bytes(z["__scene_json__"]).decode())
+        )
+        kw = {
+            f.name: jnp.asarray(z[f.name])
+            for f in dataclasses.fields(State)
+        }
+    return State(**kw), scene
+
+
+def _scene_to_dict(scene: Scene) -> dict:
+    d = dataclasses.asdict(scene)
+    return d
+
+
+def _scene_from_dict(d: dict) -> Scene:
+    from sph_tpu.params import Block, Emitter
+
+    params = SimParams(**{**d["params"], "gravity": tuple(d["params"]["gravity"])})
+    blocks = tuple(
+        Block(
+            lo=tuple(b["lo"]),
+            hi=tuple(b["hi"]),
+            velocity=tuple(b["velocity"]) if b["velocity"] else None,
+            kind=b["kind"],
+        )
+        for b in d["blocks"]
+    )
+    emitters = tuple(
+        Emitter(
+            pos=tuple(e["pos"]),
+            velocity=tuple(e["velocity"]),
+            width=e["width"],
+            start_step=e["start_step"],
+            stop_step=e["stop_step"],
+            jitter=e["jitter"],
+        )
+        for e in d["emitters"]
+    )
+    return Scene(
+        params=params,
+        lo=tuple(d["lo"]),
+        hi=tuple(d["hi"]),
+        blocks=blocks,
+        emitters=emitters,
+        capacity=d["capacity"],
+        spacing=d["spacing"],
+        jitter=d["jitter"],
+        seed=d["seed"],
+    )
+
+
+def inject_nan(state: State, k: int = 4) -> State:
+    """Fault injection (SURVEY.md §5.3): corrupt k particles with NaN."""
+    x = state.x.at[:k].set(jnp.nan)
+    return dataclasses.replace(state, x=x)

@@ -209,6 +209,85 @@ def _force_block(xc, vc, pc, idx, feat_pad, n, d, params):
     )
 
 
+def grid_density(x, active, params: SimParams, grid: GridSpec):
+    """Density only (split phase for the halo-exchange step, where ghost
+    rho/p must be re-imported between passes — sph_tpu/decomp.py)."""
+    n, d = x.shape
+    k_cand = grid.n_offsets * grid.cap
+    ci, flat = cell_index(x, active, grid)
+    tile, _, _, _ = build_tiles(flat, grid)
+    far = jnp.full((1, d), 1e18, x.dtype)
+    x_pad = jnp.concatenate([x, far], axis=0)
+
+    if n * k_cand * (d + 3) <= _UNCHUNKED_BUDGET:
+        rows = _neighbor_rows(ci, grid)
+        idx = tile[rows].reshape(n, k_cand)
+        rho = _density_block(x, idx, x_pad, n, params)
+    else:
+        n_padded = _round_up(n, grid.chunk)
+        xq = _pad_trailing(x, n_padded - n, 0.0)
+        ciq = _pad_trailing(ci, n_padded - n, 0)
+        n_chunks = n_padded // grid.chunk
+
+        def density_chunk(args):
+            xc, cic = args
+            rows = _neighbor_rows(cic, grid)
+            idx = tile[rows].reshape(-1, k_cand)
+            return _density_block(xc, idx, x_pad, n, params)
+
+        rho = jax.lax.map(
+            density_chunk,
+            (
+                xq.reshape(n_chunks, grid.chunk, d),
+                ciq.reshape(n_chunks, grid.chunk, d),
+            ),
+        ).reshape(n_padded)[:n]
+    return jnp.where(active, rho, params.rest_density)
+
+
+def grid_forces(x, v, rho, p, active, params: SimParams, grid: GridSpec):
+    """Pairwise forces given rho/p (split phase, see grid_density)."""
+    n, d = x.shape
+    k_cand = grid.n_offsets * grid.cap
+    ci, flat = cell_index(x, active, grid)
+    tile, _, _, _ = build_tiles(flat, grid)
+    far = jnp.full((1, d), 1e18, x.dtype)
+    feat = jnp.concatenate([x, v, rho[:, None], p[:, None]], axis=1)
+    dummy = jnp.concatenate(
+        [far, jnp.zeros((1, d)), jnp.ones((1, 1)), jnp.zeros((1, 1))], axis=1
+    ).astype(feat.dtype)
+    feat_pad = jnp.concatenate([feat, dummy], axis=0)
+
+    if n * k_cand * (d + 3) <= _UNCHUNKED_BUDGET:
+        rows = _neighbor_rows(ci, grid)
+        idx = tile[rows].reshape(n, k_cand)
+        f = _force_block(x, v, p, idx, feat_pad, n, d, params)
+    else:
+        n_padded = _round_up(n, grid.chunk)
+        xq = _pad_trailing(x, n_padded - n, 0.0)
+        vq = _pad_trailing(v, n_padded - n, 0.0)
+        pq = _pad_trailing(p, n_padded - n, 0.0)
+        ciq = _pad_trailing(ci, n_padded - n, 0)
+        n_chunks = n_padded // grid.chunk
+
+        def force_chunk(args):
+            xc, vc, pc, cic = args
+            rows = _neighbor_rows(cic, grid)
+            idx = tile[rows].reshape(-1, k_cand)
+            return _force_block(xc, vc, pc, idx, feat_pad, n, d, params)
+
+        f = jax.lax.map(
+            force_chunk,
+            (
+                xq.reshape(n_chunks, grid.chunk, d),
+                vq.reshape(n_chunks, grid.chunk, d),
+                pq.reshape(n_chunks, grid.chunk),
+                ciq.reshape(n_chunks, grid.chunk, d),
+            ),
+        ).reshape(n_padded, d)[:n]
+    return f * active[:, None].astype(x.dtype)
+
+
 def grid_rho_p_f(x, v, active, params: SimParams, grid: GridSpec):
     """Density → EOS → pairwise forces using cell tiles; matches the naive
     path up to fp reduction order (tests/test_grid_equiv.py).

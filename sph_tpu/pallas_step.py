@@ -1,0 +1,487 @@
+"""Fused Pallas TPU step: density + forces over per-cell neighbor tiles
+(SURVEY.md C11, M3).
+
+Why not the XLA grid path for the hot loop: TPU element-gathers cost ~2.7 ns
+per fetched row regardless of width, so per-particle candidate gathers
+(N × 3^D·cap rows) dominate the step by 10-100×.  This kernel removes all
+per-candidate gathers.  Two Mosaic constraints shaped the design (learned by
+compiling): (a) dynamic lane-dim vector slices must be provably 128-aligned,
+(b) compile time is linear in statically-unrolled code, so a full per-cell
+unroll is too slow to build.  Both are solved by *aligned lane groups*: the
+per-cell capacity `cap` divides 128, so XC = 128/cap consecutive x-cells
+form one 128-lane group; a `fori_loop` walks groups (dynamic, aligned
+slices), and only the XC cells inside a group are statically unrolled.
+
+Structure:
+
+  1. XLA side: one scatter packs per-particle features  [x | v | rho | p]
+     into a *haloed* slot grid, feature axis on sublanes, (x-cell · cap) on
+     lanes: feat[H0, H1, F, H2·cap].  A second scatter builds the transposed
+     self view featT[H0, H1, H2·cap, F] so i-particles live on sublanes
+     without in-kernel transposes.  The x halo is XC cells on each side
+     (one full lane group), the y/z halos one row; halo cells are
+     guaranteed empty and hold far-away dummy positions, so every candidate
+     window is in-bounds and wrap-free with NO masks — W(r) = 0 annihilates
+     dummy contributions (kernels.py is branchless).
+  2. Row compaction: only occupied (z, y) rows are processed.  The occupied
+     row codes are scalar-prefetched (PrefetchScalarGridSpec) and the block
+     index_maps decode them, so each program fetches the 3^(D-1) neighbor
+     row strips of *its* occupied row; excess programs alias row (0, 0)
+     (always-empty halo) and skip compute.
+  3. Kernel: fori_loop over the row's lane groups with per-group occupancy
+     skip; inside, XC statically-unrolled cells, each a dense
+     [cap(i-sublanes) × 3^(D-1)·3·cap(j-lanes)] pair block on the VPU with
+     fixed accumulation order.
+  4. Density pass → EOS elementwise → force pass; per-particle results come
+     back with one cheap N-row gather each (outputs are written in
+     sublane-major layout [C_rows, H2·cap, ·] to avoid output transposes).
+
+Capacity semantics: rank >= cap drops out of the tiles (documented static
+cap; overflowed particles fall back to rest density / zero pair force);
+row-compaction capacity c_rows is likewise a documented static cap;
+`slot_overflow` reports both (debug/watchdog hook, SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sph_tpu import physics
+from sph_tpu.kernels import kernel_constants
+from sph_tpu.neighbors import GridSpec, cell_index
+from sph_tpu.params import SimParams
+
+FEAT = 8  # packed feature columns: x(3) | v(3) | rho | p
+FOUT = 4  # force output components: f(3) | pad
+LANE = 128
+
+
+def _interpret() -> bool:
+    """Interpreter mode off-TPU (CPU tests run the same kernel logic)."""
+    return jax.default_backend() != "tpu"
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@dataclass(frozen=True)
+class SlotGrid:
+    """Static haloed slot-grid geometry derived from a GridSpec.
+
+    Axes: rows = all but the last grid axis ((H0, H1); H0 = 1 for 2D), x =
+    last grid axis (fastest), padded so that lanes are 128-aligned groups of
+    XC = 128/cap cells with a one-group halo on each side.
+    """
+
+    inner: tuple[int, ...]   # GridSpec.shape
+    cap: int                 # must divide 128
+    c_rows: int              # occupied-row capacity (static)
+
+    @property
+    def dim(self) -> int:
+        return len(self.inner)
+
+    @property
+    def xc(self) -> int:     # cells per 128-lane group
+        return LANE // self.cap
+
+    @property
+    def h0(self) -> int:     # z rows (1 for 2D)
+        return self.inner[0] + 2 if self.dim == 3 else 1
+
+    @property
+    def h1(self) -> int:     # y rows
+        return self.inner[-2] + 2
+
+    @property
+    def h2(self) -> int:     # x cells per row incl. one-group halos
+        return _round_up(self.inner[-1], self.xc) + 2 * self.xc
+
+    @property
+    def n_groups(self) -> int:
+        return self.h2 // self.xc
+
+    @property
+    def lanes(self) -> int:
+        return self.h2 * self.cap
+
+    @property
+    def row_offsets(self) -> tuple[tuple[int, int], ...]:
+        if self.dim == 2:
+            return tuple((0, dy) for dy in (-1, 0, 1))
+        return tuple((dz, dy) for dz in (-1, 0, 1) for dy in (-1, 0, 1))
+
+
+def slot_grid(grid: GridSpec, c_rows: int | None = None) -> SlotGrid:
+    if LANE % grid.cap != 0:
+        raise ValueError(f"pallas path needs cap | 128, got {grid.cap}")
+    dim = len(grid.shape)
+    inner_rows = (grid.shape[0] + 2 if dim == 3 else 1) * (grid.shape[-2] + 2)
+    if c_rows is None:
+        # always-correct when the row space is small; else a documented cap
+        c_rows = inner_rows if inner_rows <= 4096 else 4096
+    return SlotGrid(
+        inner=grid.shape, cap=grid.cap, c_rows=min(c_rows, inner_rows)
+    )
+
+
+# ---------------------------------------------------------------------------
+# XLA side: slot addressing, scatters, row compaction
+# ---------------------------------------------------------------------------
+
+
+def cell_ranks(flat, n_rows: int):
+    """Within-cell rank per particle (stable: ascending original index)."""
+    n = flat.shape[0]
+    order = jnp.argsort(flat)
+    sorted_flat = flat[order]
+    counts = jnp.bincount(flat, length=n_rows)
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]]
+    )
+    rank_sorted = jnp.arange(n, dtype=jnp.int32) - starts[sorted_flat].astype(
+        jnp.int32
+    )
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
+    return rank, counts
+
+
+def _pack_rows(x, v, rho, p):
+    n, d = x.shape
+    return jnp.concatenate(
+        [
+            x,
+            jnp.zeros((n, 3 - d), x.dtype),       # pad x to 3 columns
+            v,
+            jnp.zeros((n, 3 - d), v.dtype),
+            rho[:, None],
+            p[:, None],
+        ],
+        axis=1,
+    )  # [N, 8]
+
+
+@dataclass(frozen=True)
+class SlotAddr:
+    """Per-particle slot addressing + row compaction, built once per step."""
+
+    s0: jax.Array         # scatter-safe halo-z (out of bounds ⇒ dropped)
+    h1: jax.Array
+    hx: jax.Array
+    pos: jax.Array        # lane position hx·cap + rank
+    valid: jax.Array      # in a real cell and within cap
+    counts: jax.Array     # [H0, H1, 1, H2] int32 per-cell occupancy
+    gcounts: jax.Array    # [H0, H1, 1, n_groups] int32 per-group occupancy
+    row_codes: jax.Array  # [c_rows] i32: gz·H1 + gy of occupied rows
+    n_occ: jax.Array      # [1] i32, clipped to c_rows
+    row_pos: jax.Array    # [N] i32 position of the particle's row
+
+
+def build_addr(x, active, grid: GridSpec, sg: SlotGrid) -> SlotAddr:
+    n, _ = x.shape
+    ci, flat = cell_index(x, active, grid)
+    in_cell = flat < grid.n_cells
+    h0 = (ci[:, 0] + 1) if sg.dim == 3 else jnp.zeros((n,), jnp.int32)
+    h1 = ci[:, -2] + 1
+    hx = ci[:, -1] + sg.xc                     # one-group x halo
+    n_hrows = sg.h0 * sg.h1 * sg.h2
+    hrow = (h0 * sg.h1 + h1) * sg.h2 + hx
+    hrow = jnp.where(in_cell, hrow, n_hrows)
+    rank, _ = cell_ranks(hrow, n_hrows + 1)
+    valid = in_cell & (rank < sg.cap)
+    pos = hx * sg.cap + rank
+    s0 = jnp.where(valid, h0, sg.h0)
+
+    counts = jnp.zeros((sg.h0, sg.h1, 1, sg.h2), jnp.int32)
+    counts = counts.at[s0, h1, 0, hx].add(1, mode="drop")
+    gcounts = jnp.sum(
+        counts.reshape(sg.h0, sg.h1, 1, sg.n_groups, sg.xc), axis=-1
+    )
+
+    row_occ = jnp.sum(counts[:, :, 0, :], axis=-1).reshape(-1) > 0  # [H0*H1]
+    # occupied row codes, ascending; pad with 0 = (0,0) halo row (empty)
+    row_codes = jnp.nonzero(row_occ, size=sg.c_rows, fill_value=0)[0].astype(
+        jnp.int32
+    )
+    n_occ = jnp.minimum(jnp.sum(row_occ.astype(jnp.int32)), sg.c_rows)[None]
+    row_inv = jnp.full((sg.h0 * sg.h1,), sg.c_rows, jnp.int32)
+    row_inv = row_inv.at[row_codes].set(
+        jnp.arange(sg.c_rows, dtype=jnp.int32)
+    )
+    # pad entries wrote garbage into row_inv[0]; row (0,0) is a halo row (no
+    # particle can live there), so that is harmless.
+    row_pos = row_inv[h0 * sg.h1 + h1]
+    return SlotAddr(
+        s0=s0,
+        h1=h1,
+        hx=hx,
+        pos=pos,
+        valid=valid,
+        counts=counts,
+        gcounts=gcounts,
+        row_codes=row_codes,
+        n_occ=n_occ.astype(jnp.int32),
+        row_pos=row_pos,
+    )
+
+
+def scatter_slots(addr: SlotAddr, rows, sg: SlotGrid):
+    """Scatter packed [N, 8] rows → (feat [H0,H1,8,L], featT [H0,H1,L,8])."""
+    dtype = rows.dtype
+    init_col = jnp.array([1e18, 1e18, 1e18, 0, 0, 0, 0, 0], dtype)
+    feat = jnp.broadcast_to(
+        init_col[None, None, :, None], (sg.h0, sg.h1, FEAT, sg.lanes)
+    )
+    feat = feat.at[addr.s0, addr.h1, :, addr.pos].set(rows, mode="drop")
+    feat_t = jnp.broadcast_to(
+        init_col[None, None, None, :], (sg.h0, sg.h1, sg.lanes, FEAT)
+    )
+    feat_t = feat_t.at[addr.s0, addr.h1, addr.pos, :].set(rows, mode="drop")
+    return feat, feat_t
+
+
+def slot_overflow(x, active, grid: GridSpec, sg: SlotGrid):
+    """(cell overflow count, row overflow count): >0 ⇒ static caps dropped
+    work this step."""
+    addr = build_addr(x, active, grid, sg)
+    _, flat = cell_index(x, active, grid)
+    cell_over = jnp.sum((~addr.valid) & (flat < grid.n_cells))
+    row_occ = jnp.sum(addr.counts[:, :, 0, :], axis=-1).reshape(-1) > 0
+    row_over = jnp.sum(row_occ.astype(jnp.int32)) - addr.n_occ[0]
+    return cell_over, row_over
+
+
+# ---------------------------------------------------------------------------
+# Kernels: fori_loop over aligned lane groups, XC cells unrolled inside
+# ---------------------------------------------------------------------------
+
+
+def _group_loop(sg: SlotGrid, gcount_ref, group_body):
+    """Run group_body(g) for every occupied group g."""
+
+    def body(g, _):
+        @pl.when(gcount_ref[0, 0, 0, g] > 0)
+        def _():
+            group_body(g)
+
+        return 0
+
+    # groups 0 and n_groups-1 are the empty x halo: skip them
+    jax.lax.fori_loop(1, sg.n_groups - 1, body, 0)
+
+
+def _window(strips, c, g):
+    """Candidate lanes for group g, feature column c: the 3 aligned 128-lane
+    blocks around g from every row strip, concatenated: [1, R·384]."""
+    start = pl.multiple_of((g - 1) * LANE, LANE)
+    return jnp.concatenate(
+        [s[0, 0, c, pl.ds(start, 3 * LANE)].reshape(1, 3 * LANE) for s in strips],
+        axis=1,
+    )
+
+
+def _cand_slice(win, k, cap, n_strips):
+    """Static per-cell slice of the group window: cells (k-1..k+1) relative
+    to the window = lanes [(xc + k - 1)·cap, +3cap) of each strip chunk."""
+    xc = LANE // cap
+    a = (xc + k - 1) * cap
+    parts = [
+        win[:, r * 3 * LANE + a : r * 3 * LANE + a + 3 * cap]
+        for r in range(n_strips)
+    ]
+    return jnp.concatenate(parts, axis=1)  # [1, R·3cap]
+
+
+def _self_block(featT_ref, g):
+    start = pl.multiple_of(g * LANE, 8)
+    return featT_ref[0, 0, pl.ds(start, LANE), :]  # [128, FEAT]
+
+
+def _density_kernel(codes_ref, n_ref, gcount_ref, *refs, sg, params):
+    strips, featT_ref, out_ref = refs[:-2], refs[-2], refs[-1]
+    cap = sg.cap
+    n_strips = len(strips)
+    c_p, _, _ = kernel_constants(params.dim, params.h, params.kernel_norm)
+    h2k = params.h * params.h
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(pl.program_id(0) < n_ref[0])
+    def _():
+        def group(g):
+            it = _self_block(featT_ref, g)            # [128, FEAT], once/group
+            wins = [_window(strips, c, g) for c in range(3)]
+            start = pl.multiple_of(g * LANE, 8)
+            for k in range(sg.xc):
+                r2 = None
+                for c in range(3):
+                    xi = it[k * cap : (k + 1) * cap, c : c + 1]  # [cap, 1]
+                    cj = _cand_slice(wins[c], k, cap, n_strips)  # [1, 3Rcap]
+                    d = xi - cj
+                    r2 = d * d if r2 is None else r2 + d * d
+                q = jnp.maximum(h2k - r2, 0.0)
+                rho = (params.mass * c_p) * jnp.sum(
+                    q * q * q, axis=1, keepdims=True
+                )
+                out_ref[0, pl.ds(start + k * cap, cap), 0:1] = rho
+
+        _group_loop(sg, gcount_ref, group)
+
+
+def _force_kernel(codes_ref, n_ref, gcount_ref, *refs, sg, params):
+    strips, featT_ref, out_ref = refs[:-2], refs[-2], refs[-1]
+    cap = sg.cap
+    n_strips = len(strips)
+    d_dim = params.dim
+    _, c_s, c_v = kernel_constants(d_dim, params.h, params.kernel_norm)
+    hk = params.h
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(pl.program_id(0) < n_ref[0])
+    def _():
+        def group(g):
+            it = _self_block(featT_ref, g)            # [128, FEAT], once/group
+            wins = [_window(strips, c, g) for c in range(FEAT)]
+            start = pl.multiple_of(g * LANE, 8)
+            for k in range(sg.xc):
+                def self_col(c, k=k):
+                    return it[k * cap : (k + 1) * cap, c : c + 1]
+
+                def cand_col(c, k=k):
+                    return _cand_slice(wins[c], k, cap, n_strips)
+
+                dx = []
+                r2 = None
+                for c in range(3):
+                    dc = self_col(c) - cand_col(c)
+                    dx.append(dc)
+                    r2 = dc * dc if r2 is None else r2 + dc * dc
+                r = jnp.sqrt(r2)
+                t = jnp.maximum(hk - r, 0.0)
+                s = c_s * t * t / jnp.maximum(r, 1e-12) * (r > 1e-12)
+                inv_rho_j = 1.0 / jnp.maximum(cand_col(6), 1e-12)
+                coef_p = (
+                    (params.mass * 0.5)
+                    * (self_col(7) + cand_col(7))
+                    * inv_rho_j
+                    * s
+                )
+                coef_v = (
+                    (params.viscosity * params.mass) * inv_rho_j * (c_v * t)
+                )
+                for c in range(d_dim):
+                    fc = jnp.sum(
+                        coef_p * dx[c]
+                        + coef_v * (cand_col(3 + c) - self_col(3 + c)),
+                        axis=1,
+                        keepdims=True,
+                    )  # [cap, 1]
+                    out_ref[0, pl.ds(start + k * cap, cap), c : c + 1] = fc
+
+        _group_loop(sg, gcount_ref, group)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+
+def _specs(sg: SlotGrid):
+    """Block specs: group counts (SMEM), feat strips, featT center strip."""
+    h1 = sg.h1
+
+    def center_map(i, codes, n):
+        r = codes[i]
+        return r // h1, r % h1, 0, 0
+
+    gcount_spec = pl.BlockSpec(
+        (1, 1, 1, sg.n_groups), center_map, memory_space=pltpu.SMEM
+    )
+
+    def strip_map_factory(dz, dy):
+        def strip_map(i, codes, n):
+            r = codes[i]
+            return r // h1 + dz, r % h1 + dy, 0, 0
+
+        return strip_map
+
+    strip_specs = [
+        pl.BlockSpec(
+            (1, 1, FEAT, sg.lanes),
+            strip_map_factory(dz, dy),
+            memory_space=pltpu.VMEM,
+        )
+        for dz, dy in sg.row_offsets
+    ]
+    featT_spec = pl.BlockSpec(
+        (1, 1, sg.lanes, FEAT), center_map, memory_space=pltpu.VMEM
+    )
+    return gcount_spec, strip_specs, featT_spec
+
+
+def _call(kernel, feat, feat_t, addr: SlotAddr, sg, params, out_cols):
+    gcount_spec, strip_specs, featT_spec = _specs(sg)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(sg.c_rows,),
+        in_specs=[gcount_spec] + strip_specs + [featT_spec],
+        out_specs=pl.BlockSpec(
+            (1, sg.lanes, out_cols),
+            lambda i, codes, n: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(kernel, sg=sg, params=params),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (sg.c_rows, sg.lanes, out_cols), feat.dtype
+        ),
+        interpret=_interpret(),
+    )(
+        addr.row_codes,
+        addr.n_occ,
+        addr.gcounts,
+        *([feat] * len(strip_specs)),
+        feat_t,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full fused pass: density → EOS → forces
+# ---------------------------------------------------------------------------
+
+
+def pallas_rho_p_f(
+    x, v, active, params: SimParams, grid: GridSpec, c_rows: int | None = None
+):
+    """Drop-in replacement for neighbors.grid_rho_p_f, Pallas-fused."""
+    n, d = x.shape
+    sg = slot_grid(grid, c_rows)
+
+    addr = build_addr(x, active, grid, sg)
+    zeros = jnp.zeros((n,), x.dtype)
+
+    feat, feat_t = scatter_slots(addr, _pack_rows(x, v, zeros, zeros), sg)
+    rho_slot = _call(
+        _density_kernel, feat, feat_t, addr, sg, params, out_cols=1
+    )  # [c_rows, lanes, 1]
+    ok = addr.valid & (addr.row_pos < sg.c_rows)
+    safe_row = jnp.minimum(addr.row_pos, sg.c_rows - 1)
+    rho = rho_slot[safe_row, addr.pos, 0]
+    rho = jnp.where(ok, rho, params.rest_density)
+    p = physics.eos_pressure(rho, params)
+
+    feat, feat_t = scatter_slots(addr, _pack_rows(x, v, rho, p), sg)
+    f_slot = _call(
+        _force_kernel, feat, feat_t, addr, sg, params, out_cols=FOUT
+    )  # [c_rows, lanes, FOUT]
+    f = f_slot[safe_row, addr.pos, :d]
+    f = jnp.where(ok[:, None], f, 0.0)
+    return rho, p, f

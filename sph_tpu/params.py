@@ -90,19 +90,21 @@ class Block:
 
 @dataclass(frozen=True)
 class Emitter:
-    """Spawns particles at a fixed rate from a point with a jet velocity.
+    """A jet nozzle: emits a row (2D) / square (3D) of `width` particles
+    perpendicular to `velocity`, every `spacing/|velocity|` time units, so
+    consecutive emissions stream `spacing` apart (no overlap explosions).
 
     TPU-native form of the reference's keypress spawning (SURVEY.md C13):
     the scene pre-allocates capacity; the jitted step flips `active` masks on
-    schedule — no reshapes, no host sync.
+    schedule (emit_step <= step) — no reshapes, no host sync.
     """
 
     pos: tuple[float, ...]
     velocity: tuple[float, ...]
-    rate: float = 4.0        # particles per step
+    width: int = 4           # particles across the nozzle (width² in 3D)
     start_step: int = 0
     stop_step: int = 1 << 30
-    jitter: float = 0.5      # position jitter in units of h
+    jitter: float = 0.05     # position jitter in units of spacing
 
 
 @dataclass(frozen=True)
@@ -239,7 +241,7 @@ def _multi_emitter_3d() -> Scene:
         emitters=(
             Emitter(pos=(100.0, 500.0, 100.0), velocity=(60.0, 0.0, 60.0)),
             Emitter(pos=(700.0, 500.0, 700.0), velocity=(-60.0, 0.0, -60.0)),
-            Emitter(pos=(c, 550.0, c), velocity=(0.0, -80.0, 0.0), rate=8.0),
+            Emitter(pos=(c, 550.0, c), velocity=(0.0, -80.0, 0.0), width=6),
         ),
         capacity=65536,
     )

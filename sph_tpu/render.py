@@ -1,0 +1,108 @@
+"""Device-side point-splat renderer (SURVEY.md C14).
+
+The reference renders by uploading a vertex buffer and drawing GL_POINTS
+(SURVEY.md §3.3) — its single CPU→GPU boundary.  The TPU-native restatement
+inverts that: the frame is *rasterized on device* (scatter-add of particle
+splats into an [H, W] buffer, fully inside jit) and only the finished image
+crosses to the host, asynchronously, once per dispatch (SURVEY.md §3.5).
+
+Headless output: a dependency-free PNG writer (stdlib zlib) and a tiny
+colormap, so `sph-tpu render` works in this environment with zero GL.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sph_tpu.params import Scene
+from sph_tpu.state import State
+
+
+def render_splat(
+    state: State,
+    scene: Scene,
+    width: int = 400,
+    height: int = 300,
+    mode: str = "density",
+    axes: tuple[int, int] = (0, 1),
+):
+    """Rasterize particles into an [H, W] scalar field, on device.
+
+    mode: "density" (splat count), "rho" (mean density), "speed" (mean |v|).
+    axes: which position components map to (x, y) of the image (3D scenes
+    render an orthographic projection along the remaining axis).
+    """
+    ax, ay = axes
+    lo = jnp.asarray(scene.lo, jnp.float32)
+    hi = jnp.asarray(scene.hi, jnp.float32)
+    act = state.active
+    u = (state.x[:, ax] - lo[ax]) / (hi[ax] - lo[ax]) * (width - 1)
+    v = (state.x[:, ay] - lo[ay]) / (hi[ay] - lo[ay]) * (height - 1)
+    px = jnp.clip(jnp.round(u).astype(jnp.int32), 0, width - 1)
+    # image row 0 = top; simulation y up
+    py = jnp.clip(
+        height - 1 - jnp.round(v).astype(jnp.int32), 0, height - 1
+    )
+    w = act.astype(jnp.float32)
+    img = jnp.zeros((height, width), jnp.float32)
+    if mode == "density":
+        return img.at[py, px].add(w)
+    if mode == "rho":
+        num = img.at[py, px].add(w * state.rho)
+        den = img.at[py, px].add(w)
+        return num / jnp.maximum(den, 1.0)
+    if mode == "speed":
+        speed = jnp.sqrt(jnp.sum(state.v * state.v, axis=-1))
+        num = img.at[py, px].add(w * speed)
+        den = img.at[py, px].add(w)
+        return num / jnp.maximum(den, 1.0)
+    raise ValueError(f"unknown render mode {mode!r}")
+
+
+def colorize(field: np.ndarray, gamma: float = 0.5) -> np.ndarray:
+    """[H, W] scalar → [H, W, 3] uint8, dark-blue→cyan→white water map."""
+    f = np.asarray(field, np.float32)
+    top = np.percentile(f[f > 0], 99.0) if np.any(f > 0) else 1.0
+    t = np.clip(f / max(top, 1e-9), 0.0, 1.0) ** gamma
+    r = np.clip(t * 2.0 - 1.0, 0.0, 1.0)
+    g = np.clip(t * 1.6 - 0.2, 0.0, 1.0)
+    b = np.clip(0.2 + t * 0.8, 0.0, 1.0) * (t > 0) + 0.07 * (t == 0)
+    return (np.stack([r, g, b], axis=-1) * 255).astype(np.uint8)
+
+
+def write_png(path: str, rgb: np.ndarray) -> None:
+    """Minimal RGB8 PNG writer (stdlib only)."""
+    h, w, _ = rgb.shape
+    raw = b"".join(
+        b"\x00" + rgb[i].astype(np.uint8).tobytes() for i in range(h)
+    )
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+    with open(path, "wb") as fh:
+        fh.write(png)
+
+
+def save_frame(
+    state: State, scene: Scene, path: str, width=400, height=300, mode="density"
+) -> None:
+    field = np.asarray(render_splat(state, scene, width, height, mode))
+    write_png(path, colorize(field))

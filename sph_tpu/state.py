@@ -124,19 +124,43 @@ def init(scene: Scene, capacity_multiple: int = 256) -> State:
     n_spare = cap - n_seed
     ex, ev, estep = [], [], []
     if scene.emitters and n_spare > 0:
-        budget = n_spare
-        per = budget // len(scene.emitters)
+        per = n_spare // len(scene.emitters)
         for em in scene.emitters:
-            k = per
-            # activation step of the i-th particle from this emitter
-            steps = em.start_step + np.floor(np.arange(k) / em.rate).astype(np.int64)
+            vel = np.asarray(em.velocity, np.float64)
+            speed = float(np.linalg.norm(vel))
+            if speed <= 0:
+                raise ValueError("emitter velocity must be nonzero")
+            # one emission row every `spacing` of downstream travel
+            interval = max(1, round(spacing / (speed * p.dt)))
+            # nozzle basis: unit vectors perpendicular to the jet
+            n_hat = vel / speed
+            perp = np.eye(d) - np.outer(n_hat, n_hat)
+            basis = np.linalg.svd(perp)[0][:, : d - 1]  # [d, d-1]
+            row = em.width ** (d - 1)
+            lat = np.stack(
+                np.meshgrid(
+                    *([np.arange(em.width) - (em.width - 1) / 2] * (d - 1)),
+                    indexing="ij",
+                ),
+                axis=-1,
+            ).reshape(row, d - 1)
+            offsets = lat @ basis.T * spacing  # [row, d]
+            n_events = per // row
+            steps = em.start_step + np.arange(n_events) * interval
             steps = np.where(steps < em.stop_step, steps, np.int64(INACTIVE))
-            pos = np.asarray(em.pos, np.float32) + (
-                rng.random((k, d)).astype(np.float32) - 0.5
-            ) * (em.jitter * p.h)
-            vel = np.broadcast_to(np.asarray(em.velocity, np.float32), (k, d)).copy()
-            ex.append(pos)
-            ev.append(vel)
+            steps = np.repeat(steps, row)
+            pos = (
+                np.asarray(em.pos, np.float64)[None, :]
+                + np.tile(offsets, (n_events, 1))
+                + (rng.random((n_events * row, d)) - 0.5)
+                * (em.jitter * spacing)
+            )
+            ex.append(pos.astype(np.float32))
+            ev.append(
+                np.broadcast_to(
+                    vel.astype(np.float32), (n_events * row, d)
+                ).copy()
+            )
             estep.append(np.minimum(steps, INACTIVE).astype(np.int32))
         ex = np.concatenate(ex, 0)
         ev = np.concatenate(ev, 0)

@@ -1,0 +1,123 @@
+"""Diagnostics, watchdog fault injection, checkpoint/resume, renderer
+(SURVEY.md §4 aux-subsystem coverage for §5.3-5.5 and C14)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from helpers import small_scene
+
+from sph_tpu import diagnostics, render
+from sph_tpu.state import init
+from sph_tpu.step import make_advance
+
+
+def test_scalar_pack_sane():
+    scene = small_scene(dim=2)
+    state = init(scene)
+    s = diagnostics.scalars_dict(
+        diagnostics.scalar_pack(state, scene.params)
+    )
+    assert s["n_active"] == int(state.n_active())
+    assert s["max_speed"] == 0.0
+    assert 0.5 < s["mean_rho"] / scene.params.rest_density < 1.5
+    assert np.isfinite(s["kinetic_energy"])
+
+
+def test_watchdog_detects_injected_nan_within_one_frame():
+    scene = small_scene(dim=2)
+    state = init(scene)
+    adv = make_advance(scene, "naive", steps_per_dispatch=5)
+    state = adv(state)  # healthy
+    wd = diagnostics.Watchdog(scene.params)
+    wd.check(diagnostics.scalar_pack(state, scene.params))  # passes
+    state = diagnostics.inject_nan(state, k=3)
+    state = adv(state)  # fault propagates within the frame
+    with pytest.raises(diagnostics.SimulationDiverged):
+        wd.check(diagnostics.scalar_pack(state, scene.params))
+
+
+def test_checkpoint_resume_bitwise(tmp_path):
+    scene = small_scene(dim=2, seed=50)
+    adv = make_advance(scene, "naive", steps_per_dispatch=20)
+    state = adv(init(scene))
+    path = str(tmp_path / "ckpt.npz")
+    diagnostics.save_checkpoint(path, state, scene)
+    state2, scene2 = diagnostics.load_checkpoint(path)
+    assert scene2 == scene  # full config round-trip
+    # resume both and require bitwise-identical trajectories
+    a = adv(state)
+    b = adv(state2)
+    assert np.array_equal(np.asarray(a.x), np.asarray(b.x))
+    assert np.array_equal(np.asarray(a.v), np.asarray(b.v))
+    assert int(a.step) == int(b.step) == 40
+
+
+def test_cfl_limit():
+    scene = small_scene(dim=2)
+    p = scene.params
+    assert diagnostics.cfl_limit(p, 0.0) is None
+    lim = diagnostics.cfl_limit(p, 100.0)
+    assert abs(lim - 0.4 * p.h / 100.0) < 1e-9
+
+
+def test_render_and_png(tmp_path):
+    scene = small_scene(dim=2)
+    state = init(scene)
+    field = np.asarray(render.render_splat(state, scene, 200, 150))
+    assert field.shape == (150, 200)
+    assert field.sum() == int(state.n_active())  # every particle splatted
+    # particles start in the lower-left block: mass should sit left+bottom
+    assert field[:, :100].sum() > field[:, 100:].sum()
+    assert field[75:, :].sum() > field[:75, :].sum()
+    path = str(tmp_path / "f.png")
+    render.save_frame(state, scene, path, width=200, height=150)
+    with open(path, "rb") as fh:
+        magic = fh.read(8)
+    assert magic == b"\x89PNG\r\n\x1a\n"
+    assert os.path.getsize(path) > 100
+
+
+def test_render_3d_projection():
+    scene = small_scene(dim=3)
+    state = init(scene)
+    field = np.asarray(
+        render.render_splat(state, scene, 100, 100, axes=(0, 1))
+    )
+    assert field.sum() == int(state.n_active())
+
+
+def test_cli_run_smoke(tmp_path):
+    from sph_tpu import cli
+
+    out = str(tmp_path / "out")
+    rc = cli.main(
+        [
+            "run",
+            "tutorial2d",
+            "--method",
+            "naive",
+            "--frames",
+            "2",
+            "--steps-per-frame",
+            "5",
+            "--out",
+            out,
+            "--render",
+            "--checkpoint-every",
+            "1",
+            "--quiet",
+        ]
+    )
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "frame_00001.png"))
+    assert os.path.exists(os.path.join(out, "metrics.jsonl"))
+    assert os.path.exists(os.path.join(out, "ckpt_00001.npz"))
+    with open(os.path.join(out, "metrics.jsonl")) as fh:
+        lines = fh.read().strip().splitlines()
+    assert len(lines) == 2
+    import json
+
+    rec = json.loads(lines[-1])
+    assert rec["step"] == 10 and np.isfinite(rec["mean_rho"])

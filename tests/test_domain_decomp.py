@@ -1,0 +1,146 @@
+"""Multi-device decomposition on 8 fake CPU devices (SURVEY.md §4.9).
+
+DP path: bitwise equality with the single-device naive step.
+Spatial path: tight-tolerance trajectories + exact conservation (slot order
+changes under migration, so bitwise is structurally impossible there).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from helpers import small_scene
+
+from sph_tpu import decomp
+from sph_tpu.params import Block, Scene, SimParams, calibrate
+from sph_tpu.state import init
+from sph_tpu.step import make_step
+
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def test_dp_step_bitwise_vs_naive():
+    scene = small_scene(dim=2, seed=60)
+    mesh = decomp.mesh1d(8)
+    state = init(scene)
+    ref = init(scene)
+    step_ref = jax.jit(make_step(scene, "naive"))
+    sharded = decomp.shard_state(state, mesh)
+    step_dp = decomp.make_dp_step(scene, mesh)
+    for _ in range(10):
+        sharded = step_dp(sharded)
+        ref = step_ref(ref)
+    cap = ref.capacity
+    xs = np.asarray(sharded.x)[:cap]
+    vs = np.asarray(sharded.v)[:cap]
+    assert np.array_equal(xs, np.asarray(ref.x))
+    assert np.array_equal(vs, np.asarray(ref.v))
+
+
+def _wide_scene(seed=61):
+    """A wide shallow pool so 8 slabs each hold fluid and particles flow
+    across slab boundaries."""
+    p = SimParams(boundary_mode="clamp", dt=5e-4)
+    scene = Scene(
+        params=p,
+        lo=(0.0, 0.0),
+        hi=(1600.0, 300.0),
+        blocks=(
+            Block(lo=(100.0, 20.0), hi=(500.0, 200.0), velocity=(60.0, 0.0)),
+        ),
+        seed=seed,
+    )
+    return calibrate(scene)
+
+
+def _sorted_active(x, active):
+    xa = x[active]
+    order = np.lexsort(xa.T)
+    return xa[order]
+
+
+@pytest.mark.parametrize("method", ["naive", "grid"])
+def test_spatial_matches_single_device(method):
+    scene = _wide_scene()
+    mesh = decomp.mesh1d(8)
+    state = init(scene)
+    spec = decomp.SpatialSpec.for_scene(scene, 8, state.capacity)
+    n_act = int(state.n_active())
+
+    loc = decomp.spatial_shard_state(state, scene, spec, mesh)
+    adv_sp = decomp.make_spatial_advance(
+        scene, spec, mesh, method=method, steps_per_dispatch=60
+    )
+    step_ref = jax.jit(make_step(scene, method))
+    ref = state
+    loc, overflow = adv_sp(loc)
+    assert int(overflow) == 0
+    for _ in range(60):
+        ref = step_ref(ref)
+    merged = decomp.spatial_gather_state(loc)
+    act_m = np.asarray(merged.emit_step) <= int(merged.step)
+    act_r = np.asarray(ref.active)
+
+    # exact conservation: no particles lost or duplicated by migration
+    assert act_m.sum() == n_act == act_r.sum()
+
+    xm = _sorted_active(np.asarray(merged.x), act_m)
+    xr = _sorted_active(np.asarray(ref.x), act_r)
+    scale = np.max(np.abs(xr)) + 1e-6
+    assert np.max(np.abs(xm - xr)) / scale < 1e-4
+
+
+def test_spatial_migration_happens():
+    """A fast block actually crosses slab boundaries AND total particle
+    count stays exactly conserved through migration."""
+    p = SimParams(boundary_mode="clamp", dt=5e-4)
+    scene = calibrate(
+        Scene(
+            params=p,
+            lo=(0.0, 0.0),
+            hi=(1600.0, 300.0),
+            blocks=(
+                Block(
+                    lo=(150.0, 20.0),
+                    hi=(380.0, 150.0),
+                    velocity=(250.0, 0.0),
+                ),
+            ),
+            seed=62,
+        )
+    )
+    mesh = decomp.mesh1d(8)
+    state = init(scene)
+    n_act = int(state.n_active())
+    # the block compresses into one slab: give slabs full-capacity headroom
+    spec = decomp.SpatialSpec.for_scene(
+        scene, 8, state.capacity, balance=8.0
+    )
+    loc = decomp.spatial_shard_state(state, scene, spec, mesh)
+    per_slab_before = np.asarray(
+        (np.asarray(loc.emit_step) <= int(loc.step)).sum(axis=1)
+    )
+    adv_sp = decomp.make_spatial_advance(
+        scene, spec, mesh, method="grid", steps_per_dispatch=150
+    )
+    loc, overflow = adv_sp(loc)
+    assert int(overflow) == 0
+    per_slab_after = (np.asarray(loc.emit_step) <= int(loc.step)).sum(axis=1)
+    assert not np.array_equal(per_slab_before, per_slab_after)
+    assert per_slab_after.sum() == n_act  # nothing lost in flight
+
+
+def test_spatial_rejects_emitters():
+    from sph_tpu.params import Emitter
+
+    scene = _wide_scene().replace(
+        emitters=(Emitter(pos=(800.0, 250.0), velocity=(0.0, -30.0)),)
+    )
+    mesh = decomp.mesh1d(8)
+    spec = decomp.SpatialSpec.for_scene(scene, 8, 1024)
+    with pytest.raises(NotImplementedError):
+        decomp.make_spatial_step(scene, spec, mesh)

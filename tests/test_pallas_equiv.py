@@ -1,0 +1,119 @@
+"""Pallas fused kernel == XLA grid path (SURVEY.md §4.5).
+
+Runs in interpreter mode on CPU — same kernel logic as the TPU build.
+Comparison is tight-tolerance (reduction orders differ), across the edge
+cases of §4.5: empty cells, overfull cells (cap overflow parity), border
+particles, everything in one cell, inactive particles mixed in.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from helpers import random_cloud, small_scene
+
+from sph_tpu import neighbors, pallas_step
+from sph_tpu.params import Scene, SimParams
+from sph_tpu.state import init
+from sph_tpu.step import make_advance
+
+
+CASES = {
+    "uniform": lambda n, d: random_cloud(n, d, 0.0, 120.0, seed=31)[0],
+    "one_cell": lambda n, d: random_cloud(n, d, 40.0, 55.0, seed=32)[0],
+    "borders": lambda n, d: (
+        np.round(random_cloud(n, d, 0.0, 120.0, seed=33)[0] / 16.0) * 16.0
+    ).astype(np.float32),
+    "outside": lambda n, d: random_cloud(n, d, -30.0, 150.0, seed=34)[0],
+}
+
+
+@pytest.mark.parametrize("case", sorted(CASES))
+@pytest.mark.parametrize("dim", [2, 3])
+def test_pallas_matches_grid(case, dim):
+    n = 200
+    x = CASES[case](n, dim)[:, :dim].astype(np.float32)
+    rng = np.random.default_rng(35)
+    v = rng.uniform(-5, 5, (n, dim)).astype(np.float32)
+    active = np.ones(n, bool)
+    active[180:] = False
+    p = SimParams(dim=dim, gravity=(0.0,) * dim, kernel_norm="proper")
+    scene = Scene(params=p, lo=(0.0,) * dim, hi=(120.0,) * dim)
+    # cap=64 keeps even the one-cell case overflow-free (64 | 128 fails —
+    # pallas needs cap | 128, so 64 is fine)
+    grid = neighbors.GridSpec.for_scene(scene, cap=64)
+
+    xa, va, aa = jnp.asarray(x), jnp.asarray(v), jnp.asarray(active)
+    rho_g, p_g, f_g = neighbors.grid_rho_p_f(xa, va, aa, p, grid)
+    rho_p, p_p, f_p = pallas_step.pallas_rho_p_f(xa, va, aa, p, grid)
+    rho_g, f_g, rho_p, f_p = map(np.asarray, (rho_g, f_g, rho_p, f_p))
+
+    assert np.allclose(rho_p, rho_g, rtol=3e-6, atol=1e-6), case
+    scale = np.max(np.abs(f_g)) + 1e-9
+    assert np.max(np.abs(f_p - f_g)) / scale < 3e-5, case
+
+
+def test_pallas_overflow_parity_with_grid():
+    """With a tiny cap both paths drop the same overflow particles (same
+    stable rank rule), so they still agree with each other."""
+    n, dim = 128, 2
+    x = random_cloud(n, dim, 40.0, 60.0, seed=36)[0].astype(np.float32)
+    v = np.zeros((n, dim), np.float32)
+    active = np.ones(n, bool)
+    p = SimParams(dim=dim, gravity=(0.0, 0.0), kernel_norm="proper")
+    scene = Scene(params=p, lo=(0.0, 0.0), hi=(120.0, 120.0))
+    grid = neighbors.GridSpec.for_scene(scene, cap=8)
+
+    xa, va, aa = jnp.asarray(x), jnp.asarray(v), jnp.asarray(active)
+    rho_g, _, f_g = neighbors.grid_rho_p_f(xa, va, aa, p, grid)
+    rho_p, _, f_p = pallas_step.pallas_rho_p_f(xa, va, aa, p, grid)
+    # overflowed particles: grid path computes their rho from the (dropped)
+    # tiles they can still SEE; pallas assigns rest density.  Compare only
+    # the in-tile particles — and check the overflow counter fires.
+    sg = pallas_step.slot_grid(grid)
+    cell_over, _ = pallas_step.slot_overflow(xa, aa, grid, sg)
+    assert int(cell_over) > 0
+    addr = pallas_step.build_addr(xa, aa, grid, sg)
+    ok = np.asarray(addr.valid)
+    assert np.allclose(
+        np.asarray(rho_p)[ok], np.asarray(rho_g)[ok], rtol=3e-6
+    )
+
+
+def test_pallas_step_trajectory_matches_grid():
+    """Full dam-break trajectories, pallas vs grid step, stay locked."""
+    scene = small_scene(dim=2, seed=37)
+    state_g = init(scene)
+    state_p = init(scene)
+    adv_g = make_advance(scene, "grid", steps_per_dispatch=25)
+    adv_p = make_advance(scene, "pallas", steps_per_dispatch=25)
+    for k in range(3):  # 75 steps
+        state_g = adv_g(state_g)
+        state_p = adv_p(state_p)
+        xg, xp = np.asarray(state_g.x), np.asarray(state_p.x)
+        vg, vp = np.asarray(state_g.v), np.asarray(state_p.v)
+        ps = np.max(np.abs(xg)) + 1e-6
+        vs = np.max(np.abs(vg)) + 1e-3
+        assert np.max(np.abs(xg - xp)) / ps < 1e-4, f"dispatch {k}"
+        assert np.max(np.abs(vg - vp)) / vs < 1e-3, f"dispatch {k}"
+
+
+def test_row_compaction_cap():
+    """c_rows smaller than occupied rows: overflow reported, no NaNs."""
+    n, dim = 256, 2
+    x = random_cloud(n, dim, 0.0, 120.0, seed=38)[0].astype(np.float32)
+    v = np.zeros((n, dim), np.float32)
+    active = np.ones(n, bool)
+    p = SimParams(dim=dim, gravity=(0.0, 0.0), kernel_norm="proper")
+    scene = Scene(params=p, lo=(0.0, 0.0), hi=(120.0, 120.0))
+    grid = neighbors.GridSpec.for_scene(scene)
+    sg = pallas_step.slot_grid(grid, c_rows=2)
+    xa, aa = jnp.asarray(x), jnp.asarray(active)
+    _, row_over = pallas_step.slot_overflow(xa, aa, grid, sg)
+    assert int(row_over) > 0
+    rho, pp, f = pallas_step.pallas_rho_p_f(
+        xa, jnp.asarray(v), aa, p, grid, c_rows=2
+    )
+    assert np.all(np.isfinite(np.asarray(rho)))
+    assert np.all(np.isfinite(np.asarray(f)))
