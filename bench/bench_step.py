@@ -1,0 +1,114 @@
+"""Benchmark harness + regression guard (SURVEY.md §4.10, §5.1).
+
+Measures particle-steps/sec for every (config, method) pair that the current
+build supports, with the honest-timing rules this platform demands
+(BASELINE.md): >=100 steps per dispatch inside lax.scan, checksum fetched to
+force completion (async timings under-report ~1000x here).
+
+Usage:
+  python bench/bench_step.py                 # table of all configs
+  python bench/bench_step.py --profile DIR   # + XProf trace into DIR
+  python bench/bench_step.py --assert-floor  # regression mode (CI)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from sph_tpu.params import preset
+from sph_tpu.state import init
+from sph_tpu.step import make_advance, prime
+
+# trailing-edge floors (particle-steps/s) for regression mode; set from
+# measured round-1 numbers minus ~30% slack, updated as perf improves
+FLOORS = {
+    ("tutorial2d", "naive"): 2.0e6,
+    ("dam2d_10k", "grid"): 6.0e5,
+    ("dam2d_10k", "pallas"): 1.3e6,
+    ("dam3d_100k", "grid"): 1.8e5,
+}
+
+CONFIGS = [
+    ("tutorial2d", "naive"),
+    ("tutorial2d", "grid"),
+    ("tutorial2d", "pallas"),
+    ("dam2d_10k", "grid"),
+    ("dam2d_10k", "pallas"),
+    ("dam3d_100k", "grid"),
+    ("dam3d_100k", "pallas"),
+    ("splash3d_1m", "pallas"),
+]
+
+
+def checksum(state) -> float:
+    return float(jnp.sum(state.x, dtype=jnp.float32))
+
+
+def bench_one(name, method, steps, repeats=3):
+    scene = preset(name)
+    state = init(scene)
+    if scene.params.integrator == "leapfrog":
+        state = jax.jit(lambda s: prime(scene, s, method=method))(state)
+    adv = make_advance(scene, method, steps_per_dispatch=steps)
+    state = adv(state)        # compile + warm
+    checksum(state)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        state = adv(state)
+        checksum(state)
+        best = min(best, time.perf_counter() - t0)
+    n = int(state.n_active())
+    return n * steps / best, best / steps, n
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--profile", default=None,
+                    help="directory for a jax.profiler trace of each config")
+    ap.add_argument("--assert-floor", action="store_true")
+    ap.add_argument("--only", default=None, help="substring filter")
+    args = ap.parse_args()
+
+    failures = []
+    results = []
+    for name, method in CONFIGS:
+        tag = f"{name}/{method}"
+        if args.only and args.only not in tag:
+            continue
+        try:
+            if args.profile:
+                with jax.profiler.trace(f"{args.profile}/{name}_{method}"):
+                    ps, per_step, n = bench_one(name, method, args.steps)
+            else:
+                ps, per_step, n = bench_one(name, method, args.steps)
+        except Exception as e:  # noqa: BLE001
+            print(f"{tag:28s} UNAVAILABLE: {type(e).__name__}: {str(e)[:80]}")
+            continue
+        line = (
+            f"{tag:28s} n={n:8d}  {per_step*1e3:9.3f} ms/step  "
+            f"{ps:13.3e} psteps/s"
+        )
+        floor = FLOORS.get((name, method))
+        if floor and ps < floor:
+            line += f"  REGRESSION (< {floor:.2e})"
+            failures.append(tag)
+        print(line, flush=True)
+        results.append({"config": name, "method": method, "n": n,
+                        "particle_steps_per_s": ps, "s_per_step": per_step})
+    print(json.dumps(results))
+    if args.assert_floor and failures:
+        print(f"FAILED floors: {failures}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -104,5 +104,21 @@ def write_png(path: str, rgb: np.ndarray) -> None:
 def save_frame(
     state: State, scene: Scene, path: str, width=400, height=300, mode="density"
 ) -> None:
+    from sph_tpu import io_native
+
     field = np.asarray(render_splat(state, scene, width, height, mode))
-    write_png(path, colorize(field))
+    rgb = colorize(field)
+    if not io_native.write_png(path, rgb):   # native encoder, if built
+        write_png(path, rgb)                 # pure-Python fallback
+
+
+def save_apng(path: str, fields: list[np.ndarray], fps: float = 20.0) -> None:
+    """Encode a field sequence to an animated PNG (native encoder required;
+    falls back to writing per-frame PNGs next to `path`)."""
+    from sph_tpu import io_native
+
+    frames = np.stack([colorize(f) for f in fields])
+    if not io_native.write_apng(path, frames, fps=fps):
+        base, _ = path.rsplit(".", 1)
+        for i, frame in enumerate(frames):
+            write_png(f"{base}_{i:05d}.png", frame)

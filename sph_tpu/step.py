@@ -26,22 +26,29 @@ def _rho_p_f(x, v, active, movable, scene: Scene, method: str, grid=None):
     """Density → EOS → pairwise forces + gravity + wall penalty, one x eval."""
     params = scene.params
     if method == "naive":
-        rho = physics.density_naive(x, active, params)
-        p = physics.eos_pressure(rho, params)
-        f = physics.forces_naive(x, v, rho, p, active, params)
+        with jax.named_scope("sph_density"):
+            rho = physics.density_naive(x, active, params)
+            p = physics.eos_pressure(rho, params)
+        with jax.named_scope("sph_forces"):
+            f = physics.forces_naive(x, v, rho, p, active, params)
     elif method == "grid":
         from sph_tpu import neighbors
 
-        rho, p, f = neighbors.grid_rho_p_f(x, v, active, params, grid)
+        with jax.named_scope("sph_grid"):
+            rho, p, f = neighbors.grid_rho_p_f(x, v, active, params, grid)
     elif method == "pallas":
         from sph_tpu import pallas_step
 
-        rho, p, f = pallas_step.pallas_rho_p_f(x, v, active, params, grid)
+        with jax.named_scope("sph_pallas"):
+            rho, p, f = pallas_step.pallas_rho_p_f(x, v, active, params, grid)
     else:
         raise ValueError(f"unknown neighbor method {method!r}")
-    f = f + physics.gravity_force(rho, params)
-    if params.boundary_mode == "penalty":
-        f = f + physics.wall_penalty_force(x, v, scene.lo, scene.hi, params)
+    with jax.named_scope("sph_body_forces"):
+        f = f + physics.gravity_force(rho, params)
+        if params.boundary_mode == "penalty":
+            f = f + physics.wall_penalty_force(
+                x, v, scene.lo, scene.hi, params
+            )
     return rho, p, f
 
 
