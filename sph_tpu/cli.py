@@ -90,6 +90,38 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_record(args) -> int:
+    """Live render loop streamed from device → one animated PNG (the
+    headless form of BASELINE config 5)."""
+    import numpy as np
+
+    scene = preset(args.preset)
+    state = init(scene)
+    if scene.params.integrator == "leapfrog":
+        state = jax.jit(lambda s: prime(scene, s, method=args.method))(state)
+    adv = make_advance(scene, args.method, args.steps_per_frame)
+    render_fn = jax.jit(
+        lambda s: render.render_splat(
+            s, scene, args.width, args.height, args.mode
+        )
+    )
+    fields = []
+    pending = None  # overlap: fetch frame k while stepping k+1
+    t0 = time.time()
+    for frame in range(args.frames):
+        state = adv(state)
+        fut = render_fn(state)
+        if pending is not None:
+            fields.append(np.asarray(pending))
+        pending = fut
+        if not args.quiet:
+            print(f"frame {frame} ({time.time()-t0:.1f}s)", flush=True)
+    fields.append(np.asarray(pending))
+    render.save_apng(args.out, fields, fps=args.fps)
+    print(f"wrote {args.out} ({len(fields)} frames)")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="sph-tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -110,6 +142,21 @@ def main(argv=None) -> int:
     runp.add_argument("--resume", default=None)
     runp.add_argument("--quiet", action="store_true")
     runp.set_defaults(fn=cmd_run)
+
+    recp = sub.add_parser("record", help="record an animated PNG")
+    recp.add_argument("preset", choices=preset_names())
+    recp.add_argument("--method", default="grid",
+                      choices=["naive", "grid", "pallas"])
+    recp.add_argument("--frames", type=int, default=100)
+    recp.add_argument("--steps-per-frame", type=int, default=50)
+    recp.add_argument("--out", default="out.apng")
+    recp.add_argument("--mode", default="density",
+                      choices=["density", "rho", "speed"])
+    recp.add_argument("--width", type=int, default=400)
+    recp.add_argument("--height", type=int, default=300)
+    recp.add_argument("--fps", type=float, default=20.0)
+    recp.add_argument("--quiet", action="store_true")
+    recp.set_defaults(fn=cmd_record)
 
     listp = sub.add_parser("presets", help="list presets")
     listp.set_defaults(fn=lambda a: (print("\n".join(preset_names())), 0)[1])

@@ -206,17 +206,28 @@ def build_addr(x, active, grid: GridSpec, sg: SlotGrid) -> SlotAddr:
     )
 
     row_occ = jnp.sum(counts[:, :, 0, :], axis=-1).reshape(-1) > 0  # [H0*H1]
-    # occupied row codes, ascending; pad with 0 = (0,0) halo row (empty)
+    n_occ = jnp.minimum(jnp.sum(row_occ.astype(jnp.int32)), sg.c_rows)[None]
     row_codes = jnp.nonzero(row_occ, size=sg.c_rows, fill_value=0)[0].astype(
         jnp.int32
     )
-    n_occ = jnp.minimum(jnp.sum(row_occ.astype(jnp.int32)), sg.c_rows)[None]
+    # Excess/pad programs must decode to a row whose ±1 neighborhood is
+    # in-bounds: row (1, 1).  Fill code 0 = row (0, 0) would send the dy/dz
+    # = -1 index maps to NEGATIVE block indices -> out-of-bounds DMA
+    # (a real device fault on TPU, found the hard way).
+    safe_code = jnp.int32(sg.h1 + 1)
+    in_range = jnp.arange(sg.c_rows, dtype=jnp.int32) < n_occ[0]
+    row_codes = jnp.where(in_range, row_codes, safe_code)
     row_inv = jnp.full((sg.h0 * sg.h1,), sg.c_rows, jnp.int32)
     row_inv = row_inv.at[row_codes].set(
         jnp.arange(sg.c_rows, dtype=jnp.int32)
     )
-    # pad entries wrote garbage into row_inv[0]; row (0,0) is a halo row (no
-    # particle can live there), so that is harmless.
+    # pad entries clobbered row_inv[safe_code]; restore its true occupied
+    # position (first matching code), or c_rows if row (1,1) is empty
+    is_true = (row_codes == safe_code) & in_range
+    true_pos = jnp.argmax(is_true).astype(jnp.int32)
+    row_inv = row_inv.at[safe_code].set(
+        jnp.where(jnp.any(is_true), true_pos, sg.c_rows)
+    )
     row_pos = row_inv[h0 * sg.h1 + h1]
     return SlotAddr(
         s0=s0,

@@ -88,6 +88,36 @@ def test_render_3d_projection():
     assert field.sum() == int(state.n_active())
 
 
+def test_cli_record_smoke(tmp_path):
+    from sph_tpu import cli
+
+    out = str(tmp_path / "movie.apng")
+    rc = cli.main(
+        [
+            "record",
+            "tutorial2d",
+            "--method",
+            "naive",
+            "--frames",
+            "3",
+            "--steps-per-frame",
+            "5",
+            "--out",
+            out,
+            "--width",
+            "120",
+            "--height",
+            "90",
+            "--quiet",
+        ]
+    )
+    assert rc == 0
+    # native encoder present -> single APNG; else per-frame PNG fallback
+    import glob
+
+    assert os.path.exists(out) or glob.glob(str(tmp_path / "movie_*.png"))
+
+
 def test_cli_run_smoke(tmp_path):
     from sph_tpu import cli
 
