@@ -1,0 +1,112 @@
+"""Per-phase timing of the Pallas step (SURVEY.md §5.1, M6 groundwork).
+
+Times each phase of pallas_rho_p_f in isolation with loop-carried data
+dependence (XLA hoists loop-invariant computation out of fori_loop, so naive
+repeat-timing lies — measured on this machine).
+
+Usage: python bench/bench_phases.py [config] [iters]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from sph_tpu import neighbors, pallas_step
+from sph_tpu.params import preset
+from sph_tpu.state import init
+
+
+def timeit(name, fn, x0, iters=20):
+    """Time fn(x)->array with a loop-carried perturbation of x."""
+
+    def body(i, xc):
+        s = jnp.sum(fn(xc).astype(jnp.float32))
+        return xc + 1e-30 * s
+
+    f = jax.jit(lambda xin: jnp.sum(jax.lax.fori_loop(0, iters, body, xin)))
+    float(f(x0))  # compile + warm
+    t0 = time.perf_counter()
+    float(f(x0))
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{name:32s} {dt*1e3:9.3f} ms", flush=True)
+    return dt
+
+
+def main():
+    name = sys.argv[1] if len(sys.argv) > 1 else "dam2d_10k"
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    scene = preset(name)
+    grid = neighbors.GridSpec.for_scene(scene)
+    sg = pallas_step.slot_grid(grid)
+    state = init(scene)
+    x, v, act = state.x, state.v, state.active
+    params = scene.params
+    n = state.capacity
+    print(
+        f"{name}: n={n} grid={grid.shape} cap={grid.cap} "
+        f"lanes={sg.lanes} c_rows={sg.c_rows}"
+    )
+
+    timeit("noop (loop overhead)", lambda xc: xc[0], x)
+    timeit(
+        "build_addr (sort+compact)",
+        lambda xc: pallas_step.build_addr(xc, act, grid, sg).pos.astype(
+            jnp.float32
+        ),
+        x,
+    )
+    addr = pallas_step.build_addr(x, act, grid, sg)
+    zeros = jnp.zeros((n,), x.dtype)
+
+    def scatter(xc):
+        f, ft = pallas_step.scatter_slots(
+            addr, pallas_step._pack_rows(xc, v, zeros, zeros), sg
+        )
+        return f[0, 0]
+
+    timeit("scatter_slots (both layouts)", scatter, x)
+    feat, feat_t = pallas_step.scatter_slots(
+        addr, pallas_step._pack_rows(x, v, zeros, zeros), sg
+    )
+
+    def dens(xc):
+        f2 = feat.at[0, 0, 0, 0].add(xc[0, 0] * 1e-30)
+        return pallas_step._call(
+            pallas_step._density_kernel, f2, feat_t, addr, sg, params, 1
+        )[..., 0]
+
+    timeit("density kernel", dens, x)
+
+    def force(xc):
+        f2 = feat.at[0, 0, 0, 0].add(xc[0, 0] * 1e-30)
+        return pallas_step._call(
+            pallas_step._force_kernel, f2, feat_t, addr, sg, params, 4
+        )[..., 0]
+
+    timeit("force kernel", force, x)
+
+    rho_slot = pallas_step._call(
+        pallas_step._density_kernel, feat, feat_t, addr, sg, params, 1
+    )
+    safe_row = jnp.minimum(addr.row_pos, sg.c_rows - 1)
+
+    def gather(xc):
+        r = rho_slot.at[0, 0, 0].add(xc[0, 0] * 1e-30)
+        return r[safe_row, addr.pos, 0]
+
+    timeit("per-particle result gather", gather, x)
+
+    timeit(
+        "FULL pallas_rho_p_f",
+        lambda xc: pallas_step.pallas_rho_p_f(xc, v, act, params, grid)[2],
+        x,
+        iters=max(5, iters // 2),
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -28,7 +28,7 @@ from sph_tpu.step import make_advance, prime
 # trailing-edge floors (particle-steps/s) for regression mode; set from
 # measured round-1 numbers minus ~30% slack, updated as perf improves
 FLOORS = {
-    ("tutorial2d", "naive"): 2.0e6,
+    ("tutorial2d", "naive"): 1.0e6,
     ("dam2d_10k", "grid"): 6.0e5,
     ("dam2d_10k", "pallas"): 1.3e6,
     ("dam3d_100k", "grid"): 1.8e5,

@@ -17,13 +17,21 @@ import time
 import jax
 
 from sph_tpu import diagnostics, render
-from sph_tpu.params import preset, preset_names
+from sph_tpu.params import calibrate, preset, preset_names, scene_from_json
 from sph_tpu.state import init
 from sph_tpu.step import make_advance, prime
 
 
+def _load_scene(name_or_path: str):
+    """A preset name, or a path to a Scene .json (mass-calibrated)."""
+    if name_or_path.endswith(".json"):
+        with open(name_or_path) as fh:
+            return calibrate(scene_from_json(fh.read()))
+    return preset(name_or_path)
+
+
 def cmd_run(args) -> int:
-    scene = preset(args.preset)
+    scene = _load_scene(args.preset)
     if args.resume:
         state, scene = diagnostics.load_checkpoint(args.resume)
     else:
@@ -95,7 +103,7 @@ def cmd_record(args) -> int:
     headless form of BASELINE config 5)."""
     import numpy as np
 
-    scene = preset(args.preset)
+    scene = _load_scene(args.preset)
     state = init(scene)
     if scene.params.integrator == "leapfrog":
         state = jax.jit(lambda s: prime(scene, s, method=args.method))(state)
@@ -127,7 +135,8 @@ def main(argv=None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     runp = sub.add_parser("run", help="run a preset scene")
-    runp.add_argument("preset", choices=preset_names())
+    runp.add_argument("preset",
+                      help=f"preset name {preset_names()} or a scene .json")
     runp.add_argument("--method", default="grid",
                       choices=["naive", "grid", "pallas"])
     runp.add_argument("--frames", type=int, default=60)
@@ -144,7 +153,8 @@ def main(argv=None) -> int:
     runp.set_defaults(fn=cmd_run)
 
     recp = sub.add_parser("record", help="record an animated PNG")
-    recp.add_argument("preset", choices=preset_names())
+    recp.add_argument("preset",
+                      help=f"preset name {preset_names()} or a scene .json")
     recp.add_argument("--method", default="grid",
                       choices=["naive", "grid", "pallas"])
     recp.add_argument("--frames", type=int, default=100)

@@ -115,17 +115,19 @@ def save_checkpoint(path: str, state: State, scene: Scene) -> None:
         f.name: np.asarray(getattr(state, f.name))
         for f in dataclasses.fields(state)
     }
+    from sph_tpu.params import scene_to_json
+
     arrays["__scene_json__"] = np.frombuffer(
-        json.dumps(_scene_to_dict(scene)).encode(), dtype=np.uint8
+        scene_to_json(scene).encode(), dtype=np.uint8
     )
     np.savez_compressed(path, **arrays)
 
 
 def load_checkpoint(path: str) -> tuple[State, Scene]:
+    from sph_tpu.params import scene_from_json
+
     with np.load(path) as z:
-        scene = _scene_from_dict(
-            json.loads(bytes(z["__scene_json__"]).decode())
-        )
+        scene = scene_from_json(bytes(z["__scene_json__"]).decode())
         kw = {
             f.name: jnp.asarray(z[f.name])
             for f in dataclasses.fields(State)
@@ -133,46 +135,27 @@ def load_checkpoint(path: str) -> tuple[State, Scene]:
     return State(**kw), scene
 
 
-def _scene_to_dict(scene: Scene) -> dict:
-    d = dataclasses.asdict(scene)
-    return d
-
-
-def _scene_from_dict(d: dict) -> Scene:
-    from sph_tpu.params import Block, Emitter
-
-    params = SimParams(**{**d["params"], "gravity": tuple(d["params"]["gravity"])})
-    blocks = tuple(
-        Block(
-            lo=tuple(b["lo"]),
-            hi=tuple(b["hi"]),
-            velocity=tuple(b["velocity"]) if b["velocity"] else None,
-            kind=b["kind"],
-        )
-        for b in d["blocks"]
-    )
-    emitters = tuple(
-        Emitter(
-            pos=tuple(e["pos"]),
-            velocity=tuple(e["velocity"]),
-            width=e["width"],
-            start_step=e["start_step"],
-            stop_step=e["stop_step"],
-            jitter=e["jitter"],
-        )
-        for e in d["emitters"]
-    )
-    return Scene(
-        params=params,
-        lo=tuple(d["lo"]),
-        hi=tuple(d["hi"]),
-        blocks=blocks,
-        emitters=emitters,
-        capacity=d["capacity"],
-        spacing=d["spacing"],
-        jitter=d["jitter"],
-        seed=d["seed"],
-    )
+def validate_state(state: State, scene: Scene, slack: float = 4.0) -> list[str]:
+    """Host-side sanity sweep (SURVEY.md §5.2 — the functional-core analog
+    of sanitizers): returns a list of problems (empty = healthy)."""
+    problems = []
+    act = np.asarray(state.active)
+    x = np.asarray(state.x)[act]
+    v = np.asarray(state.v)[act]
+    rho = np.asarray(state.rho)[act]
+    if not np.all(np.isfinite(x)):
+        problems.append("non-finite positions")
+    if not np.all(np.isfinite(v)):
+        problems.append("non-finite velocities")
+    if not np.all(np.isfinite(rho)):
+        problems.append("non-finite densities")
+    lo = np.asarray(scene.lo) - slack * scene.params.h
+    hi = np.asarray(scene.hi) + slack * scene.params.h
+    if len(x) and (np.any(x < lo[None, :]) or np.any(x > hi[None, :])):
+        problems.append("active particles far outside the domain")
+    if len(rho) and np.max(rho) > 100.0 * scene.params.rest_density:
+        problems.append(f"density blow-up (max {np.max(rho):.3g})")
+    return problems
 
 
 def inject_nan(state: State, k: int = 4) -> State:

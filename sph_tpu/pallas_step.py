@@ -210,11 +210,12 @@ def build_addr(x, active, grid: GridSpec, sg: SlotGrid) -> SlotAddr:
     row_codes = jnp.nonzero(row_occ, size=sg.c_rows, fill_value=0)[0].astype(
         jnp.int32
     )
-    # Excess/pad programs must decode to a row whose ±1 neighborhood is
-    # in-bounds: row (1, 1).  Fill code 0 = row (0, 0) would send the dy/dz
-    # = -1 index maps to NEGATIVE block indices -> out-of-bounds DMA
-    # (a real device fault on TPU, found the hard way).
-    safe_code = jnp.int32(sg.h1 + 1)
+    # Excess/pad programs must decode to a row whose whole offset stencil is
+    # in-bounds: (1, 1) in 3D, (0, 1) in 2D (no z axis, dz always 0).  Fill
+    # code 0 = row (0, 0) would send the dy/dz = -1 index maps to NEGATIVE
+    # block indices -> out-of-bounds DMA (a real device fault on TPU,
+    # found the hard way).
+    safe_code = jnp.int32(sg.h1 + 1 if sg.dim == 3 else 1)
     in_range = jnp.arange(sg.c_rows, dtype=jnp.int32) < n_occ[0]
     row_codes = jnp.where(in_range, row_codes, safe_code)
     row_inv = jnp.full((sg.h0 * sg.h1,), sg.c_rows, jnp.int32)

@@ -129,6 +129,47 @@ class Scene:
         return self.params.dim
 
 
+def scene_to_json(scene: Scene) -> str:
+    """Full Scene → JSON (SURVEY.md §5.6: JSON-loadable configs)."""
+    return json.dumps(dataclasses.asdict(scene), indent=2)
+
+
+def scene_from_json(s: str) -> Scene:
+    d = json.loads(s)
+    params = SimParams(**{**d["params"], "gravity": tuple(d["params"]["gravity"])})
+    blocks = tuple(
+        Block(
+            lo=tuple(b["lo"]),
+            hi=tuple(b["hi"]),
+            velocity=tuple(b["velocity"]) if b["velocity"] else None,
+            kind=b["kind"],
+        )
+        for b in d["blocks"]
+    )
+    emitters = tuple(
+        Emitter(
+            pos=tuple(e["pos"]),
+            velocity=tuple(e["velocity"]),
+            width=e["width"],
+            start_step=e["start_step"],
+            stop_step=e["stop_step"],
+            jitter=e["jitter"],
+        )
+        for e in d["emitters"]
+    )
+    return Scene(
+        params=params,
+        lo=tuple(d["lo"]),
+        hi=tuple(d["hi"]),
+        blocks=blocks,
+        emitters=emitters,
+        capacity=d["capacity"],
+        spacing=d["spacing"],
+        jitter=d["jitter"],
+        seed=d["seed"],
+    )
+
+
 def calibrate(scene: Scene) -> Scene:
     """Set particle mass so the seeded lattice density equals rest density.
 
