@@ -20,17 +20,23 @@ from sph_tpu.params import preset
 from sph_tpu.state import init
 
 
-def timeit(name, fn, x0, iters=20):
-    """Time fn(x)->array with a loop-carried perturbation of x."""
+def timeit(name, fn, x0, *args, iters=20):
+    """Time fn(x, *args)->array with a loop-carried perturbation of x.
 
-    def body(i, xc):
-        s = jnp.sum(fn(xc).astype(jnp.float32))
-        return xc + 1e-30 * s
+    Extra arrays MUST be passed via *args (not closures): closed-over
+    concrete arrays are serialized into the remote-compile request on this
+    platform and blow its size limit (HTTP 413)."""
 
-    f = jax.jit(lambda xin: jnp.sum(jax.lax.fori_loop(0, iters, body, xin)))
-    float(f(x0))  # compile + warm
+    def run(xin, *a):
+        def body2(i, xc):
+            s = jnp.sum(fn(xc, *a).astype(jnp.float32))
+            return xc + 1e-30 * s
+        return jnp.sum(jax.lax.fori_loop(0, iters, body2, xin))
+
+    f = jax.jit(run)
+    float(f(x0, *args))  # compile + warm
     t0 = time.perf_counter()
-    float(f(x0))
+    float(f(x0, *args))
     dt = (time.perf_counter() - t0) / iters
     print(f"{name:32s} {dt*1e3:9.3f} ms", flush=True)
     return dt
@@ -62,43 +68,47 @@ def main():
     addr = pallas_step.build_addr(x, act, grid, sg)
     zeros = jnp.zeros((n,), x.dtype)
 
-    def scatter(xc):
+    def scatter(xc, vv):
         f, ft = pallas_step.scatter_slots(
-            addr, pallas_step._pack_rows(xc, v, zeros, zeros), sg
+            addr, pallas_step._pack_rows(xc, vv, zeros, zeros), sg
         )
         return f[0, 0]
 
-    timeit("scatter_slots (both layouts)", scatter, x)
-    feat, feat_t = pallas_step.scatter_slots(
-        addr, pallas_step._pack_rows(x, v, zeros, zeros), sg
-    )
+    timeit("scatter_slots (both layouts)", scatter, x, v)
+    feat, feat_t = jax.jit(
+        lambda xx, vv: pallas_step.scatter_slots(
+            addr, pallas_step._pack_rows(xx, vv, zeros, zeros), sg
+        )
+    )(x, v)
 
-    def dens(xc):
-        f2 = feat.at[0, 0, 0, 0].add(xc[0, 0] * 1e-30)
+    def dens(xc, ft_, f_):
+        f2 = f_.at[0, 0, 0, 0].add(xc[0, 0] * 1e-30)
         return pallas_step._call(
-            pallas_step._density_kernel, f2, feat_t, addr, sg, params, 1
+            pallas_step._density_kernel, f2, ft_, addr, sg, params, 1
         )[..., 0]
 
-    timeit("density kernel", dens, x)
+    timeit("density kernel", dens, x, feat_t, feat)
 
-    def force(xc):
-        f2 = feat.at[0, 0, 0, 0].add(xc[0, 0] * 1e-30)
+    def force(xc, ft_, f_):
+        f2 = f_.at[0, 0, 0, 0].add(xc[0, 0] * 1e-30)
         return pallas_step._call(
-            pallas_step._force_kernel, f2, feat_t, addr, sg, params, 4
+            pallas_step._force_kernel, f2, ft_, addr, sg, params, 4
         )[..., 0]
 
-    timeit("force kernel", force, x)
+    timeit("force kernel", force, x, feat_t, feat)
 
-    rho_slot = pallas_step._call(
-        pallas_step._density_kernel, feat, feat_t, addr, sg, params, 1
-    )
+    rho_slot = jax.jit(
+        lambda f_, ft_: pallas_step._call(
+            pallas_step._density_kernel, f_, ft_, addr, sg, params, 1
+        )
+    )(feat, feat_t)
     safe_row = jnp.minimum(addr.row_pos, sg.c_rows - 1)
 
-    def gather(xc):
-        r = rho_slot.at[0, 0, 0].add(xc[0, 0] * 1e-30)
+    def gather(xc, rs):
+        r = rs.at[0, 0, 0].add(xc[0, 0] * 1e-30)
         return r[safe_row, addr.pos, 0]
 
-    timeit("per-particle result gather", gather, x)
+    timeit("per-particle result gather", gather, x, rho_slot)
 
     timeit(
         "FULL pallas_rho_p_f",

@@ -245,9 +245,15 @@ def build_addr(x, active, grid: GridSpec, sg: SlotGrid) -> SlotAddr:
 
 
 def scatter_slots(addr: SlotAddr, rows, sg: SlotGrid):
-    """Scatter packed [N, 8] rows → (feat [H0,H1,8,L], featT [H0,H1,L,8])."""
+    """Scatter packed [N, 8] rows → (feat [H0,H1,8,L], featT [H0,H1,L,8]).
+
+    The far-dummy init column goes through an optimization_barrier: without
+    it XLA constant-folds the broadcast into a slot-grid-sized literal,
+    which blows up the (remote) compile at large grids."""
     dtype = rows.dtype
-    init_col = jnp.array([1e18, 1e18, 1e18, 0, 0, 0, 0, 0], dtype)
+    init_col = jax.lax.optimization_barrier(
+        jnp.array([1e18, 1e18, 1e18, 0, 0, 0, 0, 0], dtype)
+    )
     feat = jnp.broadcast_to(
         init_col[None, None, :, None], (sg.h0, sg.h1, FEAT, sg.lanes)
     )
@@ -256,6 +262,16 @@ def scatter_slots(addr: SlotAddr, rows, sg: SlotGrid):
         init_col[None, None, None, :], (sg.h0, sg.h1, sg.lanes, FEAT)
     )
     feat_t = feat_t.at[addr.s0, addr.h1, addr.pos, :].set(rows, mode="drop")
+    return feat, feat_t
+
+
+def update_slots_rho_p(feat, feat_t, addr: SlotAddr, rho, p, sg: SlotGrid):
+    """Write only the rho/p columns into existing slot grids (the force
+    pass reuses the pass-1 position/velocity scatters; empty slots keep
+    rho = p = 0, which the kernels tolerate by construction)."""
+    rp = jnp.stack([rho, p], axis=1)
+    feat = feat.at[addr.s0, addr.h1, 6:8, addr.pos].set(rp, mode="drop")
+    feat_t = feat_t.at[addr.s0, addr.h1, addr.pos, 6:8].set(rp, mode="drop")
     return feat, feat_t
 
 
@@ -490,7 +506,7 @@ def pallas_rho_p_f(
     rho = jnp.where(ok, rho, params.rest_density)
     p = physics.eos_pressure(rho, params)
 
-    feat, feat_t = scatter_slots(addr, _pack_rows(x, v, rho, p), sg)
+    feat, feat_t = update_slots_rho_p(feat, feat_t, addr, rho, p, sg)
     f_slot = _call(
         _force_kernel, feat, feat_t, addr, sg, params, out_cols=FOUT
     )  # [c_rows, lanes, FOUT]
