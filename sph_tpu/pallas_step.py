@@ -265,13 +265,15 @@ def scatter_slots(addr: SlotAddr, rows, sg: SlotGrid):
     return feat, feat_t
 
 
-def update_slots_rho_p(feat, feat_t, addr: SlotAddr, rho, p, sg: SlotGrid):
-    """Write only the rho/p columns into existing slot grids (the force
-    pass reuses the pass-1 position/velocity scatters; empty slots keep
-    rho = p = 0, which the kernels tolerate by construction)."""
-    rp = jnp.stack([rho, p], axis=1)
-    feat = feat.at[addr.s0, addr.h1, 6:8, addr.pos].set(rp, mode="drop")
-    feat_t = feat_t.at[addr.s0, addr.h1, addr.pos, 6:8].set(rp, mode="drop")
+def update_slots_rho_p(feat, feat_t, addr: SlotAddr, rows, sg: SlotGrid):
+    """Re-scatter full packed rows (now with rho/p filled) onto the EXISTING
+    slot grids — same positions, so x/v are overwritten with themselves and
+    rho/p get their values.  Uses the same full-row scatter pattern as
+    scatter_slots (a column-sliced scatter like at[.., 6:8, pos] lowers to a
+    catastrophic per-element loop on TPU — measured 16× step regression),
+    while still skipping the ~350 MB slot-grid re-initialization."""
+    feat = feat.at[addr.s0, addr.h1, :, addr.pos].set(rows, mode="drop")
+    feat_t = feat_t.at[addr.s0, addr.h1, addr.pos, :].set(rows, mode="drop")
     return feat, feat_t
 
 
@@ -501,15 +503,21 @@ def pallas_rho_p_f(
         _density_kernel, feat, feat_t, addr, sg, params, out_cols=1
     )  # [c_rows, lanes, 1]
     ok = addr.valid & (addr.row_pos < sg.c_rows)
-    safe_row = jnp.minimum(addr.row_pos, sg.c_rows - 1)
-    rho = rho_slot[safe_row, addr.pos, 0]
+    # single flat index vector: multi-coordinate advanced indexing lowers to
+    # a much slower gather on TPU than one flattened row gather
+    flat_idx = (
+        jnp.minimum(addr.row_pos, sg.c_rows - 1) * sg.lanes + addr.pos
+    )
+    rho = rho_slot.reshape(-1)[flat_idx]
     rho = jnp.where(ok, rho, params.rest_density)
     p = physics.eos_pressure(rho, params)
 
-    feat, feat_t = update_slots_rho_p(feat, feat_t, addr, rho, p, sg)
+    feat, feat_t = update_slots_rho_p(
+        feat, feat_t, addr, _pack_rows(x, v, rho, p), sg
+    )
     f_slot = _call(
         _force_kernel, feat, feat_t, addr, sg, params, out_cols=FOUT
     )  # [c_rows, lanes, FOUT]
-    f = f_slot[safe_row, addr.pos, :d]
+    f = f_slot.reshape(-1, FOUT)[flat_idx, :d]
     f = jnp.where(ok[:, None], f, 0.0)
     return rho, p, f

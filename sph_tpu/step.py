@@ -52,15 +52,17 @@ def _rho_p_f(x, v, active, movable, scene: Scene, method: str, grid=None):
     return rho, p, f
 
 
-def make_step(scene: Scene, method: str = "naive") -> Callable[[State], State]:
+def make_step(
+    scene: Scene, method: str = "naive", grid=None
+) -> Callable[[State], State]:
     """Build the pure step function for `scene` (closes over all statics).
 
     method: "naive" (O(N²), C9) | "grid" (cell-hash, C10) | "pallas" (C11).
+    `grid` overrides the default GridSpec (cap/chunk tuning).
     """
     params = scene.params
     dt = params.dt
-    grid = None
-    if method in ("grid", "pallas"):
+    if grid is None and method in ("grid", "pallas"):
         from sph_tpu import neighbors
 
         grid = neighbors.GridSpec.for_scene(scene)
@@ -138,10 +140,11 @@ def prime(scene: Scene, state: State, method: str = "naive") -> State:
 
 
 def make_advance(
-    scene: Scene, method: str = "naive", steps_per_dispatch: int = 100
+    scene: Scene, method: str = "naive", steps_per_dispatch: int = 100,
+    grid=None,
 ):
     """jitted `advance(state) -> state` running S steps in one `lax.scan`."""
-    step = make_step(scene, method)
+    step = make_step(scene, method, grid=grid)
 
     @jax.jit
     def advance(state: State) -> State:

@@ -78,6 +78,47 @@ def test_dam_break_stays_bounded():
     assert np.max(np.abs(v)) < 500.0
 
 
+def test_hydrostatic_stratification():
+    """A pool under gravity stratifies: density increases with depth, with
+    the EOS-consistent order of magnitude (SURVEY.md §4.6).
+
+    Bounds are deliberately loose: the Müller-family ideal-gas formulation
+    (which the reference uses) never fully settles — its tensile/pairing
+    instability keeps median speeds at tens of px/s — so only the
+    qualitative stratification and a coarse slope band are robust."""
+    p = SimParams(
+        gravity=(0.0, -200.0),
+        dt=3e-4,
+        viscosity=500.0,
+        boundary_damping=-0.1,
+        pressure_floor=True,
+    )
+    scene = calibrate(
+        Scene(
+            params=p,
+            lo=(0.0, 0.0),
+            hi=(220.0, 500.0),
+            blocks=(Block(lo=(20.0, 20.0), hi=(200.0, 240.0)),),
+            seed=6,
+        )
+    )
+    state = init(scene)
+    adv = make_advance(scene, "grid", steps_per_dispatch=1000)
+    for _ in range(12):
+        state = adv(state)
+    act = np.asarray(state.active)
+    y = np.asarray(state.x)[act][:, 1]
+    rho = np.asarray(state.rho)[act]
+    h = scene.params.h
+    sel = (y > y.min() + 2 * h) & (y < y.max() - 2 * h)
+    y, rho = y[sel], rho[sel]
+    corr = np.corrcoef(y, rho)[0, 1]
+    assert corr < -0.3, f"no hydrostatic stratification (corr={corr:.2f})"
+    slope = np.polyfit(y, rho, 1)[0]
+    expected_slope = -rho.mean() * 200.0 / scene.params.stiffness
+    assert 0.5 < slope / expected_slope < 8.0, (slope, expected_slope)
+
+
 def test_mass_conserved():
     scene = small_scene(dim=2)
     state = init(scene)
