@@ -88,6 +88,8 @@ class GridSpec:
             max(1, int(math.ceil((h - l) / cell))) for l, h in zip(lo, hi)
         )
         if cap is None:
+            cap = scene.grid_cap or None
+        if cap is None:
             # rest occupancy (cell/spacing)^dim, ×2.5 compression headroom
             cap = _round_up(int(math.ceil((cell / spacing) ** p.dim * 2.5)), 8)
         return GridSpec(lo=lo, cell=cell, shape=shape, cap=cap, chunk=chunk)

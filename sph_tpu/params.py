@@ -120,6 +120,8 @@ class Scene:
     spacing: float = 0.0     # 0 => h (lattice pitch)
     jitter: float = 0.01     # lattice jitter fraction of spacing
     seed: int = 0
+    grid_cap: int = 0        # per-cell tile capacity (0 => auto; must | 128
+                             # for the pallas path; see bench/bench_sweep.py)
 
     def replace(self, **kw) -> "Scene":
         return dataclasses.replace(self, **kw)
@@ -167,6 +169,7 @@ def scene_from_json(s: str) -> Scene:
         spacing=d["spacing"],
         jitter=d["jitter"],
         seed=d["seed"],
+        grid_cap=d.get("grid_cap", 0),
     )
 
 
@@ -240,7 +243,13 @@ def _dam_break_3d(n_target: int) -> Scene:
     ny = max(2, (n_target + nx * nx - 1) // (nx * nx))
     w = nx * spacing
     lo = (p.wall_eps + spacing,) * 3
-    hi_box = (max(800.0, w * 3), max(600.0, ny * spacing * 1.5), max(800.0, w * 3))
+    # domain 2x the column width (room to collapse without paying for a
+    # mostly-empty cell grid; slot-array memory scales with domain cells)
+    hi_box = (
+        max(800.0, w * 2),
+        max(600.0, ny * spacing * 1.5),
+        max(800.0, w * 2),
+    )
     return Scene(
         params=p,
         lo=(0.0, 0.0, 0.0),
