@@ -11,19 +11,35 @@ active masks, fixed-size cell tiles), one fused jitted step, `lax.scan` over
 steps so the host is touched once per frame, not once per step.
 """
 
-from sph_tpu.params import SimParams, Scene, Block, Emitter, preset
+from sph_tpu.params import (
+    Block,
+    Emitter,
+    Scene,
+    SimParams,
+    calibrate,
+    preset,
+    preset_names,
+    scene_from_json,
+    scene_to_json,
+)
 from sph_tpu.state import State, init
-from sph_tpu.step import make_step, run
+from sph_tpu.step import make_advance, make_step, prime, run
 
 __all__ = [
     "SimParams",
     "Scene",
     "Block",
     "Emitter",
+    "calibrate",
     "preset",
+    "preset_names",
+    "scene_from_json",
+    "scene_to_json",
     "State",
     "init",
     "make_step",
+    "make_advance",
+    "prime",
     "run",
 ]
 

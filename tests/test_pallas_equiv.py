@@ -99,6 +99,33 @@ def test_pallas_step_trajectory_matches_grid():
         assert np.max(np.abs(vg - vp)) / vs < 1e-3, f"dispatch {k}"
 
 
+def test_pallas_3d_wcsph_leapfrog_trajectory():
+    """BASELINE config-3 physics (3D, Tait, leapfrog, penalty walls):
+    pallas vs grid trajectories stay locked."""
+    from sph_tpu.step import prime
+
+    scene = small_scene(
+        dim=3,
+        eos="tait",
+        integrator="leapfrog",
+        boundary_mode="penalty",
+        dt=4e-4,
+        seed=39,
+    )
+    sg = init(scene)
+    sg = prime(scene, sg, method="grid")
+    sp = init(scene)
+    sp = prime(scene, sp, method="pallas")
+    adv_g = make_advance(scene, "grid", steps_per_dispatch=20)
+    adv_p = make_advance(scene, "pallas", steps_per_dispatch=20)
+    for k in range(2):
+        sg = adv_g(sg)
+        sp = adv_p(sp)
+        xg, xp = np.asarray(sg.x), np.asarray(sp.x)
+        ps = np.max(np.abs(xg)) + 1e-6
+        assert np.max(np.abs(xg - xp)) / ps < 1e-4, f"dispatch {k}"
+
+
 def test_row_compaction_cap():
     """c_rows smaller than occupied rows: overflow reported, no NaNs."""
     n, dim = 256, 2
