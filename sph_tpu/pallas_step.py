@@ -16,13 +16,14 @@ Structure:
 
   1. XLA side: one scatter packs per-particle features  [x | v | rho | p]
      into a *haloed* slot grid, feature axis on sublanes, (x-cell · cap) on
-     lanes: feat[H0, H1, F, H2·cap].  A second scatter builds the transposed
-     self view featT[H0, H1, H2·cap, F] so i-particles live on sublanes
-     without in-kernel transposes.  The x halo is XC cells on each side
-     (one full lane group), the y/z halos one row; halo cells are
-     guaranteed empty and hold far-away dummy positions, so every candidate
-     window is in-bounds and wrap-free with NO masks — W(r) = 0 annihilates
-     dummy contributions (kernels.py is branchless).
+     lanes: feat[H0, H1, F, H2·cap].  (i-particles are transposed onto
+     sublanes *inside* the kernel, [8, 128] → [128, 8] per lane group — a
+     transposed HBM copy would pad its 8-lane minor dim 16×, 10+ GB at 1M.)
+     The x halo is XC cells on each side (one full lane group), the y/z
+     halos one row; halo cells are guaranteed empty and hold far-away dummy
+     positions, so every candidate window is in-bounds and wrap-free with
+     NO masks — W(r) = 0 annihilates dummy contributions (kernels.py is
+     branchless).
   2. Row compaction: only occupied (z, y) rows are processed.  The occupied
      row codes are scalar-prefetched (PrefetchScalarGridSpec) and the block
      index_maps decode them, so each program fetches the 3^(D-1) neighbor
@@ -245,11 +246,13 @@ def build_addr(x, active, grid: GridSpec, sg: SlotGrid) -> SlotAddr:
 
 
 def scatter_slots(addr: SlotAddr, rows, sg: SlotGrid):
-    """Scatter packed [N, 8] rows → (feat [H0,H1,8,L], featT [H0,H1,L,8]).
+    """Scatter packed [N, 8] rows → feat [H0, H1, 8, lanes].
 
     The far-dummy init column goes through an optimization_barrier: without
     it XLA constant-folds the broadcast into a slot-grid-sized literal,
-    which blows up the (remote) compile at large grids."""
+    which blows up the (remote) compile at large grids.  (No transposed
+    copy: a [lanes, 8] array pads its 8-lane minor dim 16× in HBM — 10+ GB
+    at 1M — so the kernels transpose the self block in VMEM instead.)"""
     dtype = rows.dtype
     init_col = jax.lax.optimization_barrier(
         jnp.array([1e18, 1e18, 1e18, 0, 0, 0, 0, 0], dtype)
@@ -257,24 +260,17 @@ def scatter_slots(addr: SlotAddr, rows, sg: SlotGrid):
     feat = jnp.broadcast_to(
         init_col[None, None, :, None], (sg.h0, sg.h1, FEAT, sg.lanes)
     )
-    feat = feat.at[addr.s0, addr.h1, :, addr.pos].set(rows, mode="drop")
-    feat_t = jnp.broadcast_to(
-        init_col[None, None, None, :], (sg.h0, sg.h1, sg.lanes, FEAT)
-    )
-    feat_t = feat_t.at[addr.s0, addr.h1, addr.pos, :].set(rows, mode="drop")
-    return feat, feat_t
+    return feat.at[addr.s0, addr.h1, :, addr.pos].set(rows, mode="drop")
 
 
-def update_slots_rho_p(feat, feat_t, addr: SlotAddr, rows, sg: SlotGrid):
+def update_slots_rho_p(feat, addr: SlotAddr, rows, sg: SlotGrid):
     """Re-scatter full packed rows (now with rho/p filled) onto the EXISTING
-    slot grids — same positions, so x/v are overwritten with themselves and
+    slot grid — same positions, so x/v are overwritten with themselves and
     rho/p get their values.  Uses the same full-row scatter pattern as
     scatter_slots (a column-sliced scatter like at[.., 6:8, pos] lowers to a
     catastrophic per-element loop on TPU — measured 16× step regression),
-    while still skipping the ~350 MB slot-grid re-initialization."""
-    feat = feat.at[addr.s0, addr.h1, :, addr.pos].set(rows, mode="drop")
-    feat_t = feat_t.at[addr.s0, addr.h1, addr.pos, :].set(rows, mode="drop")
-    return feat, feat_t
+    while still skipping the slot-grid re-initialization."""
+    return feat.at[addr.s0, addr.h1, :, addr.pos].set(rows, mode="drop")
 
 
 def slot_overflow(x, active, grid: GridSpec, sg: SlotGrid):
@@ -329,13 +325,17 @@ def _cand_slice(win, k, cap, n_strips):
     return jnp.concatenate(parts, axis=1)  # [1, R·3cap]
 
 
-def _self_block(featT_ref, g):
-    start = pl.multiple_of(g * LANE, 8)
-    return featT_ref[0, 0, pl.ds(start, LANE), :]  # [128, FEAT]
+def _self_block(center_ref, g):
+    """i-particles of group g on sublanes: [128, FEAT], via an in-VMEM
+    transpose of the center strip's aligned lane block (cheaper than
+    keeping a transposed HBM copy, whose 8-lane minor dim pads 16×)."""
+    start = pl.multiple_of(g * LANE, LANE)
+    return jnp.transpose(center_ref[0, 0, :, pl.ds(start, LANE)])
 
 
 def _density_kernel(codes_ref, n_ref, gcount_ref, *refs, sg, params):
-    strips, featT_ref, out_ref = refs[:-2], refs[-2], refs[-1]
+    strips, out_ref = refs[:-1], refs[-1]
+    center_ref = strips[len(strips) // 2]
     cap = sg.cap
     n_strips = len(strips)
     c_p, _, _ = kernel_constants(params.dim, params.h, params.kernel_norm)
@@ -345,7 +345,7 @@ def _density_kernel(codes_ref, n_ref, gcount_ref, *refs, sg, params):
     @pl.when(pl.program_id(0) < n_ref[0])
     def _():
         def group(g):
-            it = _self_block(featT_ref, g)            # [128, FEAT], once/group
+            it = _self_block(center_ref, g)           # [128, FEAT], once/group
             wins = [_window(strips, c, g) for c in range(3)]
             start = pl.multiple_of(g * LANE, 8)
             for k in range(sg.xc):
@@ -365,7 +365,8 @@ def _density_kernel(codes_ref, n_ref, gcount_ref, *refs, sg, params):
 
 
 def _force_kernel(codes_ref, n_ref, gcount_ref, *refs, sg, params):
-    strips, featT_ref, out_ref = refs[:-2], refs[-2], refs[-1]
+    strips, out_ref = refs[:-1], refs[-1]
+    center_ref = strips[len(strips) // 2]
     cap = sg.cap
     n_strips = len(strips)
     d_dim = params.dim
@@ -376,7 +377,7 @@ def _force_kernel(codes_ref, n_ref, gcount_ref, *refs, sg, params):
     @pl.when(pl.program_id(0) < n_ref[0])
     def _():
         def group(g):
-            it = _self_block(featT_ref, g)            # [128, FEAT], once/group
+            it = _self_block(center_ref, g)           # [128, FEAT], once/group
             wins = [_window(strips, c, g) for c in range(FEAT)]
             start = pl.multiple_of(g * LANE, 8)
             for k in range(sg.xc):
@@ -449,18 +450,15 @@ def _specs(sg: SlotGrid):
         )
         for dz, dy in sg.row_offsets
     ]
-    featT_spec = pl.BlockSpec(
-        (1, 1, sg.lanes, FEAT), center_map, memory_space=pltpu.VMEM
-    )
-    return gcount_spec, strip_specs, featT_spec
+    return gcount_spec, strip_specs
 
 
-def _call(kernel, feat, feat_t, addr: SlotAddr, sg, params, out_cols):
-    gcount_spec, strip_specs, featT_spec = _specs(sg)
+def _call(kernel, feat, addr: SlotAddr, sg, params, out_cols):
+    gcount_spec, strip_specs = _specs(sg)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(sg.c_rows,),
-        in_specs=[gcount_spec] + strip_specs + [featT_spec],
+        in_specs=[gcount_spec] + strip_specs,
         out_specs=pl.BlockSpec(
             (1, sg.lanes, out_cols),
             lambda i, codes, n: (i, 0, 0),
@@ -479,7 +477,6 @@ def _call(kernel, feat, feat_t, addr: SlotAddr, sg, params, out_cols):
         addr.n_occ,
         addr.gcounts,
         *([feat] * len(strip_specs)),
-        feat_t,
     )
 
 
@@ -498,9 +495,9 @@ def pallas_rho_p_f(
     addr = build_addr(x, active, grid, sg)
     zeros = jnp.zeros((n,), x.dtype)
 
-    feat, feat_t = scatter_slots(addr, _pack_rows(x, v, zeros, zeros), sg)
+    feat = scatter_slots(addr, _pack_rows(x, v, zeros, zeros), sg)
     rho_slot = _call(
-        _density_kernel, feat, feat_t, addr, sg, params, out_cols=1
+        _density_kernel, feat, addr, sg, params, out_cols=1
     )  # [c_rows, lanes, 1]
     ok = addr.valid & (addr.row_pos < sg.c_rows)
     # single flat index vector: multi-coordinate advanced indexing lowers to
@@ -512,12 +509,15 @@ def pallas_rho_p_f(
     rho = jnp.where(ok, rho, params.rest_density)
     p = physics.eos_pressure(rho, params)
 
-    feat, feat_t = update_slots_rho_p(
-        feat, feat_t, addr, _pack_rows(x, v, rho, p), sg
-    )
+    feat = update_slots_rho_p(feat, addr, _pack_rows(x, v, rho, p), sg)
     f_slot = _call(
-        _force_kernel, feat, feat_t, addr, sg, params, out_cols=FOUT
+        _force_kernel, feat, addr, sg, params, out_cols=FOUT
     )  # [c_rows, lanes, FOUT]
-    f = f_slot.reshape(-1, FOUT)[flat_idx, :d]
+    # fully-1D flatten: reshape(-1, FOUT) would force a relayout whose
+    # 4-lane minor dim pads 32x (9+ GB of padding at 1M — an HBM OOM)
+    f_flat = f_slot.reshape(-1)
+    f = jnp.stack(
+        [f_flat[flat_idx * FOUT + c] for c in range(d)], axis=1
+    )
     f = jnp.where(ok[:, None], f, 0.0)
     return rho, p, f
