@@ -32,6 +32,8 @@ FLOORS = {
     ("dam2d_10k", "grid"): 6.0e5,
     ("dam2d_10k", "pallas"): 1.3e6,
     ("dam3d_100k", "grid"): 1.8e5,
+    ("dam3d_100k", "pallas"): 1.7e6,
+    ("splash3d_1m", "pallas"): 1.5e6,
 }
 
 CONFIGS = [
