@@ -363,6 +363,13 @@ def _make_spatial_local(
         mov = movable[:, None].astype(st.x.dtype)
         x, v, acc = st.x, st.v, st.acc
 
+        if params.integrator == "leapfrog":
+            # KDK: half-kick with stored acc + drift happen BEFORE the ghost
+            # exchange so halos see post-drift positions (forces evaluate at
+            # the new x, exactly like the single-device step)
+            v = v + (0.5 * dt) * acc * mov
+            x = x + dt * v * mov
+
         # ---- (a) ghost exchange: faces within h of each slab boundary ----
         near_lo = active & (x[:, ax] < my_lo + h)
         near_hi = active & (x[:, ax] >= my_hi - h)
@@ -460,10 +467,13 @@ def _make_spatial_local(
         if params.boundary_mode == "penalty":
             f = f + physics.wall_penalty_force(x, v, scene.lo, scene.hi, params)
 
-        # ---- (c) integrate locals (semi-implicit Euler) ----
+        # ---- (c) integrate locals ----
         a = f / jnp.maximum(rho, 1e-12)[:, None]
-        v = v + dt * a * mov
-        x = x + dt * v * mov
+        if params.integrator == "leapfrog":
+            v = v + (0.5 * dt) * a * mov       # second half-kick
+        else:
+            v = v + dt * a * mov               # semi-implicit Euler
+            x = x + dt * v * mov
         acc = jnp.where(movable[:, None], a, 0.0)
         if params.boundary_mode == "clamp":
             xc, vc = physics.clamp_boundary(x, v, scene.lo, scene.hi, params)

@@ -41,10 +41,10 @@ def test_dp_step_bitwise_vs_naive():
     assert np.array_equal(vs, np.asarray(ref.v))
 
 
-def _wide_scene(seed=61):
+def _wide_scene(seed=61, **params_kw):
     """A wide shallow pool so 8 slabs each hold fluid and particles flow
     across slab boundaries."""
-    p = SimParams(boundary_mode="clamp", dt=5e-4)
+    p = SimParams(boundary_mode="clamp", dt=5e-4, **params_kw)
     scene = Scene(
         params=p,
         lo=(0.0, 0.0),
@@ -63,14 +63,25 @@ def _sorted_active(x, active):
     return xa[order]
 
 
-@pytest.mark.parametrize("method", ["naive", "grid"])
-def test_spatial_matches_single_device(method):
-    scene = _wide_scene()
+@pytest.mark.parametrize(
+    "method,params_kw",
+    [
+        ("naive", {}),
+        ("grid", {}),
+        ("grid", {"integrator": "leapfrog", "eos": "tait"}),
+    ],
+)
+def test_spatial_matches_single_device(method, params_kw):
+    scene = _wide_scene(**params_kw)
     mesh = decomp.mesh1d(8)
     state = init(scene)
     spec = decomp.SpatialSpec.for_scene(scene, 8, state.capacity)
     n_act = int(state.n_active())
 
+    if scene.params.integrator == "leapfrog":
+        from sph_tpu.step import prime
+
+        state = prime(scene, state, method=method)
     loc = decomp.spatial_shard_state(state, scene, spec, mesh)
     adv_sp = decomp.make_spatial_advance(
         scene, spec, mesh, method=method, steps_per_dispatch=60
