@@ -69,39 +69,39 @@ def main():
     zeros = jnp.zeros((n,), x.dtype)
 
     def scatter(xc, vv):
-        f, ft = pallas_step.scatter_slots(
+        f = pallas_step.scatter_slots(
             addr, pallas_step._pack_rows(xc, vv, zeros, zeros), sg
         )
         return f[0, 0]
 
-    timeit("scatter_slots (both layouts)", scatter, x, v)
-    feat, feat_t = jax.jit(
+    timeit("scatter_slots", scatter, x, v)
+    feat = jax.jit(
         lambda xx, vv: pallas_step.scatter_slots(
             addr, pallas_step._pack_rows(xx, vv, zeros, zeros), sg
         )
     )(x, v)
 
-    def dens(xc, ft_, f_):
+    def dens(xc, f_):
         f2 = f_.at[0, 0, 0, 0].add(xc[0, 0] * 1e-30)
         return pallas_step._call(
-            pallas_step._density_kernel, f2, ft_, addr, sg, params, 1
+            pallas_step._density_kernel, f2, addr, sg, params, 1
         )[..., 0]
 
-    timeit("density kernel", dens, x, feat_t, feat)
+    timeit("density kernel", dens, x, feat)
 
-    def force(xc, ft_, f_):
+    def force(xc, f_):
         f2 = f_.at[0, 0, 0, 0].add(xc[0, 0] * 1e-30)
         return pallas_step._call(
-            pallas_step._force_kernel, f2, ft_, addr, sg, params, 4
+            pallas_step._force_kernel, f2, addr, sg, params, 4
         )[..., 0]
 
-    timeit("force kernel", force, x, feat_t, feat)
+    timeit("force kernel", force, x, feat)
 
     rho_slot = jax.jit(
-        lambda f_, ft_: pallas_step._call(
-            pallas_step._density_kernel, f_, ft_, addr, sg, params, 1
+        lambda f_: pallas_step._call(
+            pallas_step._density_kernel, f_, addr, sg, params, 1
         )
-    )(feat, feat_t)
+    )(feat)
     safe_row = jnp.minimum(addr.row_pos, sg.c_rows - 1)
 
     def gather(xc, rs):
