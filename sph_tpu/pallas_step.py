@@ -342,15 +342,19 @@ def _density_kernel(codes_ref, n_ref, gcount_ref, *refs, sg, params):
     h2k = params.h * params.h
     out_ref[...] = jnp.zeros_like(out_ref)
 
+    d_dim = params.dim
+
     @pl.when(pl.program_id(0) < n_ref[0])
     def _():
         def group(g):
             it = _self_block(center_ref, g)           # [128, FEAT], once/group
-            wins = [_window(strips, c, g) for c in range(3)]
+            # 2D: skip the z column — it is zero for every real particle and
+            # the far x-column already annihilates dummy pairs
+            wins = {c: _window(strips, c, g) for c in range(d_dim)}
             start = pl.multiple_of(g * LANE, 8)
             for k in range(sg.xc):
                 r2 = None
-                for c in range(3):
+                for c in range(d_dim):
                     xi = it[k * cap : (k + 1) * cap, c : c + 1]  # [cap, 1]
                     cj = _cand_slice(wins[c], k, cap, n_strips)  # [1, 3Rcap]
                     d = xi - cj
@@ -378,7 +382,8 @@ def _force_kernel(codes_ref, n_ref, gcount_ref, *refs, sg, params):
     def _():
         def group(g):
             it = _self_block(center_ref, g)           # [128, FEAT], once/group
-            wins = [_window(strips, c, g) for c in range(FEAT)]
+            used = list(range(d_dim)) + list(range(3, 3 + d_dim)) + [6, 7]
+            wins = {c: _window(strips, c, g) for c in used}
             start = pl.multiple_of(g * LANE, 8)
             for k in range(sg.xc):
                 def self_col(c, k=k):
@@ -389,7 +394,7 @@ def _force_kernel(codes_ref, n_ref, gcount_ref, *refs, sg, params):
 
                 dx = []
                 r2 = None
-                for c in range(3):
+                for c in range(d_dim):
                     dc = self_col(c) - cand_col(c)
                     dx.append(dc)
                     r2 = dc * dc if r2 is None else r2 + dc * dc
