@@ -284,15 +284,15 @@ def scatter_slots(addr: SlotAddr, rows, sg: SlotGrid):
     return flat.reshape(sg.h0, sg.h1, FEAT, sg.lanes)
 
 
-def update_slots_rho_p(feat, addr: SlotAddr, rows, sg: SlotGrid):
-    """Re-scatter full packed rows (now with rho/p filled) onto the EXISTING
-    slot grid — same positions, so x/v are overwritten with themselves and
-    rho/p get their values — skipping the slot-grid re-initialization.
-    (A column-sliced scatter like at[.., 6:8, pos] lowers to a catastrophic
-    per-element loop on TPU — measured 16× step regression.)"""
-    flat = feat.reshape(-1).at[_flat_slot_idx(addr, sg)].set(
-        rows, mode="drop"
-    )
+def update_slots_rho_p(feat, addr: SlotAddr, rho, p, sg: SlotGrid):
+    """Write only the rho/p feature columns (6, 7) into the EXISTING slot
+    grid via flat 1D indices — the x/v scatters from pass 1 are reused.
+    (The catastrophic earlier version was a *sliced multi-coordinate*
+    scatter at[.., 6:8, pos]; flat-index scatters are fine at any width.)"""
+    base = ((addr.s0 * sg.h1 + addr.h1) * FEAT) * sg.lanes + addr.pos
+    idx2 = base[:, None] + jnp.array([6, 7], jnp.int32)[None, :] * sg.lanes
+    rp = jnp.stack([rho, p], axis=1)
+    flat = feat.reshape(-1).at[idx2].set(rp, mode="drop")
     return flat.reshape(sg.h0, sg.h1, FEAT, sg.lanes)
 
 
@@ -537,7 +537,7 @@ def pallas_rho_p_f(
     rho = jnp.where(ok, rho, params.rest_density)
     p = physics.eos_pressure(rho, params)
 
-    feat = update_slots_rho_p(feat, addr, _pack_rows(x, v, rho, p), sg)
+    feat = update_slots_rho_p(feat, addr, rho, p, sg)
     f_slot = _call(
         _force_kernel, feat, addr, sg, params, out_cols=FOUT
     )  # [c_rows, lanes, FOUT]
