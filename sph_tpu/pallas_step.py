@@ -94,6 +94,10 @@ class SlotGrid:
         return LANE // self.cap
 
     @property
+    def xb(self) -> int:     # cells batched per vector op (must divide xc)
+        return min(4, self.xc)
+
+    @property
     def h0(self) -> int:     # z rows (1 for 2D)
         return self.inner[0] + 2 if self.dim == 3 else 1
 
@@ -336,16 +340,23 @@ def _window(strips, c, g):
     )
 
 
-def _cand_slice(win, k, cap, n_strips):
-    """Static per-cell slice of the group window: cells (k-1..k+1) relative
-    to the window = lanes [(xc + k - 1)·cap, +3cap) of each strip chunk."""
+def _cand_slice(win, k, cap, n_strips, xb=1):
+    """Static cell-batch slice of the group window: the union candidate
+    cells (k-1 .. k+xb) of cells k..k+xb-1, i.e. lanes
+    [(xc + k - 1)·cap, +(xb+2)·cap) of each strip chunk.
+
+    The union is exact physics: a candidate ≥2 cells away from an i-cell is
+    ≥ h away, so its contribution is identically zero (branchless kernels).
+    Batching xb cells per vector op trades (xb+2)/3 extra pair-elements for
+    1/xb the op-issue count — a win while the kernels are issue-bound."""
     xc = LANE // cap
     a = (xc + k - 1) * cap
+    w = (xb + 2) * cap
     parts = [
-        win[:, r * 3 * LANE + a : r * 3 * LANE + a + 3 * cap]
+        win[:, r * 3 * LANE + a : r * 3 * LANE + a + w]
         for r in range(n_strips)
     ]
-    return jnp.concatenate(parts, axis=1)  # [1, R·3cap]
+    return jnp.concatenate(parts, axis=1)  # [1, R·(xb+2)·cap]
 
 
 def _self_block(center_ref, g):
@@ -375,18 +386,19 @@ def _density_kernel(codes_ref, n_ref, gcount_ref, *refs, sg, params):
             # the far x-column already annihilates dummy pairs
             wins = {c: _window(strips, c, g) for c in range(d_dim)}
             start = pl.multiple_of(g * LANE, 8)
-            for k in range(sg.xc):
+            xb = sg.xb
+            for k in range(0, sg.xc, xb):
                 r2 = None
                 for c in range(d_dim):
-                    xi = it[k * cap : (k + 1) * cap, c : c + 1]  # [cap, 1]
-                    cj = _cand_slice(wins[c], k, cap, n_strips)  # [1, 3Rcap]
+                    xi = it[k * cap : (k + xb) * cap, c : c + 1]  # [xb·cap, 1]
+                    cj = _cand_slice(wins[c], k, cap, n_strips, xb)
                     d = xi - cj
                     r2 = d * d if r2 is None else r2 + d * d
                 q = jnp.maximum(h2k - r2, 0.0)
                 rho = (params.mass * c_p) * jnp.sum(
                     q * q * q, axis=1, keepdims=True
-                )
-                out_ref[0, pl.ds(start + k * cap, cap), 0:1] = rho
+                )  # [xb·cap, 1]
+                out_ref[0, pl.ds(start + k * cap, xb * cap), 0:1] = rho
 
         _group_loop(sg, gcount_ref, group)
 
@@ -408,12 +420,13 @@ def _force_kernel(codes_ref, n_ref, gcount_ref, *refs, sg, params):
             used = list(range(d_dim)) + list(range(3, 3 + d_dim)) + [6, 7]
             wins = {c: _window(strips, c, g) for c in used}
             start = pl.multiple_of(g * LANE, 8)
-            for k in range(sg.xc):
+            xb = sg.xb
+            for k in range(0, sg.xc, xb):
                 def self_col(c, k=k):
-                    return it[k * cap : (k + 1) * cap, c : c + 1]
+                    return it[k * cap : (k + xb) * cap, c : c + 1]
 
                 def cand_col(c, k=k):
-                    return _cand_slice(wins[c], k, cap, n_strips)
+                    return _cand_slice(wins[c], k, cap, n_strips, xb)
 
                 dx = []
                 r2 = None
@@ -440,8 +453,10 @@ def _force_kernel(codes_ref, n_ref, gcount_ref, *refs, sg, params):
                         + coef_v * (cand_col(3 + c) - self_col(3 + c)),
                         axis=1,
                         keepdims=True,
-                    )  # [cap, 1]
-                    out_ref[0, pl.ds(start + k * cap, cap), c : c + 1] = fc
+                    )  # [xb·cap, 1]
+                    out_ref[
+                        0, pl.ds(start + k * cap, xb * cap), c : c + 1
+                    ] = fc
 
         _group_loop(sg, gcount_ref, group)
 

@@ -74,13 +74,18 @@ def test_forces_vs_oracle(dim):
 
 
 @pytest.mark.parametrize(
-    "integrator,boundary_mode",
-    [("euler", "clamp"), ("euler", "penalty"), ("leapfrog", "penalty")],
+    "dim,integrator,boundary_mode",
+    [
+        (2, "euler", "clamp"),
+        (2, "euler", "penalty"),
+        (2, "leapfrog", "penalty"),
+        (3, "leapfrog", "penalty"),
+    ],
 )
-def test_full_step_trajectory_vs_oracle(integrator, boundary_mode):
-    """20 full steps of the tutorial-style 2D scene track the oracle."""
+def test_full_step_trajectory_vs_oracle(dim, integrator, boundary_mode):
+    """20 full steps of a tutorial-style scene track the frozen oracle."""
     scene = small_scene(
-        dim=2, integrator=integrator, boundary_mode=boundary_mode, seed=3
+        dim=dim, integrator=integrator, boundary_mode=boundary_mode, seed=3
     )
     state = init(scene)
     if integrator == "leapfrog":
