@@ -84,6 +84,7 @@ class SlotGrid:
     inner: tuple[int, ...]   # GridSpec.shape
     cap: int                 # must divide 128
     c_rows: int              # occupied-row capacity (static)
+    xb_cells: int = 4        # cells batched per vector op (clipped to xc)
 
     @property
     def dim(self) -> int:
@@ -94,8 +95,8 @@ class SlotGrid:
         return LANE // self.cap
 
     @property
-    def xb(self) -> int:     # cells batched per vector op (must divide xc)
-        return min(4, self.xc)
+    def xb(self) -> int:     # cells batched per vector op (divides xc)
+        return min(self.xb_cells, self.xc)
 
     @property
     def h0(self) -> int:     # z rows (1 for 2D)
@@ -124,7 +125,9 @@ class SlotGrid:
         return tuple((dz, dy) for dz in (-1, 0, 1) for dy in (-1, 0, 1))
 
 
-def slot_grid(grid: GridSpec, c_rows: int | None = None) -> SlotGrid:
+def slot_grid(
+    grid: GridSpec, c_rows: int | None = None, xb_cells: int = 4
+) -> SlotGrid:
     if LANE % grid.cap != 0:
         raise ValueError(f"pallas path needs cap | 128, got {grid.cap}")
     dim = len(grid.shape)
@@ -133,7 +136,10 @@ def slot_grid(grid: GridSpec, c_rows: int | None = None) -> SlotGrid:
         # always-correct when the row space is small; else a documented cap
         c_rows = inner_rows if inner_rows <= 4096 else 4096
     return SlotGrid(
-        inner=grid.shape, cap=grid.cap, c_rows=min(c_rows, inner_rows)
+        inner=grid.shape,
+        cap=grid.cap,
+        c_rows=min(c_rows, inner_rows),
+        xb_cells=xb_cells,
     )
 
 
@@ -529,11 +535,17 @@ def _call(kernel, feat, addr: SlotAddr, sg, params, out_cols):
 
 
 def pallas_rho_p_f(
-    x, v, active, params: SimParams, grid: GridSpec, c_rows: int | None = None
+    x,
+    v,
+    active,
+    params: SimParams,
+    grid: GridSpec,
+    c_rows: int | None = None,
+    xb_cells: int = 4,
 ):
     """Drop-in replacement for neighbors.grid_rho_p_f, Pallas-fused."""
     n, d = x.shape
-    sg = slot_grid(grid, c_rows)
+    sg = slot_grid(grid, c_rows, xb_cells)
 
     addr = build_addr(x, active, grid, sg)
     zeros = jnp.zeros((n,), x.dtype)
