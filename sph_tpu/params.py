@@ -108,6 +108,20 @@ class Emitter:
 
 
 @dataclass(frozen=True)
+class ForceField:
+    """A scheduled external force probe — the headless form of the
+    reference's mouse-drag interaction (SURVEY.md L5/C13): a radial pull
+    (strength > 0) or push (< 0) toward `pos`, smoothly faded over `radius`,
+    active on [start_step, stop_step)."""
+
+    pos: tuple[float, ...]
+    strength: float          # force-density magnitude at the center
+    radius: float = 64.0
+    start_step: int = 0
+    stop_step: int = 1 << 30
+
+
+@dataclass(frozen=True)
 class Scene:
     """Scene description: domain, initial fluid blocks, emitters, capacity."""
 
@@ -116,6 +130,7 @@ class Scene:
     hi: tuple[float, ...] = (800.0, 600.0)
     blocks: tuple[Block, ...] = ()
     emitters: tuple[Emitter, ...] = ()
+    force_fields: tuple[ForceField, ...] = ()
     capacity: int = 0        # 0 => just fits the seeded blocks
     spacing: float = 0.0     # 0 => h (lattice pitch)
     jitter: float = 0.01     # lattice jitter fraction of spacing
@@ -159,12 +174,23 @@ def scene_from_json(s: str) -> Scene:
         )
         for e in d["emitters"]
     )
+    force_fields = tuple(
+        ForceField(
+            pos=tuple(f["pos"]),
+            strength=f["strength"],
+            radius=f["radius"],
+            start_step=f["start_step"],
+            stop_step=f["stop_step"],
+        )
+        for f in d.get("force_fields", ())
+    )
     return Scene(
         params=params,
         lo=tuple(d["lo"]),
         hi=tuple(d["hi"]),
         blocks=blocks,
         emitters=emitters,
+        force_fields=force_fields,
         capacity=d["capacity"],
         spacing=d["spacing"],
         jitter=d["jitter"],

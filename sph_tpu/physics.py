@@ -109,6 +109,24 @@ def gravity_force(rho, params: SimParams):
     return rho[:, None] * g[None, :]
 
 
+def force_field_force(x, step, fields):
+    """External scheduled force probes (SURVEY.md L5 drag interaction):
+    radial force density s·(1 − r/R) toward/away from each field center,
+    zero outside R or outside the field's step window."""
+    f = jnp.zeros_like(x)
+    for ff in fields:
+        c = jnp.asarray(ff.pos, x.dtype)
+        dx = c[None, :] - x
+        r = jnp.sqrt(jnp.sum(dx * dx, axis=-1))
+        fall = jnp.maximum(1.0 - r / ff.radius, 0.0)
+        live = jnp.logical_and(
+            step >= ff.start_step, step < ff.stop_step
+        ).astype(x.dtype)
+        dirn = dx / jnp.maximum(r, 1e-6)[:, None]
+        f = f + (ff.strength * live) * fall[:, None] * dirn
+    return f
+
+
 def wall_penalty_force(x, v, lo, hi, params: SimParams):
     """Penalty spring-damper per wall (boundary_mode='penalty', §2.1 step 6):
     penetration d > 0 past the inset wall ⇒ f += (k·d − c·v_n)·n̂."""

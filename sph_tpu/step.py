@@ -22,8 +22,11 @@ from sph_tpu.params import Scene, SimParams
 from sph_tpu.state import State
 
 
-def _rho_p_f(x, v, active, movable, scene: Scene, method: str, grid=None):
-    """Density → EOS → pairwise forces + gravity + wall penalty, one x eval."""
+def _rho_p_f(
+    x, v, active, movable, scene: Scene, method: str, grid=None, step=None
+):
+    """Density → EOS → pairwise forces + gravity + wall penalty + external
+    force fields, one x eval."""
     params = scene.params
     if method == "naive":
         with jax.named_scope("sph_density"):
@@ -49,6 +52,8 @@ def _rho_p_f(x, v, active, movable, scene: Scene, method: str, grid=None):
             f = f + physics.wall_penalty_force(
                 x, v, scene.lo, scene.hi, params
             )
+        if scene.force_fields and step is not None:
+            f = f + physics.force_field_force(x, step, scene.force_fields)
     return rho, p, f
 
 
@@ -77,13 +82,17 @@ def make_step(
             # KDK with stored acceleration: one force eval per step.
             v = v + (0.5 * dt) * acc * mov
             x = x + dt * v * mov
-            rho, p, f = _rho_p_f(x, v, active, movable, scene, method, grid)
+            rho, p, f = _rho_p_f(
+                x, v, active, movable, scene, method, grid, step=state.step
+            )
             a = f / jnp.maximum(rho, 1e-12)[:, None]
             v = v + (0.5 * dt) * a * mov
             acc = jnp.where(movable[:, None], a, 0.0)
         elif params.integrator == "euler":
             # Semi-implicit (symplectic) Euler: v += dt f/ρ; x += dt v.
-            rho, p, f = _rho_p_f(x, v, active, movable, scene, method, grid)
+            rho, p, f = _rho_p_f(
+                x, v, active, movable, scene, method, grid, step=state.step
+            )
             a = f / jnp.maximum(rho, 1e-12)[:, None]
             v = v + dt * a * mov
             x = x + dt * v * mov
@@ -125,7 +134,9 @@ def prime(scene: Scene, state: State, method: str = "naive") -> State:
         grid = neighbors.GridSpec.for_scene(scene)
     active = state.active
     movable = active & (state.kind == 0)
-    rho, p, f = _rho_p_f(state.x, state.v, active, movable, scene, method, grid)
+    rho, p, f = _rho_p_f(
+        state.x, state.v, active, movable, scene, method, grid, step=state.step
+    )
     a = f / jnp.maximum(rho, 1e-12)[:, None]
     return State(
         x=state.x,
