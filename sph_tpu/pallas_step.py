@@ -336,20 +336,20 @@ def _group_loop(sg: SlotGrid, gcount_ref, group_body):
     jax.lax.fori_loop(1, sg.n_groups - 1, body, 0)
 
 
-def _window(strips, c, g):
-    """Candidate lanes for group g, feature column c: the 3 aligned 128-lane
-    blocks around g from every row strip, concatenated: [1, R·384]."""
+def _group_windows(strips, g):
+    """Per-strip candidate windows for group g, ALL features at once:
+    R × [FEAT, 3·LANE].  An [8, X] load costs the same tile footprint as a
+    [1, X] load (sublanes pad to 8), so loading all feature rows together
+    is ~8× fewer ops than per-feature windows."""
     start = pl.multiple_of((g - 1) * LANE, LANE)
-    return jnp.concatenate(
-        [s[0, 0, c, pl.ds(start, 3 * LANE)].reshape(1, 3 * LANE) for s in strips],
-        axis=1,
-    )
+    return [s[0, 0, :, pl.ds(start, 3 * LANE)] for s in strips]
 
 
-def _cand_slice(win, k, cap, n_strips, xb=1):
-    """Static cell-batch slice of the group window: the union candidate
-    cells (k-1 .. k+xb) of cells k..k+xb-1, i.e. lanes
-    [(xc + k - 1)·cap, +(xb+2)·cap) of each strip chunk.
+def _cand_block(wins, k, cap, xb):
+    """Static cell-batch slice across all strips and features: the union
+    candidate cells (k-1 .. k+xb) of cells k..k+xb-1, i.e. lanes
+    [(xc + k - 1)·cap, +(xb+2)·cap) of each strip window, concatenated →
+    [FEAT, R·(xb+2)·cap].
 
     The union is exact physics: a candidate ≥2 cells away from an i-cell is
     ≥ h away, so its contribution is identically zero (branchless kernels).
@@ -358,11 +358,7 @@ def _cand_slice(win, k, cap, n_strips, xb=1):
     xc = LANE // cap
     a = (xc + k - 1) * cap
     w = (xb + 2) * cap
-    parts = [
-        win[:, r * 3 * LANE + a : r * 3 * LANE + a + w]
-        for r in range(n_strips)
-    ]
-    return jnp.concatenate(parts, axis=1)  # [1, R·(xb+2)·cap]
+    return jnp.concatenate([win[:, a : a + w] for win in wins], axis=1)
 
 
 def _self_block(center_ref, g):
@@ -388,17 +384,17 @@ def _density_kernel(codes_ref, n_ref, gcount_ref, *refs, sg, params):
     def _():
         def group(g):
             it = _self_block(center_ref, g)           # [128, FEAT], once/group
-            # 2D: skip the z column — it is zero for every real particle and
-            # the far x-column already annihilates dummy pairs
-            wins = {c: _window(strips, c, g) for c in range(d_dim)}
+            wins = _group_windows(strips, g)          # R × [FEAT, 384]
             start = pl.multiple_of(g * LANE, 8)
             xb = sg.xb
             for k in range(0, sg.xc, xb):
+                cand = _cand_block(wins, k, cap, xb)  # [FEAT, R·(xb+2)·cap]
                 r2 = None
+                # 2D: skip the z column — zero for every real particle, and
+                # the far x-column already annihilates dummy pairs
                 for c in range(d_dim):
                     xi = it[k * cap : (k + xb) * cap, c : c + 1]  # [xb·cap, 1]
-                    cj = _cand_slice(wins[c], k, cap, n_strips, xb)
-                    d = xi - cj
+                    d = xi - cand[c : c + 1, :]
                     r2 = d * d if r2 is None else r2 + d * d
                 q = jnp.maximum(h2k - r2, 0.0)
                 rho = (params.mass * c_p) * jnp.sum(
@@ -423,16 +419,17 @@ def _force_kernel(codes_ref, n_ref, gcount_ref, *refs, sg, params):
     def _():
         def group(g):
             it = _self_block(center_ref, g)           # [128, FEAT], once/group
-            used = list(range(d_dim)) + list(range(3, 3 + d_dim)) + [6, 7]
-            wins = {c: _window(strips, c, g) for c in used}
+            wins = _group_windows(strips, g)          # R × [FEAT, 384]
             start = pl.multiple_of(g * LANE, 8)
             xb = sg.xb
             for k in range(0, sg.xc, xb):
+                cand = _cand_block(wins, k, cap, xb)  # [FEAT, R·(xb+2)·cap]
+
                 def self_col(c, k=k):
                     return it[k * cap : (k + xb) * cap, c : c + 1]
 
-                def cand_col(c, k=k):
-                    return _cand_slice(wins[c], k, cap, n_strips, xb)
+                def cand_col(c, cand=cand):
+                    return cand[c : c + 1, :]
 
                 dx = []
                 r2 = None
