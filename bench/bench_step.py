@@ -33,7 +33,7 @@ FLOORS = {
     ("dam2d_10k", "pallas"): 2.2e6,
     ("dam3d_100k", "grid"): 1.8e5,
     ("dam3d_100k", "pallas"): 2.1e6,
-    ("splash3d_1m", "pallas"): 2.4e6,
+    ("splash3d_1m", "pallas"): 2.6e6,
 }
 
 CONFIGS = [
