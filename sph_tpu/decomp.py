@@ -315,7 +315,7 @@ def _make_spatial_local(
     h = params.h
 
     grid = None
-    if method == "grid":
+    if method in ("grid", "pallas"):
         from sph_tpu import neighbors
 
         grid = neighbors.GridSpec.for_scene(scene)
@@ -424,6 +424,10 @@ def _make_spatial_local(
             from sph_tpu import neighbors
 
             rho_c = neighbors.grid_density(cx, c_act, params, grid)
+        elif method == "pallas":
+            from sph_tpu import pallas_step
+
+            rho_c = pallas_step.pallas_density(cx, c_act, params, grid)
         else:
             rho_c = physics.density_naive(cx, c_act, params)
         rho = rho_c[:nl]
@@ -458,6 +462,10 @@ def _make_spatial_local(
         # ---- (b') force pass with correct ghost rho/p ----
         if method == "grid":
             f_c = neighbors.grid_forces(
+                cx, cv, rho_cc, p_cc, c_act, params, grid
+            )
+        elif method == "pallas":
+            f_c = pallas_step.pallas_forces(
                 cx, cv, rho_cc, p_cc, c_act, params, grid
             )
         else:

@@ -573,3 +573,33 @@ def pallas_rho_p_f(
     )
     f = jnp.where(ok[:, None], f, 0.0)
     return rho, p, f
+
+
+def pallas_density(x, active, params: SimParams, grid: GridSpec):
+    """Density-only phase (split API for the halo-exchange step, mirroring
+    neighbors.grid_density — sph_tpu/decomp.py re-imports ghost rho/p
+    between phases)."""
+    n, _ = x.shape
+    sg = slot_grid(grid)
+    addr = build_addr(x, active, grid, sg)
+    zeros = jnp.zeros((n,), x.dtype)
+    feat = scatter_slots(addr, _pack_rows(x, jnp.zeros_like(x), zeros, zeros), sg)
+    rho_slot = _call(_density_kernel, feat, addr, sg, params, out_cols=1)
+    ok = addr.valid & (addr.row_pos < sg.c_rows)
+    flat_idx = jnp.minimum(addr.row_pos, sg.c_rows - 1) * sg.lanes + addr.pos
+    rho = rho_slot.reshape(-1)[flat_idx]
+    return jnp.where(ok, rho, params.rest_density)
+
+
+def pallas_forces(x, v, rho, p, active, params: SimParams, grid: GridSpec):
+    """Force-only phase given rho/p (split API, see pallas_density)."""
+    n, d = x.shape
+    sg = slot_grid(grid)
+    addr = build_addr(x, active, grid, sg)
+    feat = scatter_slots(addr, _pack_rows(x, v, rho, p), sg)
+    f_slot = _call(_force_kernel, feat, addr, sg, params, out_cols=FOUT)
+    ok = addr.valid & (addr.row_pos < sg.c_rows)
+    flat_idx = jnp.minimum(addr.row_pos, sg.c_rows - 1) * sg.lanes + addr.pos
+    f_flat = f_slot.reshape(-1)
+    f = jnp.stack([f_flat[flat_idx * FOUT + c] for c in range(d)], axis=1)
+    return jnp.where(ok[:, None], f, 0.0)

@@ -69,6 +69,7 @@ def _sorted_active(x, active):
         ("naive", {}),
         ("grid", {}),
         ("grid", {"integrator": "leapfrog", "eos": "tait"}),
+        ("pallas", {}),
     ],
 )
 def test_spatial_matches_single_device(method, params_kw):
