@@ -45,6 +45,17 @@ def cmd_run(args) -> int:
     pack_fn = jax.jit(
         lambda s: diagnostics.scalar_pack(s, scene.params)
     )
+    overflow_fn = None
+    if args.method == "pallas":
+        # per-frame static-cap audit (cell tiles + row compaction): the
+        # kernels drop overflow by design, so surface it (SURVEY.md §5.2)
+        from sph_tpu import neighbors, pallas_step
+
+        _grid = neighbors.GridSpec.for_scene(scene)
+        _sg = pallas_step.slot_grid(_grid)
+        overflow_fn = jax.jit(
+            lambda s: pallas_step.slot_overflow(s.x, s.active, _grid, _sg)
+        )
     watchdog = diagnostics.Watchdog(scene.params)
     metrics_path = os.path.join(args.out, "metrics.jsonl")
     t0 = time.perf_counter()
@@ -72,6 +83,18 @@ def cmd_run(args) -> int:
             scalars["frame"] = frame
             scalars["step"] = int(state.step)
             scalars["wall_s"] = time.perf_counter() - t0
+            if overflow_fn is not None:
+                cell_over, row_over = overflow_fn(state)
+                scalars["cap_dropped"] = int(cell_over)
+                scalars["row_overflow"] = int(row_over)
+                if scalars["cap_dropped"] or scalars["row_overflow"]:
+                    print(
+                        f"warning: static caps dropped work this frame "
+                        f"(cells {scalars['cap_dropped']}, rows "
+                        f"{scalars['row_overflow']}) — raise Scene.grid_cap "
+                        f"or c_rows",
+                        file=sys.stderr,
+                    )
             cfl = diagnostics.cfl_limit(scene.params, scalars["max_speed"])
             if cfl is not None and scene.params.dt > cfl:
                 scalars["cfl_warning"] = True
