@@ -194,6 +194,41 @@ def main(argv=None) -> int:
     listp = sub.add_parser("presets", help="list presets")
     listp.set_defaults(fn=lambda a: (print("\n".join(preset_names())), 0)[1])
 
+    benchp = sub.add_parser(
+        "bench", help="throughput table (see bench/bench_step.py)"
+    )
+    benchp.add_argument("--steps", type=int, default=100)
+    benchp.add_argument("--only", default=None)
+    benchp.add_argument("--assert-floor", action="store_true")
+
+    def _bench(a):
+        import importlib.util
+        import os as _os
+
+        path = _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "bench",
+            "bench_step.py",
+        )
+        spec = importlib.util.spec_from_file_location("bench_step", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        argv = ["--steps", str(a.steps)]
+        if a.only:
+            argv += ["--only", a.only]
+        if a.assert_floor:
+            argv += ["--assert-floor"]
+        import sys as _sys
+
+        old = _sys.argv
+        try:
+            _sys.argv = ["bench_step"] + argv
+            return mod.main()
+        finally:
+            _sys.argv = old
+
+    benchp.set_defaults(fn=_bench)
+
     args = ap.parse_args(argv)
     return args.fn(args)
 
