@@ -41,7 +41,16 @@ def cmd_run(args) -> int:
                 lambda s: prime(scene, s, method=args.method)
             )(state)
     os.makedirs(args.out, exist_ok=True)
-    adv = make_advance(scene, args.method, args.steps_per_frame)
+    from sph_tpu.step import MAX_PALLAS_STEPS_PER_DISPATCH
+
+    spf = args.steps_per_frame
+    inner = 1
+    if args.method == "pallas" and spf > MAX_PALLAS_STEPS_PER_DISPATCH:
+        # split a long frame into several dispatches (platform limit on
+        # pallas launches per compiled program; see sph_tpu/step.py)
+        inner = -(-spf // MAX_PALLAS_STEPS_PER_DISPATCH)
+        spf = -(-args.steps_per_frame // inner)
+    adv = make_advance(scene, args.method, spf)
     pack_fn = jax.jit(
         lambda s: diagnostics.scalar_pack(s, scene.params)
     )
@@ -61,7 +70,8 @@ def cmd_run(args) -> int:
     t0 = time.perf_counter()
     with open(metrics_path, "a") as mf:
         for frame in range(args.frames):
-            state = adv(state)
+            for _ in range(inner):
+                state = adv(state)
             pack = pack_fn(state)
             if args.render:
                 render.save_frame(
@@ -130,7 +140,14 @@ def cmd_record(args) -> int:
     state = init(scene)
     if scene.params.integrator == "leapfrog":
         state = jax.jit(lambda s: prime(scene, s, method=args.method))(state)
-    adv = make_advance(scene, args.method, args.steps_per_frame)
+    from sph_tpu.step import MAX_PALLAS_STEPS_PER_DISPATCH
+
+    spf = args.steps_per_frame
+    inner = 1
+    if args.method == "pallas" and spf > MAX_PALLAS_STEPS_PER_DISPATCH:
+        inner = -(-spf // MAX_PALLAS_STEPS_PER_DISPATCH)
+        spf = -(-args.steps_per_frame // inner)
+    adv = make_advance(scene, args.method, spf)
     render_fn = jax.jit(
         lambda s: render.render_splat(
             s, scene, args.width, args.height, args.mode
@@ -140,7 +157,8 @@ def cmd_record(args) -> int:
     pending = None  # overlap: fetch frame k while stepping k+1
     t0 = time.time()
     for frame in range(args.frames):
-        state = adv(state)
+        for _ in range(inner):
+            state = adv(state)
         fut = render_fn(state)
         if pending is not None:
             fields.append(np.asarray(pending))

@@ -150,11 +150,25 @@ def prime(scene: Scene, state: State, method: str = "naive") -> State:
     )
 
 
+# Observed platform limit (axon, TPU v5 lite): a single compiled program
+# containing more than ~200 Pallas kernel launches (2 per step) crashes the
+# TPU worker process outright; <=100 scanned steps per dispatch is reliably
+# safe and dispatch overhead is negligible at that grain.
+MAX_PALLAS_STEPS_PER_DISPATCH = 100
+
+
 def make_advance(
     scene: Scene, method: str = "naive", steps_per_dispatch: int = 100,
     grid=None,
 ):
-    """jitted `advance(state) -> state` running S steps in one `lax.scan`."""
+    """jitted `advance(state) -> state` running S steps in one `lax.scan`.
+
+    For method="pallas", S is clamped to MAX_PALLAS_STEPS_PER_DISPATCH (see
+    above); drive longer horizons with multiple dispatches (`run` does)."""
+    if method == "pallas":
+        steps_per_dispatch = min(
+            steps_per_dispatch, MAX_PALLAS_STEPS_PER_DISPATCH
+        )
     step = make_step(scene, method, grid=grid)
 
     @jax.jit
