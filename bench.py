@@ -69,7 +69,14 @@ def main():
         ("tutorial2d", "naive"),
     ]
     if args.config != "auto":
-        ladder = [(args.config, args.method if args.method != "auto" else "naive")]
+        if args.method != "auto":
+            ladder = [(args.config, args.method)]
+        else:
+            # fastest-first method ladder for the named config (naive at
+            # 100k+ would allocate an [N, N] pair matrix — instant OOM)
+            ladder = [
+                (args.config, m) for m in ("pallas", "grid", "naive")
+            ]
 
     for name, method in ladder:
         try:

@@ -281,17 +281,57 @@ def scatter_slots(addr: SlotAddr, rows, sg: SlotGrid):
     which blows up the (remote) compile at large grids.  (No transposed
     copy: a [lanes, 8] array pads its 8-lane minor dim 16× in HBM — 10+ GB
     at 1M — so the kernels transpose the self block in VMEM instead.)"""
-    dtype = rows.dtype
-    init_col = jax.lax.optimization_barrier(
-        jnp.array([1e18, 1e18, 1e18, 0, 0, 0, 0, 0], dtype)
-    )
     feat = jnp.broadcast_to(
-        init_col[None, None, :, None], (sg.h0, sg.h1, FEAT, sg.lanes)
+        _init_row(rows.dtype)[None, None, :, None],
+        (sg.h0, sg.h1, FEAT, sg.lanes),
     )
     flat = feat.reshape(-1).at[_flat_slot_idx(addr, sg)].set(
         rows, mode="drop"
     )
     return flat.reshape(sg.h0, sg.h1, FEAT, sg.lanes)
+
+
+def _init_row(dtype):
+    """Empty-slot feature row: far-away dummy position, zeros elsewhere.
+    The optimization_barrier stops XLA constant-folding broadcasts of it
+    into slot-grid-sized literals (remote-compile blowup at large grids)."""
+    return jax.lax.optimization_barrier(
+        jnp.array([1e18, 1e18, 1e18, 0, 0, 0, 0, 0], dtype)
+    )
+
+
+def init_slot_cache(sg: SlotGrid, n: int, dtype=jnp.float32):
+    """Persistent slot cache: (background feat grid, prev slot indices).
+
+    `prev_idx` starts at `size` (out of bounds ⇒ the first park drops), so a
+    fresh cache behaves exactly like a full re-init.  Carried through the
+    scan by `step.make_advance` so the ~full-grid background fill happens
+    once per *dispatch* instead of once per *step* (ROADMAP §persistent
+    slots: the per-step init writes were the scatter phase's dominant cost).
+    """
+    feat = jnp.broadcast_to(
+        _init_row(dtype)[None, None, :, None], (sg.h0, sg.h1, FEAT, sg.lanes)
+    )
+    size = sg.h0 * sg.h1 * FEAT * sg.lanes
+    prev_idx = jnp.full((n, FEAT), size, jnp.int32)
+    return feat, prev_idx
+
+
+def scatter_slots_cached(feat, prev_idx, addr: SlotAddr, rows, sg: SlotGrid):
+    """Park each particle's previous slots (restore background row), then
+    scatter the new rows — two N×8 scatters instead of a full-grid re-init.
+
+    Every occupied slot is owned by exactly one particle and every particle
+    parks exactly the slots it wrote last step, so after the park the grid
+    is bitwise the background; the rewrite then reproduces `scatter_slots`
+    exactly (tested bitwise in test_pallas_equiv.py).  Dropped/inactive
+    particles hold out-of-bounds indices on both sides (mode="drop")."""
+    park = jnp.broadcast_to(_init_row(rows.dtype)[None, :], rows.shape)
+    idx = _flat_slot_idx(addr, sg)
+    flat = feat.reshape(-1)
+    flat = flat.at[prev_idx].set(park, mode="drop")
+    flat = flat.at[idx].set(rows, mode="drop")
+    return flat.reshape(sg.h0, sg.h1, FEAT, sg.lanes), idx
 
 
 def update_slots_rho_p(feat, addr: SlotAddr, rho, p, sg: SlotGrid):
@@ -541,13 +581,45 @@ def pallas_rho_p_f(
     xb_cells: int = 4,
 ):
     """Drop-in replacement for neighbors.grid_rho_p_f, Pallas-fused."""
+    rho, p, f, _ = _rho_p_f_impl(
+        x, v, active, params, grid, c_rows, xb_cells, cache=None
+    )
+    return rho, p, f
+
+
+def pallas_rho_p_f_cached(
+    x,
+    v,
+    active,
+    params: SimParams,
+    grid: GridSpec,
+    cache,
+    c_rows: int | None = None,
+    xb_cells: int = 4,
+):
+    """Like pallas_rho_p_f, but reuses the persistent slot cache (park +
+    rewrite instead of full-grid re-init).  Returns (rho, p, f, new_cache);
+    bitwise identical to the uncached path."""
+    return _rho_p_f_impl(
+        x, v, active, params, grid, c_rows, xb_cells, cache=cache
+    )
+
+
+def _rho_p_f_impl(
+    x, v, active, params, grid, c_rows, xb_cells, cache
+):
     n, d = x.shape
     sg = slot_grid(grid, c_rows, xb_cells)
 
     addr = build_addr(x, active, grid, sg)
     zeros = jnp.zeros((n,), x.dtype)
 
-    feat = scatter_slots(addr, _pack_rows(x, v, zeros, zeros), sg)
+    rows = _pack_rows(x, v, zeros, zeros)
+    if cache is None:
+        feat = scatter_slots(addr, rows, sg)
+        idx = None
+    else:
+        feat, idx = scatter_slots_cached(cache[0], cache[1], addr, rows, sg)
     rho_slot = _call(
         _density_kernel, feat, addr, sg, params, out_cols=1
     )  # [c_rows, lanes, 1]
@@ -572,7 +644,8 @@ def pallas_rho_p_f(
         [f_flat[flat_idx * FOUT + c] for c in range(d)], axis=1
     )
     f = jnp.where(ok[:, None], f, 0.0)
-    return rho, p, f
+    new_cache = None if cache is None else (feat, idx)
+    return rho, p, f, new_cache
 
 
 def pallas_density(x, active, params: SimParams, grid: GridSpec):

@@ -23,11 +23,15 @@ from sph_tpu.state import State
 
 
 def _rho_p_f(
-    x, v, active, movable, scene: Scene, method: str, grid=None, step=None
+    x, v, active, movable, scene: Scene, method: str, grid=None, step=None,
+    slot_cache=None,
 ):
     """Density → EOS → pairwise forces + gravity + wall penalty + external
-    force fields, one x eval."""
+    force fields, one x eval.  Returns (rho, p, f, new_slot_cache);
+    `slot_cache` (pallas only) is the persistent slot grid threaded through
+    the scan — see pallas_step.init_slot_cache."""
     params = scene.params
+    new_cache = None
     if method == "naive":
         with jax.named_scope("sph_density"):
             rho = physics.density_naive(x, active, params)
@@ -43,7 +47,14 @@ def _rho_p_f(
         from sph_tpu import pallas_step
 
         with jax.named_scope("sph_pallas"):
-            rho, p, f = pallas_step.pallas_rho_p_f(x, v, active, params, grid)
+            if slot_cache is None:
+                rho, p, f = pallas_step.pallas_rho_p_f(
+                    x, v, active, params, grid
+                )
+            else:
+                rho, p, f, new_cache = pallas_step.pallas_rho_p_f_cached(
+                    x, v, active, params, grid, slot_cache
+                )
     else:
         raise ValueError(f"unknown neighbor method {method!r}")
     with jax.named_scope("sph_body_forces"):
@@ -54,16 +65,19 @@ def _rho_p_f(
             )
         if scene.force_fields and step is not None:
             f = f + physics.force_field_force(x, step, scene.force_fields)
-    return rho, p, f
+    return rho, p, f, new_cache
 
 
 def make_step(
-    scene: Scene, method: str = "naive", grid=None
+    scene: Scene, method: str = "naive", grid=None, with_cache: bool = False
 ) -> Callable[[State], State]:
     """Build the pure step function for `scene` (closes over all statics).
 
     method: "naive" (O(N²), C9) | "grid" (cell-hash, C10) | "pallas" (C11).
     `grid` overrides the default GridSpec (cap/chunk tuning).
+    with_cache (pallas only): the returned function is
+    `step(state, slot_cache) -> (state, slot_cache)`, threading the
+    persistent slot grid (pallas_step.init_slot_cache) through the scan.
     """
     params = scene.params
     dt = params.dt
@@ -72,7 +86,7 @@ def make_step(
 
         grid = neighbors.GridSpec.for_scene(scene)
 
-    def step(state: State) -> State:
+    def step_impl(state: State, cache):
         active = state.active
         movable = active & (state.kind == 0)
         mov = movable[:, None].astype(state.x.dtype)
@@ -82,16 +96,18 @@ def make_step(
             # KDK with stored acceleration: one force eval per step.
             v = v + (0.5 * dt) * acc * mov
             x = x + dt * v * mov
-            rho, p, f = _rho_p_f(
-                x, v, active, movable, scene, method, grid, step=state.step
+            rho, p, f, cache = _rho_p_f(
+                x, v, active, movable, scene, method, grid, step=state.step,
+                slot_cache=cache,
             )
             a = f / jnp.maximum(rho, 1e-12)[:, None]
             v = v + (0.5 * dt) * a * mov
             acc = jnp.where(movable[:, None], a, 0.0)
         elif params.integrator == "euler":
             # Semi-implicit (symplectic) Euler: v += dt f/ρ; x += dt v.
-            rho, p, f = _rho_p_f(
-                x, v, active, movable, scene, method, grid, step=state.step
+            rho, p, f, cache = _rho_p_f(
+                x, v, active, movable, scene, method, grid, step=state.step,
+                slot_cache=cache,
             )
             a = f / jnp.maximum(rho, 1e-12)[:, None]
             v = v + dt * a * mov
@@ -105,7 +121,7 @@ def make_step(
             x = jnp.where(movable[:, None], xc, x)
             v = jnp.where(movable[:, None], vc, v)
 
-        return State(
+        new_state = State(
             x=x,
             v=v,
             acc=acc,
@@ -115,8 +131,13 @@ def make_step(
             emit_step=state.emit_step,
             step=state.step + 1,
         )
+        return new_state, cache
 
-    return step
+    if with_cache:
+        if method != "pallas":
+            raise ValueError("with_cache requires method='pallas'")
+        return step_impl
+    return lambda state: step_impl(state, None)[0]
 
 
 def prime(scene: Scene, state: State, method: str = "naive") -> State:
@@ -134,7 +155,7 @@ def prime(scene: Scene, state: State, method: str = "naive") -> State:
         grid = neighbors.GridSpec.for_scene(scene)
     active = state.active
     movable = active & (state.kind == 0)
-    rho, p, f = _rho_p_f(
+    rho, p, f, _ = _rho_p_f(
         state.x, state.v, active, movable, scene, method, grid, step=state.step
     )
     a = f / jnp.maximum(rho, 1e-12)[:, None]
@@ -159,16 +180,47 @@ MAX_PALLAS_STEPS_PER_DISPATCH = 100
 
 def make_advance(
     scene: Scene, method: str = "naive", steps_per_dispatch: int = 100,
-    grid=None,
+    grid=None, slot_cache: bool = False,
 ):
     """jitted `advance(state) -> state` running S steps in one `lax.scan`.
 
     For method="pallas", S is clamped to MAX_PALLAS_STEPS_PER_DISPATCH (see
-    above); drive longer horizons with multiple dispatches (`run` does)."""
+    above); drive longer horizons with multiple dispatches (`run` does).
+    slot_cache=True carries the slot grid through the scan and parks/rewrites
+    only each step's own slots instead of re-initializing — bitwise identical
+    (tested) but measured SLOWER (35.3 vs 30.3 ms/step at 100k-3D: an extra
+    N×8 random scatter costs more than the full-grid background fill, which
+    is a fast fused broadcast).  Kept as an A/B hook; default off."""
     if method == "pallas":
         steps_per_dispatch = min(
             steps_per_dispatch, MAX_PALLAS_STEPS_PER_DISPATCH
         )
+    if method == "pallas" and slot_cache:
+        # Persistent slot cache: the slot grid's full-background init (the
+        # scatter phase's dominant cost) runs once per DISPATCH; each step
+        # parks + rewrites only its own N×8 slots.  Bitwise identical.
+        from sph_tpu import neighbors, pallas_step
+
+        g = grid if grid is not None else neighbors.GridSpec.for_scene(scene)
+        sg = pallas_step.slot_grid(g)
+        step_c = make_step(scene, method, grid=g, with_cache=True)
+
+        @jax.jit
+        def advance(state: State) -> State:
+            cache = pallas_step.init_slot_cache(
+                sg, state.capacity, state.x.dtype
+            )
+
+            def body(carry, _):
+                return step_c(*carry), None
+
+            (out, _), _ = jax.lax.scan(
+                body, (state, cache), length=steps_per_dispatch
+            )
+            return out
+
+        return advance
+
     step = make_step(scene, method, grid=grid)
 
     @jax.jit

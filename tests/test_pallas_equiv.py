@@ -126,6 +126,61 @@ def test_pallas_3d_wcsph_leapfrog_trajectory():
         assert np.max(np.abs(xg - xp)) / ps < 1e-4, f"dispatch {k}"
 
 
+def _uncached_advance(scene, n_steps):
+    """Per-step pallas advance with a fresh slot grid every step (the
+    pre-cache behavior), for bitwise comparison against the cached scan."""
+    import jax
+
+    from sph_tpu.step import make_step
+
+    step = jax.jit(make_step(scene, "pallas"))
+
+    def adv(state):
+        for _ in range(n_steps):
+            state = step(state)
+        return state
+
+    return adv
+
+
+def test_slot_cache_bitwise():
+    """make_advance's persistent slot cache (park + rewrite) is bitwise
+    identical to rebuilding the slot grid from scratch every step: after
+    the park, the grid is exactly the background, so the kernels see
+    identical inputs."""
+    scene = small_scene(dim=2, seed=41)
+    s_c = init(scene)
+    s_u = init(scene)
+    adv_c = make_advance(scene, "pallas", steps_per_dispatch=10,
+                         slot_cache=True)
+    adv_u = _uncached_advance(scene, 10)
+    for k in range(3):
+        s_c = adv_c(s_c)
+        s_u = adv_u(s_u)
+        assert np.array_equal(np.asarray(s_c.x), np.asarray(s_u.x)), k
+        assert np.array_equal(np.asarray(s_c.v), np.asarray(s_u.v)), k
+        assert np.array_equal(np.asarray(s_c.rho), np.asarray(s_u.rho)), k
+
+
+def test_slot_cache_bitwise_emitters():
+    """Mid-scan activations park/write correctly in the persistent cache:
+    a jet emitter scene stays bitwise locked to the uncached path."""
+    from test_emitter import _emitter_scene
+
+    scene = _emitter_scene(width=2, start=5, speed=30.0)
+    s_c = init(scene)
+    s_u = init(scene)
+    adv_c = make_advance(scene, "pallas", steps_per_dispatch=12,
+                         slot_cache=True)
+    adv_u = _uncached_advance(scene, 12)
+    for k in range(2):
+        s_c = adv_c(s_c)
+        s_u = adv_u(s_u)
+        assert np.array_equal(np.asarray(s_c.x), np.asarray(s_u.x)), k
+        assert np.array_equal(np.asarray(s_c.rho), np.asarray(s_u.rho)), k
+    assert int(s_c.n_active()) > int(init(scene).n_active())
+
+
 def test_row_compaction_cap():
     """c_rows smaller than occupied rows: overflow reported, no NaNs."""
     n, dim = 256, 2
