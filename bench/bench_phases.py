@@ -70,38 +70,32 @@ def main():
 
     def scatter(xc, vv):
         f = pallas_step.scatter_slots(
-            addr, pallas_step._pack_rows(xc, vv, zeros, zeros), sg
+            addr, pallas_step._pack_rows6(xc, vv), sg
         )
         return f[0, 0]
 
     timeit("scatter_slots", scatter, x, v)
     feat = jax.jit(
         lambda xx, vv: pallas_step.scatter_slots(
-            addr, pallas_step._pack_rows(xx, vv, zeros, zeros), sg
+            addr, pallas_step._pack_rows6(xx, vv), sg
         )
     )(x, v)
 
     def dens(xc, f_):
         f2 = f_.at[0, 0, 0, 0].add(xc[0, 0] * 1e-30)
-        return pallas_step._call(
-            pallas_step._density_kernel, f2, addr, sg, params, 1
-        )[..., 0]
+        return pallas_step._call_density(f2, addr, sg, params)[0][..., 0]
 
-    timeit("density kernel", dens, x, feat)
+    timeit("density kernel (rho+rp out)", dens, x, feat)
 
-    def force(xc, f_):
-        f2 = f_.at[0, 0, 0, 0].add(xc[0, 0] * 1e-30)
-        return pallas_step._call(
-            pallas_step._force_kernel, f2, addr, sg, params, 4
-        )[..., 0]
-
-    timeit("force kernel", force, x, feat)
-
-    rho_slot = jax.jit(
-        lambda f_: pallas_step._call(
-            pallas_step._density_kernel, f_, addr, sg, params, 1
-        )
+    rho_slot, rp_slot = jax.jit(
+        lambda f_: pallas_step._call_density(f_, addr, sg, params)
     )(feat)
+
+    def force(xc, f_, rp_):
+        f2 = f_.at[0, 0, 0, 0].add(xc[0, 0] * 1e-30)
+        return pallas_step._call_force(f2, rp_, addr, sg, params)[..., 0]
+
+    timeit("force kernel", force, x, feat, rp_slot)
     safe_row = jnp.minimum(addr.row_pos, sg.c_rows - 1)
 
     def gather(xc, rs):

@@ -30,10 +30,10 @@ from sph_tpu.step import make_advance, prime
 FLOORS = {
     ("tutorial2d", "naive"): 1.0e6,
     ("dam2d_10k", "grid"): 6.0e5,
-    ("dam2d_10k", "pallas"): 2.2e6,
+    ("dam2d_10k", "pallas"): 2.4e6,
     ("dam3d_100k", "grid"): 1.8e5,
-    ("dam3d_100k", "pallas"): 2.1e6,
-    ("splash3d_1m", "pallas"): 2.6e6,
+    ("dam3d_100k", "pallas"): 2.5e6,
+    ("splash3d_1m", "pallas"): 3.0e6,
 }
 
 CONFIGS = [

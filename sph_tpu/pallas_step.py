@@ -14,7 +14,7 @@ slices), and only the XC cells inside a group are statically unrolled.
 
 Structure:
 
-  1. XLA side: one scatter packs per-particle features  [x | v | rho | p]
+  1. XLA side: one scatter packs per-particle features  [x | v]
      into a *haloed* slot grid, feature axis on sublanes, (x-cell · cap) on
      lanes: feat[H0, H1, F, H2·cap].  (i-particles are transposed onto
      sublanes *inside* the kernel, [8, 128] → [128, 8] per lane group — a
@@ -33,9 +33,13 @@ Structure:
      skip; inside, XC statically-unrolled cells, each a dense
      [cap(i-sublanes) × 3^(D-1)·3·cap(j-lanes)] pair block on the VPU with
      fixed accumulation order.
-  4. Density pass → EOS elementwise → force pass; per-particle results come
-     back with one cheap N-row gather each (outputs are written in
-     sublane-major layout [C_rows, H2·cap, ·] to avoid output transposes).
+  4. Density pass → force pass, chained WITHOUT a per-particle round trip:
+     the density kernel also emits lane-major (rho, EOS p) rows
+     [C_rows, 2, H2·cap], which the force kernel streams as neighbor
+     strips routed by a prefetched neighbor-row-position table.  The
+     per-particle rho/f gathers (sublane-major [C_rows, H2·cap, ·]
+     outputs, one cheap N-row gather each) only feed the State output,
+     off the kernel critical path.
 
 Capacity semantics: rank >= cap drops out of the tiles (documented static
 cap; overflowed particles fall back to rest density / zero pair force);
@@ -164,7 +168,10 @@ def cell_ranks(flat, n_rows: int):
     return rank, counts
 
 
-def _pack_rows(x, v, rho, p):
+def _pack_rows6(x, v):
+    """[N, 6] scatter rows: x(3) | v(3).  rho/p are NOT scattered into feat
+    — they live in the rp-slot arrays (density-kernel output / scatter_rp);
+    feat columns 6, 7 stay at their zero init."""
     n, d = x.shape
     return jnp.concatenate(
         [
@@ -172,11 +179,9 @@ def _pack_rows(x, v, rho, p):
             jnp.zeros((n, 3 - d), x.dtype),       # pad x to 3 columns
             v,
             jnp.zeros((n, 3 - d), v.dtype),
-            rho[:, None],
-            p[:, None],
         ],
         axis=1,
-    )  # [N, 8]
+    )  # [N, 6]
 
 
 @dataclass(frozen=True)
@@ -193,6 +198,10 @@ class SlotAddr:
     row_codes: jax.Array  # [c_rows] i32: gz·H1 + gy of occupied rows
     n_occ: jax.Array      # [1] i32, clipped to c_rows
     row_pos: jax.Array    # [N] i32 position of the particle's row
+    nbr_pos: jax.Array    # [R, c_rows] i32 compacted position of each
+    #   neighbor row (clamped in-range; unoccupied neighbors point at an
+    #   arbitrary row — safe, their feat slots are all dummies so every
+    #   pair annihilates regardless of what rho/p strip they read)
 
 
 def build_addr(x, active, grid: GridSpec, sg: SlotGrid) -> SlotAddr:
@@ -246,6 +255,17 @@ def build_addr(x, active, grid: GridSpec, sg: SlotGrid) -> SlotAddr:
         jnp.where(jnp.any(is_true), true_pos, sg.c_rows)
     )
     row_pos = row_inv[h0 * sg.h1 + h1]
+    # Per-row neighbor positions in compacted space (for the force kernel's
+    # rho/p strips).  Occupied codes are always interior (real cells map to
+    # halo coords 1..H-2), so code + dz·H1 + dy never leaves [0, H0·H1).
+    # [R, c_rows]: R-major so SMEM's pad-minor-dim-to-128 hits the long
+    # axis (the [c_rows, R] orientation padded R 9→128 = SMEM OOM at 100k)
+    offs = jnp.array(
+        [dz * sg.h1 + dy for dz, dy in sg.row_offsets], jnp.int32
+    )
+    nbr_pos = jnp.minimum(
+        row_inv[row_codes[None, :] + offs[:, None]], sg.c_rows - 1
+    )
     return SlotAddr(
         s0=s0,
         h1=h1,
@@ -257,19 +277,20 @@ def build_addr(x, active, grid: GridSpec, sg: SlotGrid) -> SlotAddr:
         row_codes=row_codes,
         n_occ=n_occ.astype(jnp.int32),
         row_pos=row_pos,
+        nbr_pos=nbr_pos,
     )
 
 
-def _flat_slot_idx(addr: SlotAddr, sg: SlotGrid):
-    """[N, 8] flat element indices of each particle's 8 feature slots in the
-    flattened feat array (out of bounds for dropped particles).
+def _flat_slot_idx(addr: SlotAddr, sg: SlotGrid, ncols: int):
+    """[N, ncols] flat element indices of each particle's feature slots in
+    the flattened feat array (out of bounds for dropped particles).
 
     Scatters/gathers with a SINGLE flat index vector lower to the fast TPU
     path; multi-coordinate advanced indexing (three index vectors) lowers
     to a per-element loop — measured 95 ms vs a few ms at 1M."""
     base = ((addr.s0 * sg.h1 + addr.h1) * FEAT) * sg.lanes + addr.pos
     return base[:, None] + (
-        jnp.arange(FEAT, dtype=jnp.int32) * sg.lanes
+        jnp.arange(ncols, dtype=jnp.int32) * sg.lanes
     )[None, :]
 
 
@@ -285,7 +306,7 @@ def scatter_slots(addr: SlotAddr, rows, sg: SlotGrid):
         _init_row(rows.dtype)[None, None, :, None],
         (sg.h0, sg.h1, FEAT, sg.lanes),
     )
-    flat = feat.reshape(-1).at[_flat_slot_idx(addr, sg)].set(
+    flat = feat.reshape(-1).at[_flat_slot_idx(addr, sg, rows.shape[1])].set(
         rows, mode="drop"
     )
     return flat.reshape(sg.h0, sg.h1, FEAT, sg.lanes)
@@ -313,7 +334,7 @@ def init_slot_cache(sg: SlotGrid, n: int, dtype=jnp.float32):
         _init_row(dtype)[None, None, :, None], (sg.h0, sg.h1, FEAT, sg.lanes)
     )
     size = sg.h0 * sg.h1 * FEAT * sg.lanes
-    prev_idx = jnp.full((n, FEAT), size, jnp.int32)
+    prev_idx = jnp.full((n, 6), size, jnp.int32)  # 6 scattered cols (x|v)
     return feat, prev_idx
 
 
@@ -326,24 +347,14 @@ def scatter_slots_cached(feat, prev_idx, addr: SlotAddr, rows, sg: SlotGrid):
     is bitwise the background; the rewrite then reproduces `scatter_slots`
     exactly (tested bitwise in test_pallas_equiv.py).  Dropped/inactive
     particles hold out-of-bounds indices on both sides (mode="drop")."""
-    park = jnp.broadcast_to(_init_row(rows.dtype)[None, :], rows.shape)
-    idx = _flat_slot_idx(addr, sg)
+    park = jnp.broadcast_to(
+        _init_row(rows.dtype)[None, : rows.shape[1]], rows.shape
+    )
+    idx = _flat_slot_idx(addr, sg, rows.shape[1])
     flat = feat.reshape(-1)
     flat = flat.at[prev_idx].set(park, mode="drop")
     flat = flat.at[idx].set(rows, mode="drop")
     return flat.reshape(sg.h0, sg.h1, FEAT, sg.lanes), idx
-
-
-def update_slots_rho_p(feat, addr: SlotAddr, rho, p, sg: SlotGrid):
-    """Write only the rho/p feature columns (6, 7) into the EXISTING slot
-    grid via flat 1D indices — the x/v scatters from pass 1 are reused.
-    (The catastrophic earlier version was a *sliced multi-coordinate*
-    scatter at[.., 6:8, pos]; flat-index scatters are fine at any width.)"""
-    base = ((addr.s0 * sg.h1 + addr.h1) * FEAT) * sg.lanes + addr.pos
-    idx2 = base[:, None] + jnp.array([6, 7], jnp.int32)[None, :] * sg.lanes
-    rp = jnp.stack([rho, p], axis=1)
-    flat = feat.reshape(-1).at[idx2].set(rp, mode="drop")
-    return flat.reshape(sg.h0, sg.h1, FEAT, sg.lanes)
 
 
 def slot_overflow(x, active, grid: GridSpec, sg: SlotGrid):
@@ -409,14 +420,20 @@ def _self_block(center_ref, g):
     return jnp.transpose(center_ref[0, 0, :, pl.ds(start, LANE)])
 
 
-def _density_kernel(codes_ref, n_ref, gcount_ref, *refs, sg, params):
-    strips, out_ref = refs[:-1], refs[-1]
+def _density_kernel(codes_ref, n_ref, nbr_ref, gcount_ref, *refs,
+                    sg, params):
+    """Density pass.  TWO outputs: out_ref [1, lanes, 1] per-slot rho
+    (sublane-major, cheap per-particle gather) and rp_ref [1, 2, lanes]
+    lane-major (rho, EOS p) rows, which the force kernel streams as
+    neighbor strips — the EOS runs HERE so no per-particle gather/
+    re-scatter sits between the two kernels."""
+    strips, out_ref, rp_ref = refs[:-2], refs[-2], refs[-1]
     center_ref = strips[len(strips) // 2]
     cap = sg.cap
-    n_strips = len(strips)
     c_p, _, _ = kernel_constants(params.dim, params.h, params.kernel_norm)
     h2k = params.h * params.h
     out_ref[...] = jnp.zeros_like(out_ref)
+    rp_ref[...] = jnp.zeros_like(rp_ref)
 
     d_dim = params.dim
 
@@ -427,6 +444,7 @@ def _density_kernel(codes_ref, n_ref, gcount_ref, *refs, sg, params):
             wins = _group_windows(strips, g)          # R × [FEAT, 384]
             start = pl.multiple_of(g * LANE, 8)
             xb = sg.xb
+            rhos = []
             for k in range(0, sg.xc, xb):
                 cand = _cand_block(wins, k, cap, xb)  # [FEAT, R·(xb+2)·cap]
                 r2 = None
@@ -441,15 +459,30 @@ def _density_kernel(codes_ref, n_ref, gcount_ref, *refs, sg, params):
                     q * q * q, axis=1, keepdims=True
                 )  # [xb·cap, 1]
                 out_ref[0, pl.ds(start + k * cap, xb * cap), 0:1] = rho
+                rhos.append(rho)
+            # lane-dim stores must be 128-aligned: assemble the whole
+            # group's [2, LANE] (rho, EOS p) block and store once at g·LANE
+            rho_g = jnp.concatenate(rhos, axis=0)     # [LANE, 1]
+            rp = jnp.concatenate(
+                [rho_g, physics.eos_pressure(rho_g, params)], axis=1
+            )
+            rp_ref[0, 0:2, pl.ds(pl.multiple_of(g * LANE, LANE), LANE)] = (
+                jnp.transpose(rp)
+            )
 
         _group_loop(sg, gcount_ref, group)
 
 
-def _force_kernel(codes_ref, n_ref, gcount_ref, *refs, sg, params):
-    strips, out_ref = refs[:-1], refs[-1]
-    center_ref = strips[len(strips) // 2]
+def _force_kernel(codes_ref, n_ref, nbr_ref, gcount_ref, *refs, sg, params):
+    """Force pass.  feat strips carry x|v; rho and EOS pressure stream in
+    as separate lane-major rp strips (density-kernel output, routed per
+    row by the prefetched neighbor-position table nbr_ref)."""
+    n_r = len(sg.row_offsets)
+    strips, rp_strips = refs[: n_r], refs[n_r : 2 * n_r]
+    out_ref = refs[-1]
+    center_ref = strips[n_r // 2]
+    rp_center = rp_strips[n_r // 2]
     cap = sg.cap
-    n_strips = len(strips)
     d_dim = params.dim
     _, c_s, c_v = kernel_constants(d_dim, params.h, params.kernel_norm)
     hk = params.h
@@ -460,10 +493,19 @@ def _force_kernel(codes_ref, n_ref, gcount_ref, *refs, sg, params):
         def group(g):
             it = _self_block(center_ref, g)           # [128, FEAT], once/group
             wins = _group_windows(strips, g)          # R × [FEAT, 384]
+            start_l = pl.multiple_of(g * LANE, LANE)
+            pT = jnp.transpose(
+                rp_center[0, 1:2, pl.ds(start_l, LANE)]
+            )                                         # [128, 1] self pressure
+            rp_wins = [
+                s[0, 0:2, pl.ds(pl.multiple_of((g - 1) * LANE, LANE), 3 * LANE)]
+                for s in rp_strips
+            ]                                         # R × [2, 384]
             start = pl.multiple_of(g * LANE, 8)
             xb = sg.xb
             for k in range(0, sg.xc, xb):
                 cand = _cand_block(wins, k, cap, xb)  # [FEAT, R·(xb+2)·cap]
+                cand_rp = _cand_block(rp_wins, k, cap, xb)  # [2, R·(xb+2)·cap]
 
                 def self_col(c, k=k):
                     return it[k * cap : (k + xb) * cap, c : c + 1]
@@ -480,10 +522,11 @@ def _force_kernel(codes_ref, n_ref, gcount_ref, *refs, sg, params):
                 r = jnp.sqrt(r2)
                 t = jnp.maximum(hk - r, 0.0)
                 s = c_s * t * t / jnp.maximum(r, 1e-12) * (r > 1e-12)
-                inv_rho_j = 1.0 / jnp.maximum(cand_col(6), 1e-12)
+                inv_rho_j = 1.0 / jnp.maximum(cand_rp[0:1, :], 1e-12)
+                p_i = pT[k * cap : (k + xb) * cap, 0:1]
                 coef_p = (
                     (params.mass * 0.5)
-                    * (self_col(7) + cand_col(7))
+                    * (p_i + cand_rp[1:2, :])
                     * inv_rho_j
                     * s
                 )
@@ -510,10 +553,10 @@ def _force_kernel(codes_ref, n_ref, gcount_ref, *refs, sg, params):
 
 
 def _specs(sg: SlotGrid):
-    """Block specs: group counts (SMEM), feat strips, featT center strip."""
+    """Block specs: group counts (SMEM), feat strips, rho/p strips."""
     h1 = sg.h1
 
-    def center_map(i, codes, n):
+    def center_map(i, codes, n, nbrs):
         r = codes[i]
         return r // h1, r % h1, 0, 0
 
@@ -522,7 +565,7 @@ def _specs(sg: SlotGrid):
     )
 
     def strip_map_factory(dz, dy):
-        def strip_map(i, codes, n):
+        def strip_map(i, codes, n, nbrs):
             r = codes[i]
             return r // h1 + dz, r % h1 + dy, 0, 0
 
@@ -536,33 +579,86 @@ def _specs(sg: SlotGrid):
         )
         for dz, dy in sg.row_offsets
     ]
-    return gcount_spec, strip_specs
+
+    def rp_map_factory(s):
+        def rp_map(i, codes, n, nbrs):
+            return nbrs[s, i], 0, 0
+
+        return rp_map
+
+    rp_specs = [
+        pl.BlockSpec(
+            (1, 2, sg.lanes), rp_map_factory(s), memory_space=pltpu.VMEM
+        )
+        for s in range(len(sg.row_offsets))
+    ]
+    return gcount_spec, strip_specs, rp_specs
 
 
-def _call(kernel, feat, addr: SlotAddr, sg, params, out_cols):
-    gcount_spec, strip_specs = _specs(sg)
+def _prefetch_args(addr: SlotAddr):
+    return addr.row_codes, addr.n_occ, addr.nbr_pos
+
+
+def _call_density(feat, addr: SlotAddr, sg, params):
+    """→ (rho_slot [c_rows, lanes, 1], rp_slot [c_rows, 2, lanes])."""
+    gcount_spec, strip_specs, _ = _specs(sg)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(sg.c_rows,),
         in_specs=[gcount_spec] + strip_specs,
+        out_specs=[
+            pl.BlockSpec(
+                (1, sg.lanes, 1),
+                lambda i, codes, n, nbrs: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 2, sg.lanes),
+                lambda i, codes, n, nbrs: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_density_kernel, sg=sg, params=params),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((sg.c_rows, sg.lanes, 1), feat.dtype),
+            jax.ShapeDtypeStruct((sg.c_rows, 2, sg.lanes), feat.dtype),
+        ],
+        interpret=_interpret(),
+    )(
+        *_prefetch_args(addr),
+        addr.gcounts,
+        *([feat] * len(strip_specs)),
+    )
+
+
+def _call_force(feat, rp, addr: SlotAddr, sg, params):
+    """→ f_slot [c_rows, lanes, FOUT]."""
+    gcount_spec, strip_specs, rp_specs = _specs(sg)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(sg.c_rows,),
+        in_specs=[gcount_spec] + strip_specs + rp_specs,
         out_specs=pl.BlockSpec(
-            (1, sg.lanes, out_cols),
-            lambda i, codes, n: (i, 0, 0),
+            (1, sg.lanes, FOUT),
+            lambda i, codes, n, nbrs: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
     return pl.pallas_call(
-        functools.partial(kernel, sg=sg, params=params),
+        functools.partial(_force_kernel, sg=sg, params=params),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (sg.c_rows, sg.lanes, out_cols), feat.dtype
+            (sg.c_rows, sg.lanes, FOUT), feat.dtype
         ),
         interpret=_interpret(),
     )(
-        addr.row_codes,
-        addr.n_occ,
+        *_prefetch_args(addr),
         addr.gcounts,
         *([feat] * len(strip_specs)),
+        *([rp] * len(rp_specs)),
     )
 
 
@@ -612,17 +708,19 @@ def _rho_p_f_impl(
     sg = slot_grid(grid, c_rows, xb_cells)
 
     addr = build_addr(x, active, grid, sg)
-    zeros = jnp.zeros((n,), x.dtype)
 
-    rows = _pack_rows(x, v, zeros, zeros)
+    rows = _pack_rows6(x, v)
     if cache is None:
         feat = scatter_slots(addr, rows, sg)
         idx = None
     else:
         feat, idx = scatter_slots_cached(cache[0], cache[1], addr, rows, sg)
-    rho_slot = _call(
-        _density_kernel, feat, addr, sg, params, out_cols=1
-    )  # [c_rows, lanes, 1]
+    rho_slot, rp_slot = _call_density(feat, addr, sg, params)
+    # forces consume rho + EOS p straight from rp_slot (kernel-side EOS) —
+    # the per-particle gather below is only for the State output and runs
+    # OFF the kernel critical path
+    f_slot = _call_force(feat, rp_slot, addr, sg, params)
+
     ok = addr.valid & (addr.row_pos < sg.c_rows)
     # single flat index vector: multi-coordinate advanced indexing lowers to
     # a much slower gather on TPU than one flattened row gather
@@ -633,10 +731,6 @@ def _rho_p_f_impl(
     rho = jnp.where(ok, rho, params.rest_density)
     p = physics.eos_pressure(rho, params)
 
-    feat = update_slots_rho_p(feat, addr, rho, p, sg)
-    f_slot = _call(
-        _force_kernel, feat, addr, sg, params, out_cols=FOUT
-    )  # [c_rows, lanes, FOUT]
     # fully-1D flatten: reshape(-1, FOUT) would force a relayout whose
     # 4-lane minor dim pads 32x (9+ GB of padding at 1M — an HBM OOM)
     f_flat = f_slot.reshape(-1)
@@ -655,13 +749,25 @@ def pallas_density(x, active, params: SimParams, grid: GridSpec):
     n, _ = x.shape
     sg = slot_grid(grid)
     addr = build_addr(x, active, grid, sg)
-    zeros = jnp.zeros((n,), x.dtype)
-    feat = scatter_slots(addr, _pack_rows(x, jnp.zeros_like(x), zeros, zeros), sg)
-    rho_slot = _call(_density_kernel, feat, addr, sg, params, out_cols=1)
+    feat = scatter_slots(addr, _pack_rows6(x, jnp.zeros_like(x)), sg)
+    rho_slot, _ = _call_density(feat, addr, sg, params)
     ok = addr.valid & (addr.row_pos < sg.c_rows)
     flat_idx = jnp.minimum(addr.row_pos, sg.c_rows - 1) * sg.lanes + addr.pos
     rho = rho_slot.reshape(-1)[flat_idx]
     return jnp.where(ok, rho, params.rest_density)
+
+
+def scatter_rp(addr: SlotAddr, rho, p, sg: SlotGrid):
+    """Scatter EXTERNAL per-particle rho/p (e.g. halo-exchanged ghost
+    values, decomp.py) into the [c_rows, 2, lanes] rp-slot layout the
+    force kernel streams."""
+    ok = addr.valid & (addr.row_pos < sg.c_rows)
+    size = sg.c_rows * 2 * sg.lanes
+    base = jnp.where(ok, addr.row_pos * 2 * sg.lanes + addr.pos, size)
+    idx2 = base[:, None] + jnp.array([0, 1], jnp.int32)[None, :] * sg.lanes
+    rp = jnp.stack([rho, p], axis=1)
+    flat = jnp.zeros((size,), rho.dtype).at[idx2].set(rp, mode="drop")
+    return flat.reshape(sg.c_rows, 2, sg.lanes)
 
 
 def pallas_forces(x, v, rho, p, active, params: SimParams, grid: GridSpec):
@@ -669,8 +775,9 @@ def pallas_forces(x, v, rho, p, active, params: SimParams, grid: GridSpec):
     n, d = x.shape
     sg = slot_grid(grid)
     addr = build_addr(x, active, grid, sg)
-    feat = scatter_slots(addr, _pack_rows(x, v, rho, p), sg)
-    f_slot = _call(_force_kernel, feat, addr, sg, params, out_cols=FOUT)
+    feat = scatter_slots(addr, _pack_rows6(x, v), sg)
+    rp = scatter_rp(addr, rho, p, sg)
+    f_slot = _call_force(feat, rp, addr, sg, params)
     ok = addr.valid & (addr.row_pos < sg.c_rows)
     flat_idx = jnp.minimum(addr.row_pos, sg.c_rows - 1) * sg.lanes + addr.pos
     f_flat = f_slot.reshape(-1)
