@@ -207,21 +207,28 @@ def calibrate(scene: Scene) -> Scene:
     density error at t=0 and the fluid explodes.  The standard SPH remedy:
     m = ρ₀ / Σ_lattice W(r), summing the kernel over an infinite lattice of
     pitch `spacing` (computed here over the support stencil, host-side).
+
+    Pure host-side NumPy — scene building must never touch a device (the
+    round-1 multichip dryrun died exactly here when the first jnp op hit the
+    axon TPU; see VERDICT.md item 1).
     """
     import itertools
+    import math
 
     import numpy as np
 
-    from sph_tpu.kernels import kernel_constants, poly6
+    from sph_tpu.kernels import kernel_constants
 
     p = scene.params
     s = scene.spacing or p.h * 0.55
-    reach = int(np.ceil(p.h / s))
+    reach = int(math.ceil(p.h / s))
     c_p, _, _ = kernel_constants(p.dim, p.h, p.kernel_norm)
+    h2 = float(np.float32(p.h) * np.float32(p.h))
     w_sum = 0.0
     for off in itertools.product(range(-reach, reach + 1), repeat=p.dim):
         r2 = sum((o * s) ** 2 for o in off)
-        w_sum += float(poly6(np.float32(r2), p.h, c_p))
+        q = max(h2 - float(np.float32(r2)), 0.0)  # fp32-rounded like the jnp path
+        w_sum += float(np.float32(c_p) * np.float32(q) ** 3)
     mass = p.rest_density / w_sum
     return scene.replace(params=p.replace(mass=mass))
 
