@@ -9,6 +9,13 @@ Timing rule learned at survey time: async timings lie on this platform
 (`block_until_ready` under-reports ~1000×) — every measurement runs >=100
 steps inside one `lax.scan` dispatch and fetches a checksum to force real
 completion.
+
+The default (driver-facing) run measures the FULL config ladder and prints
+one JSON line: the flagship entry's metric plus a `ladder` key with every
+config's numbers and its slot-overflow count (must be 0 — a too-small
+static cap would otherwise fake a speedup by dropping physics).
+`--config`/`--method` restrict to one config; `--all` prints one JSON line
+per ladder entry instead (human-facing).
 """
 
 from __future__ import annotations
@@ -24,7 +31,11 @@ import numpy as np
 
 from sph_tpu.params import preset
 from sph_tpu.state import init
-from sph_tpu.step import make_advance, prime
+from sph_tpu.step import (
+    MAX_PALLAS_STEPS_PER_DISPATCH,
+    make_advance,
+    prime,
+)
 
 # The reference publishes no numbers (BASELINE.json "published": {}), so the
 # baseline is the reference's own algorithm — naive all-pairs — run on THIS
@@ -41,7 +52,29 @@ def checksum(state) -> float:
     return float(jnp.sum(state.x, dtype=jnp.float32))
 
 
+def overflow_counts(scene, state, method: str) -> int:
+    """Total static-cap overflow at `state` (pallas path only; 0 elsewhere).
+
+    A nonzero count means the measured configuration dropped pair physics —
+    the measurement is then invalid (cap must be raised), so main() asserts
+    this is zero for every ladder entry."""
+    if method != "pallas":
+        return 0
+    from sph_tpu import neighbors, pallas_step
+
+    grid = neighbors.GridSpec.for_scene(scene)
+    sg = pallas_step.slot_grid(grid)
+    cell_over, row_over = jax.jit(
+        lambda s: pallas_step.slot_overflow(s.x, s.active, grid, sg)
+    )(state)
+    return int(cell_over) + int(row_over)
+
+
 def bench_config(scene, method: str, steps: int, repeats: int = 3):
+    if method == "pallas":
+        # keep in sync with make_advance's platform clamp, or throughput
+        # would be inflated by steps/MAX (ADVICE r1)
+        steps = min(steps, MAX_PALLAS_STEPS_PER_DISPATCH)
     state = init(scene)
     if scene.params.integrator == "leapfrog":
         state = jax.jit(lambda s: prime(scene, s, method=method))(state)
@@ -56,7 +89,25 @@ def bench_config(scene, method: str, steps: int, repeats: int = 3):
         checksum(state)  # forces completion (async timings unreliable here)
         best = min(best, time.perf_counter() - t0)
     n_active = int(state.n_active())
-    return n_active * steps / best, best / steps, n_active
+    overflow = overflow_counts(scene, state, method)
+    return n_active * steps / best, best / steps, n_active, overflow
+
+
+def measure(name: str, method: str, steps: int):
+    """One ladder entry → result dict (raises if the config can't run)."""
+    scene = preset(name)
+    pstep_s, s_per_step, n, overflow = bench_config(scene, method, steps)
+    return {
+        "config": name,
+        "method": method,
+        "n": n,
+        "particle_steps_per_s": pstep_s,
+        "ms_per_step": s_per_step * 1e3,
+        "slot_overflow": overflow,
+        # speedup over the reference algorithm (naive all-pairs) at the
+        # same n on this same chip
+        "vs_baseline": pstep_s / (SURVEY_NAIVE_PAIR_RATE / n),
+    }
 
 
 def main():
@@ -64,50 +115,91 @@ def main():
     ap.add_argument("--config", default="auto")
     ap.add_argument("--method", default="auto")
     ap.add_argument("--steps", type=int, default=100)
-    ap.add_argument("--all", action="store_true", help="bench every config")
+    ap.add_argument(
+        "--all", action="store_true",
+        help="print one JSON line per ladder entry (default: one combined "
+             "flagship line with a `ladder` key)",
+    )
     args = ap.parse_args()
 
-    # Flagship measurement: the largest config the current build supports.
+    # Flagship first; (config, method, steps) — slower portable paths get
+    # fewer steps so the full ladder stays within a driver-friendly budget.
     ladder = [
-        ("splash3d_1m", "pallas"),
-        ("dam3d_100k", "pallas"),
-        ("dam3d_100k", "grid"),
-        ("dam2d_10k", "grid"),
-        ("tutorial2d", "naive"),
+        ("splash3d_1m", "pallas", args.steps),
+        ("dam3d_100k", "pallas", args.steps),
+        ("dam3d_100k", "grid", min(args.steps, 20)),
+        ("dam2d_10k", "grid", args.steps),
+        ("tutorial2d", "naive", max(args.steps, 200)),
     ]
     if args.config != "auto":
         if args.method != "auto":
-            ladder = [(args.config, args.method)]
+            ladder = [(args.config, args.method, args.steps)]
         else:
             # fastest-first method ladder for the named config (naive at
             # 100k+ would allocate an [N, N] pair matrix — instant OOM)
             ladder = [
-                (args.config, m) for m in ("pallas", "grid", "naive")
+                (args.config, m, args.steps)
+                for m in ("pallas", "grid", "naive")
             ]
-
-    for name, method in ladder:
-        try:
-            scene = preset(name)
-            pstep_s, s_per_step, n = bench_config(scene, method, args.steps)
-            print(
-                json.dumps(
-                    {
-                        "metric": f"particle-steps/sec ({name}, {method}, n={n})",
-                        "value": pstep_s,
-                        "unit": "particle-steps/s",
-                        # speedup over the reference algorithm (naive
-                        # all-pairs) at the same n on this same chip
-                        "vs_baseline": pstep_s / (SURVEY_NAIVE_PAIR_RATE / n),
-                    }
+        results = []
+        for name, method, steps in ladder:
+            try:
+                results.append(measure(name, method, steps))
+                break
+            except Exception as e:  # noqa: BLE001 — fall down the ladder
+                print(
+                    f"# {name}/{method} unavailable: {type(e).__name__}: {e}",
+                    file=sys.stderr,
                 )
-            )
-            return 0
-        except Exception as e:  # noqa: BLE001 — fall down the ladder
-            print(f"# {name}/{method} unavailable: {type(e).__name__}: {e}",
-                  file=sys.stderr)
-    print(json.dumps({"metric": "no-config-ran", "value": 0.0,
-                      "unit": "particle-steps/s", "vs_baseline": 0.0}))
-    return 1
+    else:
+        results = []
+        for name, method, steps in ladder:
+            try:
+                results.append(measure(name, method, steps))
+            except Exception as e:  # noqa: BLE001
+                print(
+                    f"# {name}/{method} unavailable: {type(e).__name__}: {e}",
+                    file=sys.stderr,
+                )
+
+    if not results:
+        print(json.dumps({"metric": "no-config-ran", "value": 0.0,
+                          "unit": "particle-steps/s", "vs_baseline": 0.0}))
+        return 1
+
+    bad = [r for r in results if r["slot_overflow"]]
+    for r in bad:
+        print(
+            f"# OVERFLOW: {r['config']}/{r['method']} dropped "
+            f"{r['slot_overflow']} slots — measurement invalid",
+            file=sys.stderr,
+        )
+
+    if args.all:
+        for r in results:
+            print(json.dumps({
+                "metric": (
+                    f"particle-steps/sec ({r['config']}, {r['method']}, "
+                    f"n={r['n']})"
+                ),
+                "value": r["particle_steps_per_s"],
+                "unit": "particle-steps/s",
+                "vs_baseline": r["vs_baseline"],
+                "slot_overflow": r["slot_overflow"],
+            }))
+    else:
+        flag = results[0]
+        print(json.dumps({
+            "metric": (
+                f"particle-steps/sec ({flag['config']}, {flag['method']}, "
+                f"n={flag['n']})"
+            ),
+            "value": flag["particle_steps_per_s"],
+            "unit": "particle-steps/s",
+            "vs_baseline": flag["vs_baseline"],
+            "ladder": results,
+        }))
+    return 1 if bad else 0
 
 
 if __name__ == "__main__":

@@ -94,17 +94,17 @@ def shard_state(state: State, mesh: Mesh) -> State:
 
 
 def make_dp_step(scene: Scene, mesh: Mesh) -> Callable[[State], State]:
-    """Particle-sharded all-pairs step; bitwise-matches the naive path."""
+    """Particle-sharded all-pairs step; bitwise-matches the naive path.
+
+    Supports both integrators (euler / leapfrog KDK, same scheme as
+    step.make_step) and scene.force_fields (ADVICE r1: this used to
+    silently integrate leapfrog scenes with Euler)."""
     params = scene.params
     dt = params.dt
 
-    def sharded(state: State) -> State:
-        # leaves arrive as per-device shards
-        active = state.emit_step <= state.step
-        movable = active & (state.kind == 0)
-        mov = movable[:, None].astype(state.x.dtype)
-        x, v = state.x, state.v
-
+    def rho_p_f(x, v, active, step):
+        """All-gathered pair sums; per-row reduction shape matches the
+        single-device naive path (bitwise anchor)."""
         x_all = jax.lax.all_gather(x, AXIS, tiled=True)
         v_all = jax.lax.all_gather(v, AXIS, tiled=True)
         act_all = jax.lax.all_gather(active, AXIS, tiled=True)
@@ -135,10 +135,28 @@ def make_dp_step(scene: Scene, mesh: Mesh) -> Callable[[State], State]:
         f = f + physics.gravity_force(rho, params)
         if params.boundary_mode == "penalty":
             f = f + physics.wall_penalty_force(x, v, scene.lo, scene.hi, params)
+        if scene.force_fields:
+            f = f + physics.force_field_force(x, step, scene.force_fields)
+        return rho, p, f
 
-        a = f / jnp.maximum(rho, 1e-12)[:, None]
-        v = v + dt * a * mov
-        x = x + dt * v * mov
+    def sharded(state: State) -> State:
+        # leaves arrive as per-device shards
+        active = state.emit_step <= state.step
+        movable = active & (state.kind == 0)
+        mov = movable[:, None].astype(state.x.dtype)
+        x, v, acc = state.x, state.v, state.acc
+
+        if params.integrator == "leapfrog":
+            v = v + (0.5 * dt) * acc * mov
+            x = x + dt * v * mov
+            rho, p, f = rho_p_f(x, v, active, state.step)
+            a = f / jnp.maximum(rho, 1e-12)[:, None]
+            v = v + (0.5 * dt) * a * mov
+        else:
+            rho, p, f = rho_p_f(x, v, active, state.step)
+            a = f / jnp.maximum(rho, 1e-12)[:, None]
+            v = v + dt * a * mov
+            x = x + dt * v * mov
         acc = jnp.where(movable[:, None], a, 0.0)
         if params.boundary_mode == "clamp":
             xc, vc = physics.clamp_boundary(x, v, scene.lo, scene.hi, params)
@@ -334,11 +352,17 @@ def _make_spatial_local(
 
     def pack_mig(x, v, acc, kind, emit, d):
         z = jnp.zeros((x.shape[0], 3 - d), x.dtype)
+        # emit_step travels BITCAST to float32, not value-cast: int32 values
+        # above 2^24 (e.g. very long runs' step counts) would round in a
+        # value cast and corrupt the active mask after migration (ADVICE r1).
+        # The buffer only moves through gathers/ppermute — no arithmetic —
+        # so arbitrary bit patterns survive transport exactly.
+        emit_bits = jax.lax.bitcast_convert_type(emit, jnp.float32)
         return jnp.concatenate(
             [
                 x, z, v, z, acc, z,
                 kind[:, None].astype(x.dtype),
-                emit[:, None].astype(x.dtype),
+                emit_bits[:, None],
             ],
             axis=1,
         )
@@ -474,6 +498,8 @@ def _make_spatial_local(
         f = f + physics.gravity_force(rho, params)
         if params.boundary_mode == "penalty":
             f = f + physics.wall_penalty_force(x, v, scene.lo, scene.hi, params)
+        if scene.force_fields:
+            f = f + physics.force_field_force(x, st.step, scene.force_fields)
 
         # ---- (c) integrate locals ----
         a = f / jnp.maximum(rho, 1e-12)[:, None]
@@ -540,7 +566,8 @@ def _make_spatial_local(
             incoming[:, 9].astype(jnp.int32), mode="drop"
         )
         emit = emit.at[slot].set(
-            incoming[:, 10].astype(jnp.int32), mode="drop"
+            jax.lax.bitcast_convert_type(incoming[:, 10], jnp.int32),
+            mode="drop",
         )
 
         overflow = ov1 + ov2 + ov3 + ov4 + ins_overflow

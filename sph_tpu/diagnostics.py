@@ -43,7 +43,8 @@ def scalar_pack(state: State, params: SimParams) -> jax.Array:
     """[9] float32 frame diagnostics, computed on device (SURVEY.md §5.5)."""
     act = state.active
     w = act.astype(jnp.float32)
-    n = jnp.maximum(jnp.sum(w), 1.0)
+    n_true = jnp.sum(w)            # reported count (0 when scene is empty)
+    n = jnp.maximum(n_true, 1.0)   # safe divisor for the mean
     speed2 = jnp.sum(state.v * state.v, axis=-1)
     max_speed = jnp.sqrt(jnp.max(jnp.where(act, speed2, 0.0)))
     rho = jnp.where(act, state.rho, jnp.nan)
@@ -54,7 +55,8 @@ def scalar_pack(state: State, params: SimParams) -> jax.Array:
     mom3 = jnp.concatenate([mom, jnp.zeros((3 - mom.shape[0],), mom.dtype)])
     ke = 0.5 * params.mass * jnp.sum(speed2 * w)
     return jnp.stack(
-        [max_speed, min_rho, mean_rho, max_rho, mom3[0], mom3[1], mom3[2], ke, n]
+        [max_speed, min_rho, mean_rho, max_rho, mom3[0], mom3[1], mom3[2],
+         ke, n_true]
     )
 
 
@@ -85,6 +87,11 @@ class Watchdog:
 
     def check(self, pack) -> dict:
         s = scalars_dict(pack)
+        if s["n_active"] == 0:
+            # a legitimately empty frame (e.g. emitters that start later)
+            # yields min_rho=+inf / max_rho=-inf from the masked reductions;
+            # nothing to check until particles exist (ADVICE r1)
+            return s
         bad = []
         for k, v in s.items():
             if not np.isfinite(v):

@@ -199,9 +199,15 @@ class SlotAddr:
     n_occ: jax.Array      # [1] i32, clipped to c_rows
     row_pos: jax.Array    # [N] i32 position of the particle's row
     nbr_pos: jax.Array    # [R, c_rows] i32 compacted position of each
-    #   neighbor row (clamped in-range; unoccupied neighbors point at an
-    #   arbitrary row — safe, their feat slots are all dummies so every
-    #   pair annihilates regardless of what rho/p strip they read)
+    #   neighbor row, clamped in-range for the BlockSpec index_map
+    nbr_ok: jax.Array     # [R, c_rows] i32 1 iff the neighbor row IS in the
+    #   compacted set.  0 covers two cases: (a) row unoccupied — harmless,
+    #   its feat slots are all dummies so pairs annihilate anyway; (b) row
+    #   occupied but dropped by c_rows overflow — there the feat strip holds
+    #   REAL positions while nbr_pos points at an unrelated row's rho/p
+    #   strip, so the force kernel must zero these pairs exactly (the
+    #   documented zero-pair-force fallback; unmasked this produced huge
+    #   bogus forces via rho=0 → 1/rho=1e12 — ADVICE r1)
 
 
 def build_addr(x, active, grid: GridSpec, sg: SlotGrid) -> SlotAddr:
@@ -263,9 +269,9 @@ def build_addr(x, active, grid: GridSpec, sg: SlotGrid) -> SlotAddr:
     offs = jnp.array(
         [dz * sg.h1 + dy for dz, dy in sg.row_offsets], jnp.int32
     )
-    nbr_pos = jnp.minimum(
-        row_inv[row_codes[None, :] + offs[:, None]], sg.c_rows - 1
-    )
+    nbr_raw = row_inv[row_codes[None, :] + offs[:, None]]
+    nbr_pos = jnp.minimum(nbr_raw, sg.c_rows - 1)
+    nbr_ok = (nbr_raw < sg.c_rows).astype(jnp.int32)
     return SlotAddr(
         s0=s0,
         h1=h1,
@@ -278,6 +284,7 @@ def build_addr(x, active, grid: GridSpec, sg: SlotGrid) -> SlotAddr:
         n_occ=n_occ.astype(jnp.int32),
         row_pos=row_pos,
         nbr_pos=nbr_pos,
+        nbr_ok=nbr_ok,
     )
 
 
@@ -420,7 +427,7 @@ def _self_block(center_ref, g):
     return jnp.transpose(center_ref[0, 0, :, pl.ds(start, LANE)])
 
 
-def _density_kernel(codes_ref, n_ref, nbr_ref, gcount_ref, *refs,
+def _density_kernel(codes_ref, n_ref, nbr_ref, nbrok_ref, gcount_ref, *refs,
                     sg, params):
     """Density pass.  TWO outputs: out_ref [1, lanes, 1] per-slot rho
     (sublane-major, cheap per-particle gather) and rp_ref [1, 2, lanes]
@@ -473,7 +480,7 @@ def _density_kernel(codes_ref, n_ref, nbr_ref, gcount_ref, *refs,
         _group_loop(sg, gcount_ref, group)
 
 
-def _force_kernel(codes_ref, n_ref, nbr_ref, gcount_ref, *refs, sg, params):
+def _force_kernel(codes_ref, n_ref, nbr_ref, nbrok_ref, gcount_ref, *refs, sg, params):
     """Force pass.  feat strips carry x|v; rho and EOS pressure stream in
     as separate lane-major rp strips (density-kernel output, routed per
     row by the prefetched neighbor-position table nbr_ref)."""
@@ -488,8 +495,29 @@ def _force_kernel(codes_ref, n_ref, nbr_ref, gcount_ref, *refs, sg, params):
     hk = params.h
     out_ref[...] = jnp.zeros_like(out_ref)
 
-    @pl.when(pl.program_id(0) < n_ref[0])
+    # program_id must be read at kernel top level (inside the pl.when body
+    # it has no interpret-mode binding — the cond body lowers as plain CPU
+    # jax where the primitive has no rule)
+    i_prog = pl.program_id(0)
+
+    @pl.when(i_prog < n_ref[0])
     def _():
+        # Per-strip neighbor-row validity mask, constant per program: a
+        # neighbor row dropped by c_rows overflow has REAL feat positions
+        # but an unrelated row's rho/p strip aliased in — those pairs must
+        # contribute exactly zero force (documented fallback).  Folding the
+        # mask into inv_rho_j zeroes both coef_p and coef_v.
+        w_c = (sg.xb + 2) * cap
+        nbr_mask = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    nbrok_ref[s_i, i_prog].astype(out_ref.dtype), (1, w_c)
+                )
+                for s_i in range(n_r)
+            ],
+            axis=1,
+        )  # [1, R·(xb+2)·cap]
+
         def group(g):
             it = _self_block(center_ref, g)           # [128, FEAT], once/group
             wins = _group_windows(strips, g)          # R × [FEAT, 384]
@@ -522,7 +550,7 @@ def _force_kernel(codes_ref, n_ref, nbr_ref, gcount_ref, *refs, sg, params):
                 r = jnp.sqrt(r2)
                 t = jnp.maximum(hk - r, 0.0)
                 s = c_s * t * t / jnp.maximum(r, 1e-12) * (r > 1e-12)
-                inv_rho_j = 1.0 / jnp.maximum(cand_rp[0:1, :], 1e-12)
+                inv_rho_j = nbr_mask / jnp.maximum(cand_rp[0:1, :], 1e-12)
                 p_i = pT[k * cap : (k + xb) * cap, 0:1]
                 coef_p = (
                     (params.mass * 0.5)
@@ -556,7 +584,7 @@ def _specs(sg: SlotGrid):
     """Block specs: group counts (SMEM), feat strips, rho/p strips."""
     h1 = sg.h1
 
-    def center_map(i, codes, n, nbrs):
+    def center_map(i, codes, n, nbrs, nbrok):
         r = codes[i]
         return r // h1, r % h1, 0, 0
 
@@ -565,7 +593,7 @@ def _specs(sg: SlotGrid):
     )
 
     def strip_map_factory(dz, dy):
-        def strip_map(i, codes, n, nbrs):
+        def strip_map(i, codes, n, nbrs, nbrok):
             r = codes[i]
             return r // h1 + dz, r % h1 + dy, 0, 0
 
@@ -581,7 +609,7 @@ def _specs(sg: SlotGrid):
     ]
 
     def rp_map_factory(s):
-        def rp_map(i, codes, n, nbrs):
+        def rp_map(i, codes, n, nbrs, nbrok):
             return nbrs[s, i], 0, 0
 
         return rp_map
@@ -596,25 +624,25 @@ def _specs(sg: SlotGrid):
 
 
 def _prefetch_args(addr: SlotAddr):
-    return addr.row_codes, addr.n_occ, addr.nbr_pos
+    return addr.row_codes, addr.n_occ, addr.nbr_pos, addr.nbr_ok
 
 
 def _call_density(feat, addr: SlotAddr, sg, params):
     """→ (rho_slot [c_rows, lanes, 1], rp_slot [c_rows, 2, lanes])."""
     gcount_spec, strip_specs, _ = _specs(sg)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(sg.c_rows,),
         in_specs=[gcount_spec] + strip_specs,
         out_specs=[
             pl.BlockSpec(
                 (1, sg.lanes, 1),
-                lambda i, codes, n, nbrs: (i, 0, 0),
+                lambda i, codes, n, nbrs, nbrok: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 2, sg.lanes),
-                lambda i, codes, n, nbrs: (i, 0, 0),
+                lambda i, codes, n, nbrs, nbrok: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -638,12 +666,12 @@ def _call_force(feat, rp, addr: SlotAddr, sg, params):
     """→ f_slot [c_rows, lanes, FOUT]."""
     gcount_spec, strip_specs, rp_specs = _specs(sg)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(sg.c_rows,),
         in_specs=[gcount_spec] + strip_specs + rp_specs,
         out_specs=pl.BlockSpec(
             (1, sg.lanes, FOUT),
-            lambda i, codes, n, nbrs: (i, 0, 0),
+            lambda i, codes, n, nbrs, nbrok: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )

@@ -253,6 +253,12 @@ def run(
         state = init(scene)
     if scene.params.integrator == "leapfrog" and int(state.step) == 0:
         state = jax.jit(functools.partial(prime, scene, method=method))(state)
+    if method == "pallas":
+        # keep the dispatch plan consistent with make_advance's clamp, so
+        # exactly n_steps run (unclamped, run() would silently under-step)
+        steps_per_dispatch = min(
+            steps_per_dispatch, MAX_PALLAS_STEPS_PER_DISPATCH
+        )
     n_disp, rem = divmod(n_steps, steps_per_dispatch)
     advance = make_advance(scene, method, steps_per_dispatch)
     for _ in range(n_disp):

@@ -38,6 +38,31 @@ def test_watchdog_detects_injected_nan_within_one_frame():
         wd.check(diagnostics.scalar_pack(state, scene.params))
 
 
+def test_watchdog_tolerates_empty_frame():
+    """A legitimately empty frame (emitters that start later) yields
+    min_rho=+inf / max_rho=-inf from the masked reductions; the watchdog
+    must not abort on it (ADVICE r1)."""
+    from sph_tpu.params import Emitter, Scene, SimParams, calibrate
+
+    scene = calibrate(
+        Scene(
+            params=SimParams(),
+            blocks=(),
+            emitters=(
+                Emitter(
+                    pos=(400.0, 500.0), velocity=(0.0, -50.0), start_step=50
+                ),
+            ),
+            capacity=256,
+        )
+    )
+    state = init(scene)
+    assert int(state.n_active()) == 0
+    wd = diagnostics.Watchdog(scene.params)
+    s = wd.check(diagnostics.scalar_pack(state, scene.params))
+    assert s["n_active"] == 0
+
+
 def test_checkpoint_resume_bitwise(tmp_path):
     scene = small_scene(dim=2, seed=50)
     adv = make_advance(scene, "naive", steps_per_dispatch=20)

@@ -41,6 +41,58 @@ def test_dp_step_bitwise_vs_naive():
     assert np.array_equal(vs, np.asarray(ref.v))
 
 
+def test_dp_step_matches_naive_leapfrog():
+    """DP path honors params.integrator (ADVICE r1: leapfrog scenes used to
+    silently integrate with Euler).  Positions stay bitwise; velocities are
+    1-ulp-tolerance (XLA fuses the final half-kick differently inside the
+    shard_map program — fma contraction variance)."""
+    scene = small_scene(dim=2, seed=63, integrator="leapfrog", eos="tait")
+    mesh = decomp.mesh1d(8)
+    from sph_tpu.step import prime
+
+    state = prime(scene, init(scene), method="naive")
+    ref = state
+    step_ref = jax.jit(make_step(scene, "naive"))
+    sharded = decomp.shard_state(state, mesh)
+    step_dp = decomp.make_dp_step(scene, mesh)
+    for _ in range(10):
+        sharded = step_dp(sharded)
+        ref = step_ref(ref)
+    cap = ref.capacity
+    assert np.array_equal(np.asarray(sharded.x)[:cap], np.asarray(ref.x))
+    vs, vr = np.asarray(sharded.v)[:cap], np.asarray(ref.v)
+    assert np.allclose(vs, vr, rtol=1e-6, atol=1e-6)
+
+
+def test_dp_step_applies_force_fields():
+    """DP path applies scene.force_fields (ADVICE r1: silently dropped)."""
+    from sph_tpu.params import ForceField
+
+    base = small_scene(dim=2, seed=64)
+    scene = base.replace(
+        force_fields=(
+            ForceField(pos=(60.0, 60.0), strength=5e4, radius=80.0),
+        )
+    )
+    mesh = decomp.mesh1d(8)
+    state = init(scene)
+    ref = init(scene)
+    step_ref = jax.jit(make_step(scene, "naive"))
+    sharded = decomp.shard_state(state, mesh)
+    step_dp = decomp.make_dp_step(scene, mesh)
+    for _ in range(5):
+        sharded = step_dp(sharded)
+        ref = step_ref(ref)
+    cap = ref.capacity
+    assert np.array_equal(np.asarray(sharded.x)[:cap], np.asarray(ref.x))
+    # and the field actually did something vs the field-free scene
+    plain = init(base)
+    step_plain = jax.jit(make_step(base, "naive"))
+    for _ in range(5):
+        plain = step_plain(plain)
+    assert not np.array_equal(np.asarray(ref.x), np.asarray(plain.x))
+
+
 def _wide_scene(seed=61, **params_kw):
     """A wide shallow pool so 8 slabs each hold fluid and particles flow
     across slab boundaries."""
@@ -102,6 +154,37 @@ def test_spatial_matches_single_device(method, params_kw):
 
     xm = _sorted_active(np.asarray(merged.x), act_m)
     xr = _sorted_active(np.asarray(ref.x), act_r)
+    scale = np.max(np.abs(xr)) + 1e-6
+    assert np.max(np.abs(xm - xr)) / scale < 1e-4
+
+
+def test_spatial_applies_force_fields():
+    """Spatial path applies scene.force_fields (ADVICE r1: silently
+    dropped) — trajectories track the single-device step."""
+    from sph_tpu.params import ForceField
+
+    scene = _wide_scene(seed=65).replace(
+        force_fields=(
+            ForceField(pos=(800.0, 150.0), strength=8e4, radius=200.0),
+        )
+    )
+    mesh = decomp.mesh1d(8)
+    state = init(scene)
+    spec = decomp.SpatialSpec.for_scene(scene, 8, state.capacity)
+    loc = decomp.spatial_shard_state(state, scene, spec, mesh)
+    adv_sp = decomp.make_spatial_advance(
+        scene, spec, mesh, method="grid", steps_per_dispatch=40
+    )
+    step_ref = jax.jit(make_step(scene, "grid"))
+    ref = state
+    loc, overflow = adv_sp(loc)
+    assert int(overflow) == 0
+    for _ in range(40):
+        ref = step_ref(ref)
+    merged = decomp.spatial_gather_state(loc)
+    act_m = np.asarray(merged.emit_step) <= int(merged.step)
+    xm = _sorted_active(np.asarray(merged.x), act_m)
+    xr = _sorted_active(np.asarray(ref.x), np.asarray(ref.active))
     scale = np.max(np.abs(xr)) + 1e-6
     assert np.max(np.abs(xm - xr)) / scale < 1e-4
 

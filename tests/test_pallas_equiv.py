@@ -199,3 +199,31 @@ def test_row_compaction_cap():
     )
     assert np.all(np.isfinite(np.asarray(rho)))
     assert np.all(np.isfinite(np.asarray(f)))
+
+
+def test_row_overflow_zero_pair_force_fallback():
+    """Neighbor rows dropped by c_rows overflow contribute ZERO pair force —
+    not garbage.  Regression (ADVICE r1): the force kernel used to pair the
+    dropped rows' REAL positions with an unrelated row's rho/p strip, where
+    empty lanes gave rho=0 → 1/rho=1e12 → astronomic forces on NON-dropped
+    particles."""
+    n, dim = 256, 2
+    x = random_cloud(n, dim, 0.0, 120.0, seed=42)[0].astype(np.float32)
+    rng = np.random.default_rng(43)
+    v = rng.uniform(-5, 5, (n, dim)).astype(np.float32)
+    active = np.ones(n, bool)
+    p = SimParams(dim=dim, gravity=(0.0, 0.0), kernel_norm="proper")
+    scene = Scene(params=p, lo=(0.0, 0.0), hi=(120.0, 120.0))
+    grid = neighbors.GridSpec.for_scene(scene)
+    xa, va, aa = jnp.asarray(x), jnp.asarray(v), jnp.asarray(active)
+
+    _, _, f_full = pallas_step.pallas_rho_p_f(xa, va, aa, p, grid)
+    sg = pallas_step.slot_grid(grid, c_rows=2)
+    _, row_over = pallas_step.slot_overflow(xa, aa, grid, sg)
+    assert int(row_over) > 0
+    _, _, f_over = pallas_step.pallas_rho_p_f(xa, va, aa, p, grid, c_rows=2)
+
+    scale = np.max(np.abs(np.asarray(f_full))) + 1e-9
+    # dropping contributions can shift force balance a bit, but never by
+    # orders of magnitude (the bug produced ~1e9× scale)
+    assert np.max(np.abs(np.asarray(f_over))) < 10.0 * scale
