@@ -4,7 +4,7 @@ Times each phase of pallas_rho_p_f in isolation with loop-carried data
 dependence (XLA hoists loop-invariant computation out of fori_loop, so naive
 repeat-timing lies — measured on this machine).
 
-Usage: python bench/bench_phases.py [config] [iters]
+Usage: python bench/bench_phases.py [config] [iters] [engine]
 """
 
 from __future__ import annotations
@@ -45,15 +45,16 @@ def timeit(name, fn, x0, *args, iters=20):
 def main():
     name = sys.argv[1] if len(sys.argv) > 1 else "dam2d_10k"
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    engine = sys.argv[3] if len(sys.argv) > 3 else "mxu"
     scene = preset(name)
     grid = neighbors.GridSpec.for_scene(scene)
-    sg = pallas_step.slot_grid(grid)
+    sg = pallas_step.slot_grid(grid, engine=engine)
     state = init(scene)
     x, v, act = state.x, state.v, state.active
     params = scene.params
     n = state.capacity
     print(
-        f"{name}: n={n} grid={grid.shape} cap={grid.cap} "
+        f"{name} [{engine}]: n={n} grid={grid.shape} cap={grid.cap} "
         f"lanes={sg.lanes} c_rows={sg.c_rows}"
     )
 
@@ -83,17 +84,17 @@ def main():
 
     def dens(xc, f_):
         f2 = f_.at[0, 0, 0, 0].add(xc[0, 0] * 1e-30)
-        return pallas_step._call_density(f2, addr, sg, params)[0][..., 0]
+        return pallas_step._call_density(f2, addr, sg, params, grid)[0][..., 0]
 
     timeit("density kernel (rho+rp out)", dens, x, feat)
 
     rho_slot, rp_slot = jax.jit(
-        lambda f_: pallas_step._call_density(f_, addr, sg, params)
+        lambda f_: pallas_step._call_density(f_, addr, sg, params, grid)
     )(feat)
 
     def force(xc, f_, rp_):
         f2 = f_.at[0, 0, 0, 0].add(xc[0, 0] * 1e-30)
-        return pallas_step._call_force(f2, rp_, addr, sg, params)[..., 0]
+        return pallas_step._call_force(f2, rp_, addr, sg, params, grid)[..., 0]
 
     timeit("force kernel", force, x, feat, rp_slot)
     safe_row = jnp.minimum(addr.row_pos, sg.c_rows - 1)
@@ -106,7 +107,7 @@ def main():
 
     timeit(
         "FULL pallas_rho_p_f",
-        lambda xc: pallas_step.pallas_rho_p_f(xc, v, act, params, grid)[2],
+        lambda xc: pallas_step.pallas_rho_p_f(xc, v, act, params, grid, engine=engine)[2],
         x,
         iters=max(5, iters // 2),
     )

@@ -89,6 +89,12 @@ class SlotGrid:
     cap: int                 # must divide 128
     c_rows: int              # occupied-row capacity (static)
     xb_cells: int = 4        # cells batched per vector op (clipped to xc)
+    engine: str = "vpu"      # "vpu" (direct per-component dx on the
+    #   vector unit — the default) | "mxu" (pair math on the systolic array
+    #   via the |xi-xj|² expansion + NT force reductions; kept as a tested,
+    #   DOCUMENTED DEAD END: measured 15-25% slower in situ at 100k-3D
+    #   because Mosaic's only accurate dot precision (HIGHEST = 6 bf16
+    #   passes) costs more than the VPU ops it replaces — see ROADMAP.md)
 
     @property
     def dim(self) -> int:
@@ -130,10 +136,15 @@ class SlotGrid:
 
 
 def slot_grid(
-    grid: GridSpec, c_rows: int | None = None, xb_cells: int = 4
+    grid: GridSpec,
+    c_rows: int | None = None,
+    xb_cells: int = 4,
+    engine: str = "vpu",
 ) -> SlotGrid:
     if LANE % grid.cap != 0:
         raise ValueError(f"pallas path needs cap | 128, got {grid.cap}")
+    if engine not in ("mxu", "vpu"):
+        raise ValueError(f"engine must be 'mxu' or 'vpu', got {engine!r}")
     dim = len(grid.shape)
     inner_rows = (grid.shape[0] + 2 if dim == 3 else 1) * (grid.shape[-2] + 2)
     if c_rows is None:
@@ -144,6 +155,7 @@ def slot_grid(
         cap=grid.cap,
         c_rows=min(c_rows, inner_rows),
         xb_cells=xb_cells,
+        engine=engine,
     )
 
 
@@ -576,6 +588,214 @@ def _force_kernel(codes_ref, n_ref, nbr_ref, nbrok_ref, gcount_ref, *refs, sg, p
 
 
 # ---------------------------------------------------------------------------
+# MXU pair engine: r² via the |xi−xj|² = bi + bj − 2·xi·xj expansion (K=3
+# matmul on the systolic array) and force reductions as NT matmuls
+# Σⱼ coef·[xj|1] — the VPU stops doing per-component dx math entirely.
+#
+# fp32 safety: the expansion cancels catastrophically at absolute coords
+# (~800² vs r²~1), so both sides are first centered on the candidate
+# window (|rel| ≤ ~6 cells ⇒ r² abs error ~1e-2 at bf16x3/fp32 — a
+# documented ~1e-4-relative force tolerance vs the exact-dx "vpu" engine).
+# Empty-slot dummies stay at 1e18: bj ~ 3e36 < fp32 max, q = t = 0, and
+# every coefficient is exactly zero before it meets a 1e18 in a matmul.
+# ---------------------------------------------------------------------------
+
+# Measured (bench/probe_mxu2.py): DEFAULT (single bf16 pass) rounds the
+# centered coordinates to bf16 — r² abs err ~150 at window scale, unusable;
+# HIGHEST keeps r² to ~0.007 abs.  HIGH is not lowered by Mosaic.
+MXU_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _window_center(sg: SlotGrid, grid, code, g, d_dim):
+    """Traced window-center coordinates, ordered like the position
+    components in the feat rows (3D: [z(h0), y(h1), x(lanes)])."""
+    cell = grid.cell
+    xc = sg.xc
+    gf = g.astype(jnp.float32)
+    # lanes of group g cover halo x-cells [g·xc, (g+1)·xc); halo cell hx is
+    # inner cell hx − xc, so the group's x midpoint is lo + ((g+0.5)·xc − xc)·cell
+    x_c = grid.lo[-1] + ((gf + 0.5) * xc - xc) * cell
+    gy = (code % sg.h1).astype(jnp.float32)
+    y_c = grid.lo[-2] + (gy - 0.5) * cell     # halo row gy = inner gy−1
+    if d_dim == 2:
+        return [y_c, x_c]
+    gz = (code // sg.h1).astype(jnp.float32)
+    z_c = grid.lo[0] + (gz - 0.5) * cell
+    return [z_c, y_c, x_c]
+
+
+def _centered_self(it, cvec, d_dim):
+    """it[:, 0:d] − center → [128, d] (per-component: Mosaic-friendly)."""
+    return jnp.concatenate(
+        [it[:, c : c + 1] - cvec[c] for c in range(d_dim)], axis=1
+    )
+
+
+def _centered_cand(cand, cvec, d_dim):
+    """cand[0:d, :] − center → [d, CAND]."""
+    return jnp.concatenate(
+        [cand[c : c + 1, :] - cvec[c] for c in range(d_dim)], axis=0
+    )
+
+
+def _mxu_r2(xik, bik, cj, bj):
+    """r² block [B, CAND] from centered coords; clamped ≥ 0 (the expansion
+    rounds slightly negative for near-coincident pairs — sqrt safety)."""
+    dot = jax.lax.dot_general(
+        xik, cj, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=MXU_PRECISION,
+    )
+    return jnp.maximum((bik - (dot + dot)) + bj, 0.0)
+
+
+def _density_kernel_mxu(codes_ref, n_ref, nbr_ref, nbrok_ref, gcount_ref,
+                        *refs, sg, params, grid):
+    """Density pass, MXU engine.  Same outputs as _density_kernel."""
+    strips, out_ref, rp_ref = refs[:-2], refs[-2], refs[-1]
+    center_ref = strips[len(strips) // 2]
+    cap = sg.cap
+    c_p, _, _ = kernel_constants(params.dim, params.h, params.kernel_norm)
+    h2k = params.h * params.h
+    out_ref[...] = jnp.zeros_like(out_ref)
+    rp_ref[...] = jnp.zeros_like(rp_ref)
+    d_dim = params.dim
+    i_prog = pl.program_id(0)
+
+    @pl.when(i_prog < n_ref[0])
+    def _():
+        code = codes_ref[i_prog]
+
+        def group(g):
+            it = _self_block(center_ref, g)           # [128, FEAT]
+            wins = _group_windows(strips, g)          # R × [FEAT, 384]
+            cvec = _window_center(sg, grid, code, g, d_dim)
+            xi = _centered_self(it, cvec, d_dim)      # [128, d]
+            bi = jnp.sum(xi * xi, axis=1, keepdims=True)
+            start = pl.multiple_of(g * LANE, 8)
+            xb = sg.xb
+            rhos = []
+            for k in range(0, sg.xc, xb):
+                cand = _cand_block(wins, k, cap, xb)  # [FEAT, CAND]
+                cj = _centered_cand(cand, cvec, d_dim)
+                bj = jnp.sum(cj * cj, axis=0, keepdims=True)
+                sl = slice(k * cap, (k + xb) * cap)
+                r2 = _mxu_r2(xi[sl, :], bi[sl, :], cj, bj)
+                q = jnp.maximum(h2k - r2, 0.0)
+                rho = (params.mass * c_p) * jnp.sum(
+                    q * q * q, axis=1, keepdims=True
+                )
+                out_ref[0, pl.ds(start + k * cap, xb * cap), 0:1] = rho
+                rhos.append(rho)
+            rho_g = jnp.concatenate(rhos, axis=0)     # [LANE, 1]
+            rp = jnp.concatenate(
+                [rho_g, physics.eos_pressure(rho_g, params)], axis=1
+            )
+            rp_ref[0, 0:2, pl.ds(pl.multiple_of(g * LANE, LANE), LANE)] = (
+                jnp.transpose(rp)
+            )
+
+        _group_loop(sg, gcount_ref, group)
+
+
+def _force_kernel_mxu(codes_ref, n_ref, nbr_ref, nbrok_ref, gcount_ref,
+                      *refs, sg, params, grid):
+    """Force pass, MXU engine.
+
+    Pair force Σⱼ coef_p·(xi−xj) + coef_v·(vj−vi) splits into rank-1 and
+    matmul terms:  (Σcoef_p)·xi − Σcoef_p·xj  +  Σcoef_v·vj − (Σcoef_v)·vi,
+    so each coef matrix reduces through ONE NT matmul against [feat | 1]."""
+    n_r = len(sg.row_offsets)
+    strips, rp_strips = refs[:n_r], refs[n_r : 2 * n_r]
+    out_ref = refs[-1]
+    center_ref = strips[n_r // 2]
+    rp_center = rp_strips[n_r // 2]
+    cap = sg.cap
+    d_dim = params.dim
+    _, c_s, c_v = kernel_constants(d_dim, params.h, params.kernel_norm)
+    hk = params.h
+    out_ref[...] = jnp.zeros_like(out_ref)
+    i_prog = pl.program_id(0)
+
+    @pl.when(i_prog < n_ref[0])
+    def _():
+        code = codes_ref[i_prog]
+        w_c = (sg.xb + 2) * cap
+        nbr_mask = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    nbrok_ref[s_i, i_prog].astype(out_ref.dtype), (1, w_c)
+                )
+                for s_i in range(n_r)
+            ],
+            axis=1,
+        )  # [1, R·(xb+2)·cap] — see _force_kernel
+
+        def group(g):
+            it = _self_block(center_ref, g)           # [128, FEAT]
+            wins = _group_windows(strips, g)
+            cvec = _window_center(sg, grid, code, g, d_dim)
+            xi = _centered_self(it, cvec, d_dim)      # [128, d]
+            start_l = pl.multiple_of(g * LANE, LANE)
+            pT = jnp.transpose(
+                rp_center[0, 1:2, pl.ds(start_l, LANE)]
+            )                                         # [128, 1] self pressure
+            rp_wins = [
+                s[0, 0:2, pl.ds(pl.multiple_of((g - 1) * LANE, LANE), 3 * LANE)]
+                for s in rp_strips
+            ]
+            bi = jnp.sum(xi * xi, axis=1, keepdims=True)
+            start = pl.multiple_of(g * LANE, 8)
+            xb = sg.xb
+            for k in range(0, sg.xc, xb):
+                cand = _cand_block(wins, k, cap, xb)  # [FEAT, CAND]
+                cand_rp = _cand_block(rp_wins, k, cap, xb)  # [2, CAND]
+                cj = _centered_cand(cand, cvec, d_dim)
+                bj = jnp.sum(cj * cj, axis=0, keepdims=True)
+                sl = slice(k * cap, (k + xb) * cap)
+                r2 = _mxu_r2(xi[sl, :], bi[sl, :], cj, bj)
+                inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-24))
+                r = r2 * inv_r
+                t = jnp.maximum(hk - r, 0.0)
+                # s(r)=c_s t²/r, exactly zero at r→0 (self/coincident pairs)
+                s = c_s * t * t * inv_r * (r2 > 1e-24)
+                inv_rho_j = nbr_mask / jnp.maximum(cand_rp[0:1, :], 1e-12)
+                p_i = pT[sl, 0:1]
+                coef_p = (
+                    (params.mass * 0.5)
+                    * (p_i + cand_rp[1:2, :])
+                    * (inv_rho_j * s)
+                )
+                coef_v = (params.viscosity * params.mass * c_v) * (
+                    inv_rho_j * t
+                )
+                ones = jnp.ones((1, cj.shape[1]), cj.dtype)
+                a_p = jnp.concatenate([cj, ones], axis=0)  # [d+1, CAND]
+                a_v = jnp.concatenate(
+                    [cand[3 : 3 + d_dim, :], ones], axis=0
+                )
+                m_p = jax.lax.dot_general(
+                    coef_p, a_p, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=MXU_PRECISION,
+                )  # [B, d+1]: Σcoef_p·xj_rel | Σcoef_p
+                m_v = jax.lax.dot_general(
+                    coef_v, a_v, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=MXU_PRECISION,
+                )  # [B, d+1]: Σcoef_v·vj | Σcoef_v
+                vi = it[sl, 3 : 3 + d_dim]
+                f = (
+                    m_p[:, d_dim : d_dim + 1] * xi[sl, :]
+                    - m_p[:, 0:d_dim]
+                    + m_v[:, 0:d_dim]
+                    - m_v[:, d_dim : d_dim + 1] * vi
+                )
+                out_ref[0, pl.ds(start + k * cap, xb * cap), 0:d_dim] = f
+
+        _group_loop(sg, gcount_ref, group)
+
+
+# ---------------------------------------------------------------------------
 # pallas_call wrappers
 # ---------------------------------------------------------------------------
 
@@ -627,7 +847,7 @@ def _prefetch_args(addr: SlotAddr):
     return addr.row_codes, addr.n_occ, addr.nbr_pos, addr.nbr_ok
 
 
-def _call_density(feat, addr: SlotAddr, sg, params):
+def _call_density(feat, addr: SlotAddr, sg, params, grid):
     """→ (rho_slot [c_rows, lanes, 1], rp_slot [c_rows, 2, lanes])."""
     gcount_spec, strip_specs, _ = _specs(sg)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -647,8 +867,14 @@ def _call_density(feat, addr: SlotAddr, sg, params):
             ),
         ],
     )
+    if sg.engine == "mxu":
+        kern = functools.partial(
+            _density_kernel_mxu, sg=sg, params=params, grid=grid
+        )
+    else:
+        kern = functools.partial(_density_kernel, sg=sg, params=params)
     return pl.pallas_call(
-        functools.partial(_density_kernel, sg=sg, params=params),
+        kern,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((sg.c_rows, sg.lanes, 1), feat.dtype),
@@ -662,7 +888,7 @@ def _call_density(feat, addr: SlotAddr, sg, params):
     )
 
 
-def _call_force(feat, rp, addr: SlotAddr, sg, params):
+def _call_force(feat, rp, addr: SlotAddr, sg, params, grid):
     """→ f_slot [c_rows, lanes, FOUT]."""
     gcount_spec, strip_specs, rp_specs = _specs(sg)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -675,8 +901,14 @@ def _call_force(feat, rp, addr: SlotAddr, sg, params):
             memory_space=pltpu.VMEM,
         ),
     )
+    if sg.engine == "mxu":
+        kern = functools.partial(
+            _force_kernel_mxu, sg=sg, params=params, grid=grid
+        )
+    else:
+        kern = functools.partial(_force_kernel, sg=sg, params=params)
     return pl.pallas_call(
-        functools.partial(_force_kernel, sg=sg, params=params),
+        kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (sg.c_rows, sg.lanes, FOUT), feat.dtype
@@ -703,10 +935,12 @@ def pallas_rho_p_f(
     grid: GridSpec,
     c_rows: int | None = None,
     xb_cells: int = 4,
+    engine: str = "vpu",
 ):
     """Drop-in replacement for neighbors.grid_rho_p_f, Pallas-fused."""
     rho, p, f, _ = _rho_p_f_impl(
-        x, v, active, params, grid, c_rows, xb_cells, cache=None
+        x, v, active, params, grid, c_rows, xb_cells, cache=None,
+        engine=engine,
     )
     return rho, p, f
 
@@ -720,20 +954,22 @@ def pallas_rho_p_f_cached(
     cache,
     c_rows: int | None = None,
     xb_cells: int = 4,
+    engine: str = "vpu",
 ):
     """Like pallas_rho_p_f, but reuses the persistent slot cache (park +
     rewrite instead of full-grid re-init).  Returns (rho, p, f, new_cache);
     bitwise identical to the uncached path."""
     return _rho_p_f_impl(
-        x, v, active, params, grid, c_rows, xb_cells, cache=cache
+        x, v, active, params, grid, c_rows, xb_cells, cache=cache,
+        engine=engine,
     )
 
 
 def _rho_p_f_impl(
-    x, v, active, params, grid, c_rows, xb_cells, cache
+    x, v, active, params, grid, c_rows, xb_cells, cache, engine="vpu"
 ):
     n, d = x.shape
-    sg = slot_grid(grid, c_rows, xb_cells)
+    sg = slot_grid(grid, c_rows, xb_cells, engine=engine)
 
     addr = build_addr(x, active, grid, sg)
 
@@ -743,11 +979,11 @@ def _rho_p_f_impl(
         idx = None
     else:
         feat, idx = scatter_slots_cached(cache[0], cache[1], addr, rows, sg)
-    rho_slot, rp_slot = _call_density(feat, addr, sg, params)
+    rho_slot, rp_slot = _call_density(feat, addr, sg, params, grid)
     # forces consume rho + EOS p straight from rp_slot (kernel-side EOS) —
     # the per-particle gather below is only for the State output and runs
     # OFF the kernel critical path
-    f_slot = _call_force(feat, rp_slot, addr, sg, params)
+    f_slot = _call_force(feat, rp_slot, addr, sg, params, grid)
 
     ok = addr.valid & (addr.row_pos < sg.c_rows)
     # single flat index vector: multi-coordinate advanced indexing lowers to
@@ -770,15 +1006,16 @@ def _rho_p_f_impl(
     return rho, p, f, new_cache
 
 
-def pallas_density(x, active, params: SimParams, grid: GridSpec):
+def pallas_density(x, active, params: SimParams, grid: GridSpec,
+                   engine: str = "vpu"):
     """Density-only phase (split API for the halo-exchange step, mirroring
     neighbors.grid_density — sph_tpu/decomp.py re-imports ghost rho/p
     between phases)."""
     n, _ = x.shape
-    sg = slot_grid(grid)
+    sg = slot_grid(grid, engine=engine)
     addr = build_addr(x, active, grid, sg)
     feat = scatter_slots(addr, _pack_rows6(x, jnp.zeros_like(x)), sg)
-    rho_slot, _ = _call_density(feat, addr, sg, params)
+    rho_slot, _ = _call_density(feat, addr, sg, params, grid)
     ok = addr.valid & (addr.row_pos < sg.c_rows)
     flat_idx = jnp.minimum(addr.row_pos, sg.c_rows - 1) * sg.lanes + addr.pos
     rho = rho_slot.reshape(-1)[flat_idx]
@@ -798,14 +1035,15 @@ def scatter_rp(addr: SlotAddr, rho, p, sg: SlotGrid):
     return flat.reshape(sg.c_rows, 2, sg.lanes)
 
 
-def pallas_forces(x, v, rho, p, active, params: SimParams, grid: GridSpec):
+def pallas_forces(x, v, rho, p, active, params: SimParams, grid: GridSpec,
+                  engine: str = "vpu"):
     """Force-only phase given rho/p (split API, see pallas_density)."""
     n, d = x.shape
-    sg = slot_grid(grid)
+    sg = slot_grid(grid, engine=engine)
     addr = build_addr(x, active, grid, sg)
     feat = scatter_slots(addr, _pack_rows6(x, v), sg)
     rp = scatter_rp(addr, rho, p, sg)
-    f_slot = _call_force(feat, rp, addr, sg, params)
+    f_slot = _call_force(feat, rp, addr, sg, params, grid)
     ok = addr.valid & (addr.row_pos < sg.c_rows)
     flat_idx = jnp.minimum(addr.row_pos, sg.c_rows - 1) * sg.lanes + addr.pos
     f_flat = f_slot.reshape(-1)

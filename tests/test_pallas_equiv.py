@@ -29,9 +29,17 @@ CASES = {
 }
 
 
+# Per-engine force tolerance (relative to max |f|): the default "vpu"
+# engine computes exact per-component dx; the "mxu" engine (documented
+# experiment) pairs through the |xi−xj|² expansion with window-centered
+# coordinates, whose cancellation costs ~2 decades of precision.
+ENGINE_FTOL = {"vpu": 3e-5, "mxu": 3e-4}
+
+
+@pytest.mark.parametrize("engine", ["vpu", "mxu"])
 @pytest.mark.parametrize("case", sorted(CASES))
 @pytest.mark.parametrize("dim", [2, 3])
-def test_pallas_matches_grid(case, dim):
+def test_pallas_matches_grid(case, dim, engine):
     n = 200
     x = CASES[case](n, dim)[:, :dim].astype(np.float32)
     rng = np.random.default_rng(35)
@@ -46,12 +54,14 @@ def test_pallas_matches_grid(case, dim):
 
     xa, va, aa = jnp.asarray(x), jnp.asarray(v), jnp.asarray(active)
     rho_g, p_g, f_g = neighbors.grid_rho_p_f(xa, va, aa, p, grid)
-    rho_p, p_p, f_p = pallas_step.pallas_rho_p_f(xa, va, aa, p, grid)
+    rho_p, p_p, f_p = pallas_step.pallas_rho_p_f(
+        xa, va, aa, p, grid, engine=engine
+    )
     rho_g, f_g, rho_p, f_p = map(np.asarray, (rho_g, f_g, rho_p, f_p))
 
-    assert np.allclose(rho_p, rho_g, rtol=3e-6, atol=1e-6), case
+    assert np.allclose(rho_p, rho_g, rtol=1e-5, atol=1e-6), case
     scale = np.max(np.abs(f_g)) + 1e-9
-    assert np.max(np.abs(f_p - f_g)) / scale < 3e-5, case
+    assert np.max(np.abs(f_p - f_g)) / scale < ENGINE_FTOL[engine], case
 
 
 def test_pallas_overflow_parity_with_grid():
