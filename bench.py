@@ -29,6 +29,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from sph_tpu.platform import ensure_backend
+
+ensure_backend()  # stale JAX_PLATFORMS env (axon→tpu rename) — see platform.py
+
 from sph_tpu.params import preset
 from sph_tpu.state import init
 from sph_tpu.step import (

@@ -18,7 +18,16 @@ import json
 import sys
 import time
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
+
 import jax
+
+from sph_tpu.platform import ensure_backend
+
+ensure_backend()  # stale JAX_PLATFORMS env (axon-era) -- see sph_tpu/platform.py
 import jax.numpy as jnp
 
 from sph_tpu.params import preset

@@ -10,6 +10,11 @@ Run on the real TPU: python bench/probe_mxu.py
 import functools
 import time
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

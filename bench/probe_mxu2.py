@@ -17,6 +17,11 @@ Also prints max |r2_mxu - r2_vpu| for DEFAULT and HIGHEST dot precision
 import functools
 import time
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -16,6 +16,10 @@ import time
 
 import jax
 
+from sph_tpu.platform import ensure_backend
+
+ensure_backend()  # stale JAX_PLATFORMS env (axon-era) -- see sph_tpu/platform.py
+
 from sph_tpu import diagnostics, render
 from sph_tpu.params import calibrate, preset, preset_names, scene_from_json
 from sph_tpu.state import init

@@ -22,9 +22,15 @@ TPU-native scaling axes are:
      (c) integrates its locals, and
      (d) *migrates* particles that crossed a slab face (fixed-capacity send
          buffers; receivers scatter into inactive slots).
-   Scales compute AND memory 1/n; bitwise equality with single-device is
-   impossible (slot order changes under migration), so the test contract is
-   tight-tolerance trajectories + exact mass/activation conservation.
+   Scales compute AND memory 1/n: particle arrays are cap_local-sized and
+   the neighbor grid is slab-local (`GridSpec.for_slab` — along the slab
+   axis it covers one slab + ghost band, with per-device integer cell-index
+   offsets against the global lattice; VERDICT r1 item 5).  Bitwise
+   equality with single-device is impossible (slot order changes under
+   migration), so the test contract is tight-tolerance trajectories +
+   exact mass/activation conservation.  Emitters are supported: pending
+   slots ship to the slab owning their spawn position; migration reuses
+   only INACTIVE slots so scheduled emissions survive (VERDICT r1 item 6).
 
 The "communication backend" is deliberately just these XLA collectives
 (`ppermute`, `all_gather`, `psum`) reached through this one module — mesh
@@ -233,6 +239,48 @@ class SpatialSpec:
             cap_mig=_round_up(cap_local // 4 + 64, 64),
         )
 
+    @staticmethod
+    def for_state(
+        scene: Scene,
+        state,
+        n_shards: int,
+        axis: int = 0,
+        headroom: float = 3.0,
+    ) -> "SpatialSpec":
+        """Lumpiness-aware spec: sizes cap_local from the state's ACTUAL
+        worst-slab occupancy × headroom instead of a blind balance factor
+        (a dam-break column concentrates most particles in a few slabs, so
+        `for_scene` needed hand-tuned `balance` — VERDICT r1).  Headroom
+        covers later compression/sloshing into one slab; overflow is still
+        reported by the advance loop if it ever exceeds this."""
+        import numpy as np_
+
+        lo, hi = scene.lo[axis], scene.hi[axis]
+        slab_w = (hi - lo) / n_shards
+        if slab_w < 2 * scene.params.h:
+            raise ValueError(
+                f"slab width {slab_w} < 2h; fewer shards or a wider domain"
+            )
+        x = np_.asarray(state.x)
+        live = np_.asarray(state.emit_step) != int(INACTIVE)
+        slab = np_.clip(
+            ((x[:, axis] - lo) // slab_w).astype(int), 0, n_shards - 1
+        )
+        worst = int(np_.bincount(slab[live], minlength=n_shards).max())
+        cap_local = min(
+            _round_up(state.capacity, 64),
+            _round_up(int(worst * headroom) + 64, 64),
+        )
+        return SpatialSpec(
+            n_shards=n_shards,
+            axis=axis,
+            slab_lo=lo,
+            slab_w=slab_w,
+            cap_local=cap_local,
+            cap_ghost=_round_up(cap_local // 2 + 64, 64),
+            cap_mig=_round_up(cap_local // 4 + 64, 64),
+        )
+
 
 def _chained(x, prev):
     """Order collectives: make `x` depend on `prev` so independent
@@ -263,7 +311,9 @@ def spatial_shard_state(state: State, scene: Scene, spec: SpatialSpec, mesh: Mes
     a leading device axis and device_put sharded."""
     n = spec.n_shards
     x = np.asarray(state.x)
-    active = np.asarray(state.emit_step) <= int(state.step)
+    # live = active now OR scheduled to activate later (pending emitter
+    # slots travel to the slab owning their precomputed spawn position)
+    live = np.asarray(state.emit_step) != int(INACTIVE)
     slab = np.clip(
         ((x[:, spec.axis] - spec.slab_lo) // spec.slab_w).astype(int), 0, n - 1
     )
@@ -275,7 +325,7 @@ def spatial_shard_state(state: State, scene: Scene, spec: SpatialSpec, mesh: Mes
     out = {k: [] for k in fields}
     park = x.min(axis=0) * 0 + np.float32(-1e6)
     for s in range(n):
-        sel = active & (slab == s)
+        sel = live & (slab == s)
         cnt = sel.sum()
         if cnt > spec.cap_local:
             raise ValueError(f"slab {s} holds {cnt} > cap_local {spec.cap_local}")
@@ -320,12 +370,13 @@ def _make_spatial_local(
     scene: Scene, spec: SpatialSpec, mesh: Mesh, method: str = "grid"
 ):
     """Build the per-device slab step body (halo exchange → local grid
-    compute → integrate → migrate); wrapped by make_spatial_step/advance."""
-    if scene.emitters:
-        raise NotImplementedError(
-            "spatial decomposition + emitters: pending slots would collide "
-            "with migration free-slot reuse (round-2 work)"
-        )
+    compute → integrate → migrate); wrapped by make_spatial_step/advance.
+
+    Emitters work under decomposition: pending slots (emit_step in the
+    future) are routed to the slab owning their spawn position at shard
+    time (spatial_shard_state) and activate there; migration only ever
+    reuses slots whose emit_step is INACTIVE, so arrivals cannot clobber a
+    scheduled emission (VERDICT r1 item 6)."""
     params = scene.params
     dt = params.dt
     n_sh = spec.n_shards
@@ -336,7 +387,12 @@ def _make_spatial_local(
     if method in ("grid", "pallas"):
         from sph_tpu import neighbors
 
-        grid = neighbors.GridSpec.for_scene(scene)
+        # Slab-local grid: covers one slab + ghost band, NOT the full
+        # domain, so grid/slot memory per device scales 1/n_shards
+        # (VERDICT r1 item 5).  Each device shifts cell indices by a whole
+        # number of cells (ci_offset below) — integer math, so the pair
+        # physics is bitwise independent of the decomposition.
+        grid = neighbors.GridSpec.for_slab(scene, spec.slab_w, ax)
 
     right = [(i, (i + 1) % n_sh) for i in range(n_sh)]
     left = [(i, (i - 1) % n_sh) for i in range(n_sh)]
@@ -381,6 +437,22 @@ def _make_spatial_local(
         me = jax.lax.axis_index(AXIS)
         my_lo = spec.slab_lo + me.astype(jnp.float32) * spec.slab_w
         my_hi = my_lo + spec.slab_w
+
+        ci_off = None
+        if grid is not None:
+            from sph_tpu import neighbors as _nbr
+
+            # integer cell offset of this device's slab-local grid against
+            # the global lattice: local cell 0 sits at global cell k_dev,
+            # chosen so [my_lo − h − ε, my_hi + h + ε] is covered (the slab
+            # grid has spare cells for fp-floor slack), clamped so the
+            # local window stays inside the global lattice
+            s_full = _nbr.GridSpec.for_scene(scene).shape[ax]
+            k_dev = jnp.floor(
+                (my_lo - h - grid.cell - grid.lo[ax]) / grid.cell
+            ).astype(jnp.int32)
+            k_dev = jnp.clip(k_dev, 0, s_full - grid.shape[ax])
+            ci_off = jnp.zeros((d,), jnp.int32).at[ax].set(1) * k_dev
 
         active = st.emit_step <= st.step
         movable = active & (st.kind == 0)
@@ -447,11 +519,15 @@ def _make_spatial_local(
         if method == "grid":
             from sph_tpu import neighbors
 
-            rho_c = neighbors.grid_density(cx, c_act, params, grid)
+            rho_c = neighbors.grid_density(
+                cx, c_act, params, grid, ci_offset=ci_off
+            )
         elif method == "pallas":
             from sph_tpu import pallas_step
 
-            rho_c = pallas_step.pallas_density(cx, c_act, params, grid)
+            rho_c = pallas_step.pallas_density(
+                cx, c_act, params, grid, ci_offset=ci_off
+            )
         else:
             rho_c = physics.density_naive(cx, c_act, params)
         rho = rho_c[:nl]
@@ -486,11 +562,11 @@ def _make_spatial_local(
         # ---- (b') force pass with correct ghost rho/p ----
         if method == "grid":
             f_c = neighbors.grid_forces(
-                cx, cv, rho_cc, p_cc, c_act, params, grid
+                cx, cv, rho_cc, p_cc, c_act, params, grid, ci_offset=ci_off
             )
         elif method == "pallas":
             f_c = pallas_step.pallas_forces(
-                cx, cv, rho_cc, p_cc, c_act, params, grid
+                cx, cv, rho_cc, p_cc, c_act, params, grid, ci_offset=ci_off
             )
         else:
             f_c = physics.forces_naive(cx, cv, rho_cc, p_cc, c_act, params)
@@ -518,7 +594,7 @@ def _make_spatial_local(
         # (first/last slab faces are domain walls: nothing leaves there)
         go_left = active & (x[:, ax] < my_lo) & ~is_first
         go_right = active & (x[:, ax] >= my_hi) & ~is_last
-        stay = active & ~go_left & ~go_right
+        leaver = go_left | go_right
         mig = pack_mig(x, v, acc, st.kind, st.emit_step, d)
         m_lo, mval_lo, ov3 = _pack(go_left, mig, spec.cap_mig)
         m_hi, mval_hi, ov4 = _pack(go_right, mig, spec.cap_mig)
@@ -543,15 +619,18 @@ def _make_spatial_local(
         incoming = jnp.concatenate([m_from_left, m_from_right], axis=0)
         inc_valid = jnp.concatenate([ml_valid, mr_valid], axis=0)
 
-        # deactivate leavers: park + INACTIVE
+        # deactivate leavers: park + INACTIVE.  Only LEAVERS are parked —
+        # pending emitter slots (emit_step in the future) must keep their
+        # precomputed spawn state until they activate.
         park = jnp.full((d,), -1e6, x.dtype)
-        x = jnp.where(stay[:, None], x, park[None, :])
-        v = jnp.where(stay[:, None], v, 0.0)
-        acc = jnp.where(stay[:, None], acc, 0.0)
-        emit = jnp.where(stay, st.emit_step, INACTIVE)
+        x = jnp.where(leaver[:, None], park[None, :], x)
+        v = jnp.where(leaver[:, None], 0.0, v)
+        acc = jnp.where(leaver[:, None], 0.0, acc)
+        emit = jnp.where(leaver, INACTIVE, st.emit_step)
 
-        # insert arrivals into inactive slots
-        free = emit > st.step  # inactive (incl. freshly parked)
+        # insert arrivals into INACTIVE slots only (never a pending
+        # emitter slot — that emission would be silently destroyed)
+        free = emit == INACTIVE
         free_idx = jnp.nonzero(
             free, size=2 * spec.cap_mig, fill_value=spec.cap_local
         )[0]

@@ -94,21 +94,57 @@ class GridSpec:
             cap = _round_up(int(math.ceil((cell / spacing) ** p.dim * 2.5)), 8)
         return GridSpec(lo=lo, cell=cell, shape=shape, cap=cap, chunk=chunk)
 
+    @staticmethod
+    def for_slab(
+        scene: Scene,
+        slab_w: float,
+        axis: int,
+        cap: int | None = None,
+        chunk: int = 2048,
+    ) -> "GridSpec":
+        """Slab-local grid for spatial decomposition (decomp.py): along
+        `axis` it spans only one slab plus an h-deep ghost band and margin
+        cells, so per-device grid/slot memory scales 1/n_shards.  Indices
+        are computed against the GLOBAL lattice and shifted per device by an
+        integer `ci_offset` (see cell_index) — grid.lo stays global."""
+        full = GridSpec.for_scene(scene, cap=cap, chunk=chunk)
+        h = scene.params.h
+        # cells covering [my_lo − h − 2·cell, my_hi + h + cell] for any
+        # fractional alignment of the slab against the lattice (decomp.py
+        # picks the matching integer offset per device)
+        n_ax = int(math.ceil((slab_w + 2 * h) / full.cell)) + 3
+        shape = tuple(
+            min(n_ax, s) if a == axis else s
+            for a, s in enumerate(full.shape)
+        )
+        return GridSpec(
+            lo=full.lo, cell=full.cell, shape=shape, cap=full.cap,
+            chunk=full.chunk,
+        )
+
 
 # ---------------------------------------------------------------------------
 # Grid build
 # ---------------------------------------------------------------------------
 
 
-def cell_index(x, active, grid: GridSpec):
+def cell_index(x, active, grid: GridSpec, ci_offset=None):
     """Per-particle (multi-index [N, D], flat row id [N]).
 
     Out-of-domain actives clip to edge cells (distance filter keeps results
     exact — clipping only shrinks cell-space distance); inactives go to the
     dump row.
+
+    `ci_offset` ([D] int32, traced) shifts the index origin by whole cells:
+    used by the spatial decomposition (decomp.py) so each device's grid
+    covers only its slab+halo while indices stay computed against the GLOBAL
+    lattice — an integer subtraction, so per-pair arithmetic (and therefore
+    physics) is bitwise independent of the decomposition.
     """
     lo = jnp.asarray(grid.lo, x.dtype)
     ci = jnp.floor((x - lo) / grid.cell).astype(jnp.int32)
+    if ci_offset is not None:
+        ci = ci - ci_offset[None, :]
     ci = jnp.clip(ci, 0, jnp.asarray(grid.shape, jnp.int32) - 1)
     # ravel, last axis fastest (so ±1 in the last axis is contiguous in rows)
     flat = ci[:, 0]
@@ -211,12 +247,13 @@ def _force_block(xc, vc, pc, idx, feat_pad, n, d, params):
     )
 
 
-def grid_density(x, active, params: SimParams, grid: GridSpec):
+def grid_density(x, active, params: SimParams, grid: GridSpec,
+                 ci_offset=None):
     """Density only (split phase for the halo-exchange step, where ghost
     rho/p must be re-imported between passes — sph_tpu/decomp.py)."""
     n, d = x.shape
     k_cand = grid.n_offsets * grid.cap
-    ci, flat = cell_index(x, active, grid)
+    ci, flat = cell_index(x, active, grid, ci_offset)
     tile, _, _, _ = build_tiles(flat, grid)
     far = jnp.full((1, d), 1e18, x.dtype)
     x_pad = jnp.concatenate([x, far], axis=0)
@@ -247,11 +284,12 @@ def grid_density(x, active, params: SimParams, grid: GridSpec):
     return jnp.where(active, rho, params.rest_density)
 
 
-def grid_forces(x, v, rho, p, active, params: SimParams, grid: GridSpec):
+def grid_forces(x, v, rho, p, active, params: SimParams, grid: GridSpec,
+                ci_offset=None):
     """Pairwise forces given rho/p (split phase, see grid_density)."""
     n, d = x.shape
     k_cand = grid.n_offsets * grid.cap
-    ci, flat = cell_index(x, active, grid)
+    ci, flat = cell_index(x, active, grid, ci_offset)
     tile, _, _, _ = build_tiles(flat, grid)
     far = jnp.full((1, d), 1e18, x.dtype)
     feat = jnp.concatenate([x, v, rho[:, None], p[:, None]], axis=1)

@@ -222,9 +222,9 @@ class SlotAddr:
     #   bogus forces via rho=0 → 1/rho=1e12 — ADVICE r1)
 
 
-def build_addr(x, active, grid: GridSpec, sg: SlotGrid) -> SlotAddr:
+def build_addr(x, active, grid: GridSpec, sg: SlotGrid, ci_offset=None) -> SlotAddr:
     n, _ = x.shape
-    ci, flat = cell_index(x, active, grid)
+    ci, flat = cell_index(x, active, grid, ci_offset)
     in_cell = flat < grid.n_cells
     h0 = (ci[:, 0] + 1) if sg.dim == 3 else jnp.zeros((n,), jnp.int32)
     h1 = ci[:, -2] + 1
@@ -1007,13 +1007,17 @@ def _rho_p_f_impl(
 
 
 def pallas_density(x, active, params: SimParams, grid: GridSpec,
-                   engine: str = "vpu"):
+                   engine: str = "vpu", ci_offset=None):
     """Density-only phase (split API for the halo-exchange step, mirroring
     neighbors.grid_density — sph_tpu/decomp.py re-imports ghost rho/p
-    between phases)."""
+    between phases).  `ci_offset` shifts the cell lattice per device for
+    slab-local grids (see neighbors.cell_index); the mxu engine derives
+    window centers from grid.lo and is incompatible with a shifted lattice."""
+    if engine == "mxu" and ci_offset is not None:
+        raise ValueError("ci_offset requires engine='vpu'")
     n, _ = x.shape
     sg = slot_grid(grid, engine=engine)
-    addr = build_addr(x, active, grid, sg)
+    addr = build_addr(x, active, grid, sg, ci_offset)
     feat = scatter_slots(addr, _pack_rows6(x, jnp.zeros_like(x)), sg)
     rho_slot, _ = _call_density(feat, addr, sg, params, grid)
     ok = addr.valid & (addr.row_pos < sg.c_rows)
@@ -1036,11 +1040,13 @@ def scatter_rp(addr: SlotAddr, rho, p, sg: SlotGrid):
 
 
 def pallas_forces(x, v, rho, p, active, params: SimParams, grid: GridSpec,
-                  engine: str = "vpu"):
+                  engine: str = "vpu", ci_offset=None):
     """Force-only phase given rho/p (split API, see pallas_density)."""
+    if engine == "mxu" and ci_offset is not None:
+        raise ValueError("ci_offset requires engine='vpu'")
     n, d = x.shape
     sg = slot_grid(grid, engine=engine)
-    addr = build_addr(x, active, grid, sg)
+    addr = build_addr(x, active, grid, sg, ci_offset)
     feat = scatter_slots(addr, _pack_rows6(x, v), sg)
     rp = scatter_rp(addr, rho, p, sg)
     f_slot = _call_force(feat, rp, addr, sg, params, grid)

@@ -229,13 +229,109 @@ def test_spatial_migration_happens():
     assert per_slab_after.sum() == n_act  # nothing lost in flight
 
 
-def test_spatial_rejects_emitters():
+def test_spatial_with_emitters():
+    """Emitter scenes decompose (VERDICT r1 item 6): pending slots ride to
+    the slab owning their spawn position, activate on schedule there, and
+    migration (which reuses only INACTIVE slots) never clobbers them —
+    trajectories and the exact activation count track the single-device
+    run."""
     from sph_tpu.params import Emitter
 
-    scene = _wide_scene().replace(
-        emitters=(Emitter(pos=(800.0, 250.0), velocity=(0.0, -30.0)),)
+    p = SimParams(boundary_mode="clamp", dt=5e-4)
+    scene = calibrate(
+        Scene(
+            params=p,
+            lo=(0.0, 0.0),
+            hi=(1600.0, 300.0),
+            blocks=(
+                # moving block → real migration happens during the test
+                Block(
+                    lo=(100.0, 20.0), hi=(400.0, 120.0), velocity=(60.0, 0.0)
+                ),
+            ),
+            emitters=(
+                Emitter(
+                    pos=(800.0, 250.0), velocity=(200.0, -150.0), width=2
+                ),
+            ),
+            capacity=2048,
+            seed=66,
+        )
     )
     mesh = decomp.mesh1d(8)
-    spec = decomp.SpatialSpec.for_scene(scene, 8, 1024)
-    with pytest.raises(NotImplementedError):
-        decomp.make_spatial_step(scene, spec, mesh)
+    state = init(scene)
+    spec = decomp.SpatialSpec.for_scene(
+        scene, 8, state.capacity, balance=8.0
+    )
+    loc = decomp.spatial_shard_state(state, scene, spec, mesh)
+    adv = decomp.make_spatial_advance(
+        scene, spec, mesh, method="grid", steps_per_dispatch=150
+    )
+    step_ref = jax.jit(make_step(scene, "grid"))
+    ref = state
+    loc, overflow = adv(loc)
+    assert int(overflow) == 0
+    for _ in range(150):
+        ref = step_ref(ref)
+    merged = decomp.spatial_gather_state(loc)
+    act_m = np.asarray(merged.emit_step) <= int(merged.step)
+    # activations happened (emitter fired) and match single-device exactly
+    assert int(ref.n_active()) > int(state.n_active())
+    assert act_m.sum() == int(ref.n_active())
+    xm = _sorted_active(np.asarray(merged.x), act_m)
+    xr = _sorted_active(np.asarray(ref.x), np.asarray(ref.active))
+    scale = np.max(np.abs(xr)) + 1e-6
+    assert np.max(np.abs(xm - xr)) / scale < 1e-4
+
+
+def test_spatial_axis1():
+    """Decomposition along axis 1 (VERDICT r1: only axis 0 was tested)."""
+    p = SimParams(boundary_mode="clamp", dt=5e-4)
+    scene = calibrate(
+        Scene(
+            params=p,
+            lo=(0.0, 0.0),
+            hi=(300.0, 1600.0),
+            blocks=(
+                Block(
+                    lo=(20.0, 100.0), hi=(200.0, 500.0), velocity=(0.0, 60.0)
+                ),
+            ),
+            seed=67,
+        )
+    )
+    mesh = decomp.mesh1d(8)
+    state = init(scene)
+    spec = decomp.SpatialSpec.for_scene(
+        scene, 8, state.capacity, axis=1, balance=8.0
+    )
+    loc = decomp.spatial_shard_state(state, scene, spec, mesh)
+    adv = decomp.make_spatial_advance(
+        scene, spec, mesh, method="grid", steps_per_dispatch=60
+    )
+    step_ref = jax.jit(make_step(scene, "grid"))
+    ref = state
+    loc, overflow = adv(loc)
+    assert int(overflow) == 0
+    for _ in range(60):
+        ref = step_ref(ref)
+    merged = decomp.spatial_gather_state(loc)
+    act_m = np.asarray(merged.emit_step) <= int(merged.step)
+    assert act_m.sum() == int(ref.n_active())
+    xm = _sorted_active(np.asarray(merged.x), act_m)
+    xr = _sorted_active(np.asarray(ref.x), np.asarray(ref.active))
+    scale = np.max(np.abs(xr)) + 1e-6
+    assert np.max(np.abs(xm - xr)) / scale < 1e-4
+
+
+def test_slab_grid_memory_scales():
+    """The per-device grid covers slab+halo, not the full domain, so
+    grid/slot memory scales ~1/n (VERDICT r1 item 5: decomp used to build
+    the FULL-domain grid on every device)."""
+    from sph_tpu import neighbors
+
+    scene = _wide_scene()
+    full = neighbors.GridSpec.for_scene(scene)
+    spec = decomp.SpatialSpec.for_scene(scene, 8, 4096)
+    slab = neighbors.GridSpec.for_slab(scene, spec.slab_w, spec.axis)
+    assert slab.n_cells * 4 <= full.n_cells
