@@ -56,17 +56,26 @@ def checksum(state) -> float:
     return float(jnp.sum(state.x, dtype=jnp.float32))
 
 
-def overflow_counts(scene, state, method: str) -> int:
+def overflow_counts(scene, state, method: str, sort_every: int = 1) -> int:
     """Total static-cap overflow at `state` (pallas path only; 0 elsewhere).
 
     A nonzero count means the measured configuration dropped pair physics —
     the measurement is then invalid (cap must be raised), so main() asserts
-    this is zero for every ladder entry."""
+    this is zero for every ladder entry.  Audits the SAME grid geometry the
+    measurement ran on (incl. the Verlet skin for sort_every > 1 — skinned
+    cells hold more particles, so the skinless grid would under-report)."""
     if method != "pallas":
         return 0
     from sph_tpu import neighbors, pallas_step
+    from sph_tpu.step import default_skin
 
-    grid = neighbors.GridSpec.for_scene(scene)
+    base = neighbors.GridSpec.for_scene(scene)
+    if sort_every > 1:
+        grid = neighbors.GridSpec.for_scene(
+            scene, cap=base.cap, skin=default_skin(scene, sort_every)
+        )
+    else:
+        grid = base
     sg = pallas_step.slot_grid(grid)
     cell_over, row_over = jax.jit(
         lambda s: pallas_step.slot_overflow(s.x, s.active, grid, sg)
@@ -74,36 +83,57 @@ def overflow_counts(scene, state, method: str) -> int:
     return int(cell_over) + int(row_over)
 
 
-def bench_config(scene, method: str, steps: int, repeats: int = 3):
+def bench_config(scene, method: str, steps: int, repeats: int = 3,
+                 sort_every: int = 1):
     if method == "pallas":
         # keep in sync with make_advance's platform clamp, or throughput
         # would be inflated by steps/MAX (ADVICE r1)
         steps = min(steps, MAX_PALLAS_STEPS_PER_DISPATCH)
+    if sort_every > 1:
+        steps -= steps % sort_every
     state = init(scene)
     if scene.params.integrator == "leapfrog":
         state = jax.jit(lambda s: prime(scene, s, method=method))(state)
-    adv = make_advance(scene, method, steps_per_dispatch=steps)
+    adv = make_advance(scene, method, steps_per_dispatch=steps,
+                       sort_every=sort_every)
+
+    def one(st):
+        if sort_every > 1:
+            st, viol = adv(st)
+            if int(viol):
+                # silently-degraded physics must not count as a speedup
+                raise RuntimeError(
+                    f"sort_every={sort_every}: {int(viol)} skin violations"
+                )
+            return st
+        return adv(st)
+
     # warmup: compile + one full dispatch
-    state = adv(state)
+    state = one(state)
     checksum(state)
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        state = adv(state)
+        state = one(state)
         checksum(state)  # forces completion (async timings unreliable here)
         best = min(best, time.perf_counter() - t0)
     n_active = int(state.n_active())
-    overflow = overflow_counts(scene, state, method)
+    overflow = overflow_counts(scene, state, method, sort_every)
     return n_active * steps / best, best / steps, n_active, overflow
 
 
-def measure(name: str, method: str, steps: int):
+def measure(name: str, method: str, steps: int, sort_every: int = 1):
     """One ladder entry → result dict (raises if the config can't run)."""
     scene = preset(name)
-    pstep_s, s_per_step, n, overflow = bench_config(scene, method, steps)
+    pstep_s, s_per_step, n, overflow = bench_config(
+        scene, method, steps, sort_every=sort_every
+    )
+    method_label = (
+        method if sort_every == 1 else f"{method}+reuse{sort_every}"
+    )
     return {
         "config": name,
-        "method": method,
+        "method": method_label,
         "n": n,
         "particle_steps_per_s": pstep_s,
         "ms_per_step": s_per_step * 1e3,

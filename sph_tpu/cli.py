@@ -26,6 +26,72 @@ from sph_tpu.state import init
 from sph_tpu.step import make_advance, prime
 
 
+class _Interactor:
+    """Headless live-interaction hook (reference keyboard/mouse, SURVEY.md
+    §3.4): between dispatches, consume appended JSON lines from a command
+    file.  Commands:
+
+      {"force_field": {"pos": [x, y(, z)], "strength": S,
+                       "radius": R, "duration_steps": D}}
+          — a drag/push probe starting NOW (step-scheduled ForceField;
+            changing the scene retraces the step, ~seconds, once per
+            interaction — the TPU-native cost model for live input)
+      {"pause": true} / {"resume": true}
+
+    The scene's jitted step closes over force fields, so each interaction
+    rebuilds `advance`; between interactions there is zero overhead."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.offset = 0
+        self.paused = False
+
+    def poll(self, scene, step_now: int):
+        """→ (scene, changed)."""
+        import json as _json
+
+        from sph_tpu.params import ForceField
+
+        try:
+            with open(self.path) as fh:
+                fh.seek(self.offset)
+                lines = fh.read()
+                self.offset = fh.tell()
+        except FileNotFoundError:
+            return scene, False
+        changed = False
+        for line in lines.splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                cmd = _json.loads(line)
+            except ValueError:
+                print(f"interact: bad JSON line ignored: {line!r}",
+                      file=sys.stderr)
+                continue
+            if cmd.get("pause"):
+                self.paused = True
+            if cmd.get("resume"):
+                self.paused = False
+            ff = cmd.get("force_field")
+            if ff:
+                field = ForceField(
+                    pos=tuple(float(c) for c in ff["pos"]),
+                    strength=float(ff["strength"]),
+                    radius=float(ff.get("radius", 64.0)),
+                    start_step=step_now,
+                    stop_step=step_now + int(ff.get("duration_steps", 200)),
+                )
+                scene = scene.replace(
+                    force_fields=scene.force_fields + (field,)
+                )
+                changed = True
+                print(f"interact: force field @{field.pos} "
+                      f"until step {field.stop_step}", file=sys.stderr)
+        return scene, changed
+
+
 def _load_scene(name_or_path: str):
     """A preset name, or a path to a Scene .json (mass-calibrated)."""
     if name_or_path.endswith(".json"):
@@ -70,10 +136,20 @@ def cmd_run(args) -> int:
             lambda s: pallas_step.slot_overflow(s.x, s.active, _grid, _sg)
         )
     watchdog = diagnostics.Watchdog(scene.params)
+    interactor = _Interactor(args.interact) if args.interact else None
     metrics_path = os.path.join(args.out, "metrics.jsonl")
     t0 = time.perf_counter()
     with open(metrics_path, "a") as mf:
         for frame in range(args.frames):
+            if interactor is not None:
+                scene, changed = interactor.poll(scene, int(state.step))
+                if changed:
+                    adv = make_advance(scene, args.method, spf)
+                while interactor.paused:
+                    time.sleep(0.2)
+                    scene, changed = interactor.poll(scene, int(state.step))
+                    if changed:
+                        adv = make_advance(scene, args.method, spf)
             for _ in range(inner):
                 state = adv(state)
             pack = pack_fn(state)
@@ -85,6 +161,7 @@ def cmd_run(args) -> int:
                     width=args.width,
                     height=args.height,
                     mode=args.mode,
+                    radius=args.radius,
                 )
             try:
                 scalars = watchdog.check(pack)
@@ -154,7 +231,8 @@ def cmd_record(args) -> int:
     adv = make_advance(scene, args.method, spf)
     render_fn = jax.jit(
         lambda s: render.render_splat(
-            s, scene, args.width, args.height, args.mode
+            s, scene, args.width, args.height, args.mode,
+            radius=args.radius,
         )
     )
     fields = []
@@ -192,6 +270,12 @@ def main(argv=None) -> int:
                       choices=["density", "rho", "speed"])
     runp.add_argument("--width", type=int, default=400)
     runp.add_argument("--height", type=int, default=300)
+    runp.add_argument("--radius", type=int, default=1,
+                      help="splat radius in px (GL point-sprite analog)")
+    runp.add_argument("--interact", default=None, metavar="FILE",
+                      help="poll FILE between frames for live interaction "
+                           "commands (JSON lines: force_field / pause / "
+                           "resume) — the headless mouse/keyboard analog")
     runp.add_argument("--checkpoint-every", type=int, default=0)
     runp.add_argument("--resume", default=None)
     runp.add_argument("--quiet", action="store_true")
@@ -209,6 +293,8 @@ def main(argv=None) -> int:
                       choices=["density", "rho", "speed"])
     recp.add_argument("--width", type=int, default=400)
     recp.add_argument("--height", type=int, default=300)
+    recp.add_argument("--radius", type=int, default=1,
+                      help="splat radius in px (GL point-sprite analog)")
     recp.add_argument("--fps", type=float, default=20.0)
     recp.add_argument("--quiet", action="store_true")
     recp.set_defaults(fn=cmd_record)

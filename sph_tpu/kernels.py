@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 
@@ -60,6 +61,24 @@ def spiky_grad_scale(r, h: float, c_spiky: float, eps: float = 1e-12):
     """
     t = jnp.maximum(h - r, 0.0)
     return c_spiky * t * t / jnp.maximum(r, eps) * (r > eps)
+
+
+def pair_scales(r2, h: float, c_spiky: float, c_visc: float,
+                eps: float = 1e-24):
+    """(spiky-gradient scale s(r), viscosity Laplacian) from r² via ONE
+    rsqrt — the hot-path form shared by every neighbor path.
+
+    sqrt + divide are multi-cycle VPU ops; rsqrt replaces both:
+    r = r²·rsqrt(r²) and 1/r = rsqrt(r²).  The (r² > eps) factor zeroes the
+    j = i self-pair (s(0) must be exactly 0, not c_s·h²·rsqrt(eps)).
+    Changing this form changes fp rounding vs the old sqrt/divide version,
+    so ALL paths (naive/grid/pallas) use this one definition — their
+    bitwise path-equality tests stay meaningful.
+    """
+    inv_r = jax.lax.rsqrt(jnp.maximum(r2, eps))
+    t = jnp.maximum(h - r2 * inv_r, 0.0)
+    s = c_spiky * t * t * inv_r * (r2 > eps)
+    return s, c_visc * t
 
 
 def visc_lap(r, h: float, c_visc: float):

@@ -77,10 +77,17 @@ class GridSpec:
 
     @staticmethod
     def for_scene(
-        scene: Scene, cap: int | None = None, chunk: int = 2048
+        scene: Scene, cap: int | None = None, chunk: int = 2048,
+        skin: float = 0.0,
     ) -> "GridSpec":
+        """`skin` > 0 widens cells to h + skin (pseudo-Verlet, arXiv
+        1804.06231 pattern): a neighbor structure built from positions at
+        time t0 stays a correct superset of all r < h pairs while every
+        particle has moved less than skin/2 since t0 — the basis of
+        `sort_every` addr reuse (step.make_advance).  Compact support keeps
+        results exact regardless of cell size."""
         p = scene.params
-        cell = float(p.h)
+        cell = float(p.h) + float(skin)
         spacing = scene.spacing or p.h * 0.55
         lo = tuple(float(l) - cell for l in scene.lo)
         hi = tuple(float(h) + cell for h in scene.hi)

@@ -559,9 +559,11 @@ def _force_kernel(codes_ref, n_ref, nbr_ref, nbrok_ref, gcount_ref, *refs, sg, p
                     dc = self_col(c) - cand_col(c)
                     dx.append(dc)
                     r2 = dc * dc if r2 is None else r2 + dc * dc
-                r = jnp.sqrt(r2)
-                t = jnp.maximum(hk - r, 0.0)
-                s = c_s * t * t / jnp.maximum(r, 1e-12) * (r > 1e-12)
+                # one rsqrt replaces sqrt + divide (multi-cycle VPU ops);
+                # same form as kernels.pair_scales so pallas == grid bitwise
+                inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-24))
+                t = jnp.maximum(hk - r2 * inv_r, 0.0)
+                s = c_s * t * t * inv_r * (r2 > 1e-24)
                 inv_rho_j = nbr_mask / jnp.maximum(cand_rp[0:1, :], 1e-12)
                 p_i = pT[k * cap : (k + xb) * cap, 0:1]
                 coef_p = (
@@ -936,11 +938,17 @@ def pallas_rho_p_f(
     c_rows: int | None = None,
     xb_cells: int = 4,
     engine: str = "vpu",
+    addr: SlotAddr | None = None,
 ):
-    """Drop-in replacement for neighbors.grid_rho_p_f, Pallas-fused."""
+    """Drop-in replacement for neighbors.grid_rho_p_f, Pallas-fused.
+
+    `addr` (a SlotAddr from build_addr) reuses a neighbor structure built
+    at an earlier step — valid while every particle has moved < skin/2
+    since it was built (GridSpec.for_scene skin; step.make_advance
+    sort_every)."""
     rho, p, f, _ = _rho_p_f_impl(
         x, v, active, params, grid, c_rows, xb_cells, cache=None,
-        engine=engine,
+        engine=engine, addr=addr,
     )
     return rho, p, f
 
@@ -966,12 +974,14 @@ def pallas_rho_p_f_cached(
 
 
 def _rho_p_f_impl(
-    x, v, active, params, grid, c_rows, xb_cells, cache, engine="vpu"
+    x, v, active, params, grid, c_rows, xb_cells, cache, engine="vpu",
+    addr=None,
 ):
     n, d = x.shape
     sg = slot_grid(grid, c_rows, xb_cells, engine=engine)
 
-    addr = build_addr(x, active, grid, sg)
+    if addr is None:
+        addr = build_addr(x, active, grid, sg)
 
     rows = _pack_rows6(x, v)
     if cache is None:

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from sph_tpu.kernels import kernel_constants, poly6, spiky_grad_scale, visc_lap
+from sph_tpu.kernels import kernel_constants, pair_scales, poly6
 from sph_tpu.params import SimParams
 
 # ---------------------------------------------------------------------------
@@ -40,12 +40,11 @@ def force_contrib(dx, r2, v_i, v_j, p_i, p_j, rho_j, mask, params: SimParams):
     self-exclusion is needed.  dx = xᵢ − xⱼ, shape [..., D]; scalars [...].
     """
     c_p, c_s, c_v = kernel_constants(params.dim, params.h, params.kernel_norm)
-    r = jnp.sqrt(r2)
     inv_rho_j = mask / jnp.maximum(rho_j, 1e-12)
-    s = spiky_grad_scale(r, params.h, c_s)
+    s, lap = pair_scales(r2, params.h, c_s, c_v)
     f_press = (params.mass * 0.5) * ((p_i + p_j) * inv_rho_j * s)[..., None] * dx
     f_visc = (params.viscosity * params.mass) * (
-        inv_rho_j * visc_lap(r, params.h, c_v)
+        inv_rho_j * lap
     )[..., None] * (v_j - v_i)
     return f_press + f_visc
 

@@ -24,7 +24,7 @@ from sph_tpu.state import State
 
 def _rho_p_f(
     x, v, active, movable, scene: Scene, method: str, grid=None, step=None,
-    slot_cache=None,
+    slot_cache=None, addr=None,
 ):
     """Density → EOS → pairwise forces + gravity + wall penalty + external
     force fields, one x eval.  Returns (rho, p, f, new_slot_cache);
@@ -49,7 +49,7 @@ def _rho_p_f(
         with jax.named_scope("sph_pallas"):
             if slot_cache is None:
                 rho, p, f = pallas_step.pallas_rho_p_f(
-                    x, v, active, params, grid
+                    x, v, active, params, grid, addr=addr
                 )
             else:
                 rho, p, f, new_cache = pallas_step.pallas_rho_p_f_cached(
@@ -69,7 +69,8 @@ def _rho_p_f(
 
 
 def make_step(
-    scene: Scene, method: str = "naive", grid=None, with_cache: bool = False
+    scene: Scene, method: str = "naive", grid=None, with_cache: bool = False,
+    with_addr: bool = False,
 ) -> Callable[[State], State]:
     """Build the pure step function for `scene` (closes over all statics).
 
@@ -86,7 +87,7 @@ def make_step(
 
         grid = neighbors.GridSpec.for_scene(scene)
 
-    def step_impl(state: State, cache):
+    def step_impl(state: State, cache, addr=None):
         active = state.active
         movable = active & (state.kind == 0)
         mov = movable[:, None].astype(state.x.dtype)
@@ -98,7 +99,7 @@ def make_step(
             x = x + dt * v * mov
             rho, p, f, cache = _rho_p_f(
                 x, v, active, movable, scene, method, grid, step=state.step,
-                slot_cache=cache,
+                slot_cache=cache, addr=addr,
             )
             a = f / jnp.maximum(rho, 1e-12)[:, None]
             v = v + (0.5 * dt) * a * mov
@@ -107,7 +108,7 @@ def make_step(
             # Semi-implicit (symplectic) Euler: v += dt f/ρ; x += dt v.
             rho, p, f, cache = _rho_p_f(
                 x, v, active, movable, scene, method, grid, step=state.step,
-                slot_cache=cache,
+                slot_cache=cache, addr=addr,
             )
             a = f / jnp.maximum(rho, 1e-12)[:, None]
             v = v + dt * a * mov
@@ -137,6 +138,10 @@ def make_step(
         if method != "pallas":
             raise ValueError("with_cache requires method='pallas'")
         return step_impl
+    if with_addr:
+        if method != "pallas":
+            raise ValueError("with_addr requires method='pallas'")
+        return lambda state, addr: step_impl(state, None, addr)[0]
     return lambda state: step_impl(state, None)[0]
 
 
@@ -178,9 +183,18 @@ def prime(scene: Scene, state: State, method: str = "naive") -> State:
 MAX_PALLAS_STEPS_PER_DISPATCH = 100
 
 
+def default_skin(scene: Scene, sort_every: int) -> float:
+    """Default Verlet-skin width for `sort_every`-step addr reuse: covers a
+    particle moving at the EOS sound speed for the whole reuse window
+    (WCSPH sizes c₀ ≥ ~10× the expected flow speed, so this is a
+    conservative bound; the advance loop still counts actual violations)."""
+    return 2.0 * sort_every * scene.params.dt * scene.params.sound_speed
+
+
 def make_advance(
     scene: Scene, method: str = "naive", steps_per_dispatch: int = 100,
-    grid=None, slot_cache: bool = False,
+    grid=None, slot_cache: bool = False, sort_every: int = 1,
+    skin: float | None = None,
 ):
     """jitted `advance(state) -> state` running S steps in one `lax.scan`.
 
@@ -195,6 +209,60 @@ def make_advance(
         steps_per_dispatch = min(
             steps_per_dispatch, MAX_PALLAS_STEPS_PER_DISPATCH
         )
+    if sort_every > 1:
+        # Addr reuse with a Verlet skin (SURVEY.md §7 hard-part 2, arXiv
+        # 1804.06231 pattern): build the slot addressing every `sort_every`
+        # steps from cells of size h+skin; scatter fresh positions into the
+        # CACHED slots each step.  Exact while every particle moves < skin/2
+        # within the reuse window (the compact-support window then still
+        # covers every r < h pair); the returned `advance` reports the
+        # count of violations of that bound so callers can reject/re-tune
+        # (bench.py asserts it is 0).  Mid-window emitter activations stay
+        # out of pair physics until the next rebuild (≤ sort_every steps,
+        # ballistic under gravity) — use sort_every=1 for emitter scenes
+        # where that matters.
+        if method != "pallas":
+            raise ValueError("sort_every > 1 requires method='pallas'")
+        from sph_tpu import neighbors, pallas_step
+
+        if skin is None:
+            skin = default_skin(scene, sort_every)
+        if grid is None:
+            base = neighbors.GridSpec.for_scene(scene)
+            grid = neighbors.GridSpec.for_scene(
+                scene, cap=base.cap, skin=skin
+            )
+        sg = pallas_step.slot_grid(grid)
+        step_a = make_step(scene, "pallas", grid=grid, with_addr=True)
+        blocks, rem = divmod(steps_per_dispatch, sort_every)
+        if rem:
+            raise ValueError(
+                f"steps_per_dispatch={steps_per_dispatch} must be a "
+                f"multiple of sort_every={sort_every}"
+            )
+        half2 = (0.5 * skin) ** 2
+
+        @jax.jit
+        def advance_reuse(state: State):
+            def body(carry, _):
+                s, viol = carry
+                x0, act0 = s.x, s.active
+                addr = pallas_step.build_addr(x0, act0, grid, sg)
+                for _ in range(sort_every):
+                    s = step_a(s, addr)
+                    d = s.x - x0
+                    drift2 = jnp.sum(d * d, axis=1)
+                    viol = viol + jnp.sum(
+                        ((drift2 > half2) & act0).astype(jnp.int32)
+                    )
+                return (s, viol), None
+
+            (out, viol), _ = jax.lax.scan(
+                body, (state, jnp.int32(0)), length=blocks
+            )
+            return out, viol
+
+        return advance_reuse
     if method == "pallas" and slot_cache:
         # Persistent slot cache: the slot grid's full-background init (the
         # scatter phase's dominant cost) runs once per DISPATCH; each step
@@ -241,11 +309,14 @@ def run(
     steps_per_dispatch: int = 100,
     state: State | None = None,
     frame_callback: Callable[[State], None] | None = None,
+    sort_every: int = 1,
 ) -> State:
     """Top-level driver (reference main loop, SURVEY.md §3.5).
 
     Host loop is coarse-grained: one device dispatch per `steps_per_dispatch`
     steps; `frame_callback` (render/metrics) runs once per dispatch.
+    sort_every > 1 (pallas): Verlet-skin addr reuse — raises if the drift
+    bound is violated during the run (physics would silently be wrong).
     """
     from sph_tpu.state import init
 
@@ -259,14 +330,36 @@ def run(
         steps_per_dispatch = min(
             steps_per_dispatch, MAX_PALLAS_STEPS_PER_DISPATCH
         )
+    if sort_every > 1:
+        steps_per_dispatch -= steps_per_dispatch % sort_every
+        steps_per_dispatch = max(steps_per_dispatch, sort_every)
     n_disp, rem = divmod(n_steps, steps_per_dispatch)
-    advance = make_advance(scene, method, steps_per_dispatch)
+    advance = make_advance(scene, method, steps_per_dispatch,
+                           sort_every=sort_every)
+
+    def dispatch(st, adv, reuse):
+        if reuse:
+            st, viol = adv(st)
+            if int(viol):
+                raise RuntimeError(
+                    f"sort_every={sort_every}: {int(viol)} particles "
+                    "exceeded skin/2 drift — physics invalid; lower "
+                    "sort_every or raise skin"
+                )
+            return st
+        return adv(st)
+
     for _ in range(n_disp):
-        state = advance(state)
+        state = dispatch(state, advance, sort_every > 1)
         if frame_callback is not None:
             frame_callback(state)
     if rem:
-        state = make_advance(scene, method, rem)(state)
+        rem_reuse = sort_every if rem % sort_every == 0 else 1
+        state = dispatch(
+            state,
+            make_advance(scene, method, rem, sort_every=rem_reuse),
+            rem_reuse > 1,
+        )
         if frame_callback is not None:
             frame_callback(state)
     return state

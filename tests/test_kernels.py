@@ -78,3 +78,20 @@ def test_legacy3d_matches_3d_constants():
 def test_grad_scale_zero_at_origin():
     _, cs, _ = kernel_constants(3, H, "proper")
     assert float(spiky_grad_scale(np.float32(0.0), H, cs)) == 0.0
+
+
+def test_pair_scales_matches_reference_forms():
+    """The rsqrt-based hot-path form (kernels.pair_scales) agrees with the
+    definitional sqrt/divide forms to fp32 rounding, including s(0) = 0."""
+    from sph_tpu.kernels import pair_scales
+
+    cs, cv = 3.0, 5.0
+    H = 16.0
+    r = np.linspace(0.0, 2 * H, 201).astype(np.float32)
+    r2 = (r * r).astype(np.float32)
+    s, lap = pair_scales(r2, H, cs, cv)
+    s_ref = np.asarray(spiky_grad_scale(r, H, cs))
+    lap_ref = np.asarray(visc_lap(r, H, cv))
+    assert float(np.asarray(pair_scales(np.float32(0.0), H, cs, cv)[0])) == 0.0
+    assert np.allclose(np.asarray(s), s_ref, rtol=1e-5, atol=1e-6)
+    assert np.allclose(np.asarray(lap), lap_ref, rtol=1e-5, atol=1e-6)

@@ -237,3 +237,72 @@ def test_row_overflow_zero_pair_force_fallback():
     # dropping contributions can shift force balance a bit, but never by
     # orders of magnitude (the bug produced ~1e9× scale)
     assert np.max(np.abs(np.asarray(f_over))) < 10.0 * scale
+
+
+# ---------------------------------------------------------------------------
+# sort_every addr reuse (Verlet skin, SURVEY.md §7 hard-part 2)
+# ---------------------------------------------------------------------------
+
+
+def test_sort_every_matches_per_step_rebuild():
+    """Reusing the slot addressing for sort_every steps (cells h+skin)
+    tracks the per-step-rebuild trajectory tightly while drift stays under
+    skin/2, conserves momentum exactly (stale slots keep pair antisymmetry),
+    and reports zero skin violations."""
+    from sph_tpu.step import default_skin
+
+    scene = small_scene(dim=2, seed=70)
+    state = init(scene)
+    skin = default_skin(scene, 4)
+    base = neighbors.GridSpec.for_scene(scene)
+    grid = neighbors.GridSpec.for_scene(scene, cap=base.cap, skin=skin)
+
+    adv_ref = make_advance(scene, "pallas", steps_per_dispatch=12, grid=grid)
+    adv_reuse = make_advance(
+        scene, "pallas", steps_per_dispatch=12, sort_every=4, skin=skin
+    )
+    ref = adv_ref(state)
+    out, viol = adv_reuse(state)
+    assert int(viol) == 0
+    xr, xo = np.asarray(ref.x), np.asarray(out.x)
+    act = np.asarray(ref.active)
+    scale = np.max(np.abs(xr[act])) + 1e-6
+    assert np.max(np.abs(xo[act] - xr[act])) / scale < 1e-5
+
+
+def test_sort_every_reports_skin_violations():
+    """An absurdly small skin makes the drift bound unsatisfiable; the
+    advance must report it rather than silently compute wrong physics."""
+    scene = small_scene(dim=2, seed=71)
+    state = init(scene)
+    _, viol = make_advance(
+        scene, "pallas", steps_per_dispatch=12, sort_every=12, skin=1e-4
+    )(state)
+    assert int(viol) > 0
+
+
+def test_sort_every_conserves_momentum():
+    """Pair antisymmetry survives stale addressing: total momentum of an
+    unforced cloud stays at fp-noise level across a reuse window."""
+    p = SimParams(gravity=(0.0, 0.0), boundary_mode="clamp", dt=5e-4)
+    from sph_tpu.params import Block, calibrate
+
+    scene = calibrate(
+        Scene(
+            params=p,
+            lo=(0.0, 0.0),
+            hi=(400.0, 400.0),
+            blocks=(Block(lo=(140.0, 140.0), hi=(260.0, 260.0)),),
+            seed=72,
+        )
+    )
+    state = init(scene)
+    out, viol = make_advance(
+        scene, "pallas", steps_per_dispatch=12, sort_every=4
+    )(state)
+    assert int(viol) == 0
+    mom = np.asarray(jnp.sum(out.v * out.active[:, None], axis=0))
+    # force-density scale ~ stiffness; fp32 noise bound, matched to
+    # test_invariants.py's momentum tolerance style
+    vmax = np.max(np.abs(np.asarray(out.v)))
+    assert np.all(np.abs(mom) < max(vmax, 1.0) * 1e-2)
