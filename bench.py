@@ -84,7 +84,7 @@ def overflow_counts(scene, state, method: str, sort_every: int = 1) -> int:
 
 
 def bench_config(scene, method: str, steps: int, repeats: int = 3,
-                 sort_every: int = 1):
+                 sort_every: int = 1, slot_resident: bool = False):
     if method == "pallas":
         # keep in sync with make_advance's platform clamp, or throughput
         # would be inflated by steps/MAX (ADVICE r1)
@@ -95,7 +95,7 @@ def bench_config(scene, method: str, steps: int, repeats: int = 3,
     if scene.params.integrator == "leapfrog":
         state = jax.jit(lambda s: prime(scene, s, method=method))(state)
     adv = make_advance(scene, method, steps_per_dispatch=steps,
-                       sort_every=sort_every)
+                       sort_every=sort_every, slot_resident=slot_resident)
 
     def one(st):
         if sort_every > 1:
@@ -122,15 +122,20 @@ def bench_config(scene, method: str, steps: int, repeats: int = 3,
     return n_active * steps / best, best / steps, n_active, overflow
 
 
-def measure(name: str, method: str, steps: int, sort_every: int = 1):
+def measure(name: str, method: str, steps: int, sort_every: int = 1,
+            slot_resident: bool = False):
     """One ladder entry → result dict (raises if the config can't run)."""
     scene = preset(name)
     pstep_s, s_per_step, n, overflow = bench_config(
-        scene, method, steps, sort_every=sort_every
+        scene, method, steps, sort_every=sort_every,
+        slot_resident=slot_resident,
     )
-    method_label = (
-        method if sort_every == 1 else f"{method}+reuse{sort_every}"
-    )
+    method_label = method
+    if sort_every > 1:
+        method_label += (
+            f"+resident{sort_every}" if slot_resident
+            else f"+reuse{sort_every}"
+        )
     return {
         "config": name,
         "method": method_label,
@@ -149,6 +154,10 @@ def main():
     ap.add_argument("--config", default="auto")
     ap.add_argument("--method", default="auto")
     ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--sort-every", type=int, default=1,
+                    help="pallas Verlet-skin addr reuse interval")
+    ap.add_argument("--slot-resident", action="store_true",
+                    help="integrate in slot space (requires --sort-every>1)")
     ap.add_argument(
         "--all", action="store_true",
         help="print one JSON line per ladder entry (default: one combined "
@@ -156,29 +165,41 @@ def main():
     )
     args = ap.parse_args()
 
-    # Flagship first; (config, method, steps) — slower portable paths get
-    # fewer steps so the full ladder stays within a driver-friendly budget.
+    # Flagship first; (config, method, steps, sort_every, slot_resident) —
+    # slower portable paths get fewer steps so the full ladder stays within
+    # a driver-friendly budget.  The flagship runs the slot-resident
+    # Verlet-skin mode (fastest honest configuration: skin violations and
+    # static-cap overflow are both asserted zero).
     ladder = [
-        ("splash3d_1m", "pallas", args.steps),
-        ("dam3d_100k", "pallas", args.steps),
-        ("dam3d_100k", "grid", min(args.steps, 20)),
-        ("dam2d_10k", "grid", args.steps),
-        ("tutorial2d", "naive", max(args.steps, 200)),
+        ("splash3d_1m", "pallas", args.steps, 4, True),
+        ("splash3d_1m", "pallas", args.steps, 1, False),
+        ("dam3d_100k", "pallas", args.steps, 4, True),
+        ("dam3d_100k", "pallas", args.steps, 1, False),
+        ("dam3d_100k", "grid", min(args.steps, 20), 1, False),
+        ("dam2d_10k", "pallas", args.steps, 4, True),
+        ("dam2d_10k", "grid", args.steps, 1, False),
+        ("tutorial2d", "naive", max(args.steps, 200), 1, False),
     ]
     if args.config != "auto":
+        k = args.sort_every
+        res = args.slot_resident and k > 1
         if args.method != "auto":
-            ladder = [(args.config, args.method, args.steps)]
+            ladder = [(args.config, args.method, args.steps, k, res)]
         else:
             # fastest-first method ladder for the named config (naive at
             # 100k+ would allocate an [N, N] pair matrix — instant OOM)
             ladder = [
-                (args.config, m, args.steps)
+                (args.config, m, args.steps, k if m == "pallas" else 1,
+                 res if m == "pallas" else False)
                 for m in ("pallas", "grid", "naive")
             ]
         results = []
-        for name, method, steps in ladder:
+        for name, method, steps, k_i, res_i in ladder:
             try:
-                results.append(measure(name, method, steps))
+                results.append(
+                    measure(name, method, steps, sort_every=k_i,
+                            slot_resident=res_i)
+                )
                 break
             except Exception as e:  # noqa: BLE001 — fall down the ladder
                 print(
@@ -187,9 +208,12 @@ def main():
                 )
     else:
         results = []
-        for name, method, steps in ladder:
+        for name, method, steps, k_i, res_i in ladder:
             try:
-                results.append(measure(name, method, steps))
+                results.append(
+                    measure(name, method, steps, sort_every=k_i,
+                            slot_resident=res_i)
+                )
             except Exception as e:  # noqa: BLE001
                 print(
                     f"# {name}/{method} unavailable: {type(e).__name__}: {e}",

@@ -24,14 +24,12 @@ from sph_tpu.state import State
 
 def _rho_p_f(
     x, v, active, movable, scene: Scene, method: str, grid=None, step=None,
-    slot_cache=None, addr=None,
+    addr=None,
 ):
     """Density → EOS → pairwise forces + gravity + wall penalty + external
-    force fields, one x eval.  Returns (rho, p, f, new_slot_cache);
-    `slot_cache` (pallas only) is the persistent slot grid threaded through
-    the scan — see pallas_step.init_slot_cache."""
+    force fields, one x eval.  Returns (rho, p, f); `addr` (pallas only)
+    reuses a prebuilt slot addressing (sort_every Verlet-skin reuse)."""
     params = scene.params
-    new_cache = None
     if method == "naive":
         with jax.named_scope("sph_density"):
             rho = physics.density_naive(x, active, params)
@@ -47,14 +45,9 @@ def _rho_p_f(
         from sph_tpu import pallas_step
 
         with jax.named_scope("sph_pallas"):
-            if slot_cache is None:
-                rho, p, f = pallas_step.pallas_rho_p_f(
-                    x, v, active, params, grid, addr=addr
-                )
-            else:
-                rho, p, f, new_cache = pallas_step.pallas_rho_p_f_cached(
-                    x, v, active, params, grid, slot_cache
-                )
+            rho, p, f = pallas_step.pallas_rho_p_f(
+                x, v, active, params, grid, addr=addr
+            )
     else:
         raise ValueError(f"unknown neighbor method {method!r}")
     with jax.named_scope("sph_body_forces"):
@@ -65,20 +58,18 @@ def _rho_p_f(
             )
         if scene.force_fields and step is not None:
             f = f + physics.force_field_force(x, step, scene.force_fields)
-    return rho, p, f, new_cache
+    return rho, p, f
 
 
 def make_step(
-    scene: Scene, method: str = "naive", grid=None, with_cache: bool = False,
-    with_addr: bool = False,
+    scene: Scene, method: str = "naive", grid=None, with_addr: bool = False,
 ) -> Callable[[State], State]:
     """Build the pure step function for `scene` (closes over all statics).
 
     method: "naive" (O(N²), C9) | "grid" (cell-hash, C10) | "pallas" (C11).
     `grid` overrides the default GridSpec (cap/chunk tuning).
-    with_cache (pallas only): the returned function is
-    `step(state, slot_cache) -> (state, slot_cache)`, threading the
-    persistent slot grid (pallas_step.init_slot_cache) through the scan.
+    with_addr (pallas only): the returned function is
+    `step(state, addr) -> state`, reusing a prebuilt SlotAddr (sort_every).
     """
     params = scene.params
     dt = params.dt
@@ -87,7 +78,7 @@ def make_step(
 
         grid = neighbors.GridSpec.for_scene(scene)
 
-    def step_impl(state: State, cache, addr=None):
+    def step_impl(state: State, addr=None):
         active = state.active
         movable = active & (state.kind == 0)
         mov = movable[:, None].astype(state.x.dtype)
@@ -97,18 +88,18 @@ def make_step(
             # KDK with stored acceleration: one force eval per step.
             v = v + (0.5 * dt) * acc * mov
             x = x + dt * v * mov
-            rho, p, f, cache = _rho_p_f(
+            rho, p, f = _rho_p_f(
                 x, v, active, movable, scene, method, grid, step=state.step,
-                slot_cache=cache, addr=addr,
+                addr=addr,
             )
             a = f / jnp.maximum(rho, 1e-12)[:, None]
             v = v + (0.5 * dt) * a * mov
             acc = jnp.where(movable[:, None], a, 0.0)
         elif params.integrator == "euler":
             # Semi-implicit (symplectic) Euler: v += dt f/ρ; x += dt v.
-            rho, p, f, cache = _rho_p_f(
+            rho, p, f = _rho_p_f(
                 x, v, active, movable, scene, method, grid, step=state.step,
-                slot_cache=cache, addr=addr,
+                addr=addr,
             )
             a = f / jnp.maximum(rho, 1e-12)[:, None]
             v = v + dt * a * mov
@@ -132,17 +123,13 @@ def make_step(
             emit_step=state.emit_step,
             step=state.step + 1,
         )
-        return new_state, cache
+        return new_state
 
-    if with_cache:
-        if method != "pallas":
-            raise ValueError("with_cache requires method='pallas'")
-        return step_impl
     if with_addr:
         if method != "pallas":
             raise ValueError("with_addr requires method='pallas'")
-        return lambda state, addr: step_impl(state, None, addr)[0]
-    return lambda state: step_impl(state, None)[0]
+        return step_impl
+    return step_impl
 
 
 def prime(scene: Scene, state: State, method: str = "naive") -> State:
@@ -160,7 +147,7 @@ def prime(scene: Scene, state: State, method: str = "naive") -> State:
         grid = neighbors.GridSpec.for_scene(scene)
     active = state.active
     movable = active & (state.kind == 0)
-    rho, p, f, _ = _rho_p_f(
+    rho, p, f = _rho_p_f(
         state.x, state.v, active, movable, scene, method, grid, step=state.step
     )
     a = f / jnp.maximum(rho, 1e-12)[:, None]
@@ -191,24 +178,203 @@ def default_skin(scene: Scene, sort_every: int) -> float:
     return 2.0 * sort_every * scene.params.dt * scene.params.sound_speed
 
 
+def _make_resident_advance(
+    scene: Scene, grid, sg, sort_every: int, blocks: int, skin: float
+):
+    """Slot-resident block advance: the particle state LIVES in the slot
+    arrays for `sort_every` steps — integration is elementwise in slot
+    space — so the per-step costs of the classic path (the N×6 feature
+    scatter, the per-particle result gathers, and the sort) are paid once
+    per block instead of once per step.  Measured at 1M those three are
+    ~110 ms of the 250 ms step; at sort_every=4 they amortize to ~27 ms.
+
+    Bitwise-identical to the non-resident sort_every path while no static
+    cap overflows (integration is elementwise — layout-independent — and
+    the kernels see identical inputs); tested in test_pallas_equiv.py.
+    Semantics at the documented degradation edges:
+      - cap/row-overflow particles FREEZE for the block (they are not in
+        slots); the classic paths move them ballistically.  Benches assert
+        overflow == 0 either way.
+      - mid-block emitter activations freeze until the next block top
+        (classic sort_every already excludes them from pair physics).
+    """
+    import jax.numpy as jnp
+
+    from sph_tpu import pallas_step, physics
+
+    params = scene.params
+    dt = params.dt
+    d = params.dim
+    lanes = sg.lanes
+    half2 = (0.5 * skin) ** 2
+    leap = params.integrator == "leapfrog"
+    g3 = jnp.asarray(params.gravity, jnp.float32).reshape(1, d, 1)
+    lo_w = jnp.asarray(scene.lo, jnp.float32).reshape(1, d, 1) + params.wall_eps
+    hi_w = jnp.asarray(scene.hi, jnp.float32).reshape(1, d, 1) - params.wall_eps
+
+    def body_forces(xs, vs, rho_s, f_s, step_i):
+        """Gravity + walls + force fields, elementwise in slot space —
+        the exact per-element arithmetic of physics.gravity_force /
+        wall_penalty_force / force_field_force (bitwise parity with the
+        per-particle layout)."""
+        f = f_s + rho_s * g3
+        if params.boundary_mode == "penalty":
+            k_w, c_w = params.wall_stiffness, params.wall_damping
+            d_lo = jnp.maximum(lo_w - xs, 0.0)
+            d_hi = jnp.maximum(xs - hi_w, 0.0)
+            f = f + (k_w * d_lo - c_w * vs) * (d_lo > 0) - (
+                k_w * d_hi - c_w * (-vs)
+            ) * (d_hi > 0)
+        for ff in scene.force_fields:
+            c = jnp.asarray(ff.pos, jnp.float32).reshape(1, d, 1)
+            dx = c - xs
+            r = jnp.sqrt(jnp.sum(dx * dx, axis=1, keepdims=True))
+            fall = jnp.maximum(1.0 - r / ff.radius, 0.0)
+            live = jnp.logical_and(
+                step_i >= ff.start_step, step_i < ff.stop_step
+            ).astype(xs.dtype)
+            dirn = dx / jnp.maximum(r, 1e-6)
+            f = f + (ff.strength * live) * fall * dirn
+        return f
+
+    def clamp_slot(xs, vs, movb):
+        hit = (xs < lo_w) | (xs > hi_w)
+        vs2 = jnp.where(hit, vs * params.boundary_damping, vs)
+        xs2 = jnp.clip(xs, lo_w, hi_w)
+        return jnp.where(movb, xs2, xs), jnp.where(movb, vs2, vs)
+
+    def refresh_feat(feat, xs, vs):
+        pad = feat[:, d : 3, :] * 0.0
+        return jnp.concatenate(
+            [xs, pad, vs, pad, feat[:, 6:, :]], axis=1
+        )
+
+    def gather(slot, ncomp, addr):
+        ncols = slot.shape[1]
+        flat = slot.reshape(-1)
+        base = addr.row_pos * (ncols * lanes) + addr.pos
+        return jnp.stack(
+            [flat[base + c * lanes] for c in range(ncomp)], axis=1
+        )
+
+    @jax.jit
+    def advance(state: State):
+        def block(carry, _):
+            s, viol = carry
+            act0 = s.active
+            movable0 = act0 & (s.kind == 0)
+            addr = pallas_step.build_addr(s.x, act0, grid, sg)
+            zpad = jnp.zeros((s.capacity, 3 - d), jnp.float32)
+            rows = jnp.concatenate(
+                [s.x, zpad, s.v, zpad,
+                 movable0[:, None].astype(jnp.float32)],
+                axis=1,
+            )  # 7 cols: x3 | v3 | movable
+            feat = pallas_step.scatter_slots(addr, rows, sg)
+            xs = feat[:, 0:d, :]
+            vs = feat[:, 3 : 3 + d, :]
+            movb = feat[:, 6:7, :] > 0
+            mov = movb.astype(jnp.float32)
+            x0 = xs
+            if leap:
+                acc_rows = jnp.concatenate([s.acc, zpad], axis=1)
+                acc_s = pallas_step.scatter_slots(addr, acc_rows, sg)[
+                    :, 0:d, :
+                ]
+                # dummy slots hold the 1e18 init in col 0; zero them so the
+                # masked kick math never multiplies 0 by a huge number
+                acc_s = acc_s * mov
+            a_s = jnp.zeros_like(xs)
+            rp = None
+            for i in range(sort_every):
+                step_i = s.step + i
+                if leap:
+                    vs = vs + (0.5 * dt) * acc_s * mov
+                    xs = xs + dt * vs * mov
+                    feat = refresh_feat(feat, xs, vs)
+                    rp = pallas_step._call_density(feat, addr, sg, params)
+                    f_s = pallas_step._call_force(feat, rp, addr, sg, params)
+                    rho_s = rp[:, 0:1, :]
+                    f_tot = body_forces(
+                        xs, vs, rho_s, f_s[:, 0:d, :], step_i
+                    )
+                    a_s = jnp.where(
+                        movb, f_tot / jnp.maximum(rho_s, 1e-12), 0.0
+                    )
+                    vs = vs + (0.5 * dt) * a_s
+                    acc_s = a_s
+                else:
+                    feat = refresh_feat(feat, xs, vs)
+                    rp = pallas_step._call_density(feat, addr, sg, params)
+                    f_s = pallas_step._call_force(feat, rp, addr, sg, params)
+                    rho_s = rp[:, 0:1, :]
+                    f_tot = body_forces(
+                        xs, vs, rho_s, f_s[:, 0:d, :], step_i
+                    )
+                    a_s = jnp.where(
+                        movb, f_tot / jnp.maximum(rho_s, 1e-12), 0.0
+                    )
+                    vs = vs + dt * a_s * mov
+                    xs = xs + dt * vs * mov
+                if params.boundary_mode == "clamp":
+                    xs, vs = clamp_slot(xs, vs, movb)
+                dd = xs - x0
+                drift2 = jnp.sum(dd * dd, axis=1, keepdims=True)
+                viol = viol + jnp.sum(
+                    ((drift2 > half2) & movb).astype(jnp.int32)
+                )
+
+            # one set of element-gathers per BLOCK materializes the State
+            ok = addr.valid & (addr.row_pos > 0)
+            x_g = gather(xs, d, addr)
+            v_g = gather(vs, d, addr)
+            a_g = gather(a_s, d, addr)
+            rho_g = gather(rp, 1, addr)[:, 0]
+            okc = ok[:, None]
+            rho_p = jnp.where(ok & act0, rho_g, s.rho)
+            out = State(
+                x=jnp.where(okc, x_g, s.x),
+                v=jnp.where(okc, v_g, s.v),
+                acc=jnp.where(okc & movable0[:, None], a_g, s.acc),
+                rho=rho_p,
+                p=jnp.where(
+                    ok & act0, physics.eos_pressure(rho_p, params), s.p
+                ),
+                kind=s.kind,
+                emit_step=s.emit_step,
+                step=s.step + sort_every,
+            )
+            return (out, viol), None
+
+        (out, viol), _ = jax.lax.scan(
+            block, (state, jnp.int32(0)), length=blocks
+        )
+        return out, viol
+
+    return advance
+
+
 def make_advance(
     scene: Scene, method: str = "naive", steps_per_dispatch: int = 100,
-    grid=None, slot_cache: bool = False, sort_every: int = 1,
-    skin: float | None = None,
+    grid=None, sort_every: int = 1, skin: float | None = None,
+    slot_resident: bool = False,
 ):
     """jitted `advance(state) -> state` running S steps in one `lax.scan`.
 
     For method="pallas", S is clamped to MAX_PALLAS_STEPS_PER_DISPATCH (see
     above); drive longer horizons with multiple dispatches (`run` does).
-    slot_cache=True carries the slot grid through the scan and parks/rewrites
-    only each step's own slots instead of re-initializing — bitwise identical
-    (tested) but measured SLOWER (35.3 vs 30.3 ms/step at 100k-3D: an extra
-    N×8 random scatter costs more than the full-grid background fill, which
-    is a fast fused broadcast).  Kept as an A/B hook; default off."""
+    sort_every > 1 (pallas): Verlet-skin addr reuse — the returned advance
+    is `advance(state) -> (state, skin_violation_count)`.
+    slot_resident (pallas, sort_every > 1): integrate IN slot space so
+    scatter/gather/sort all amortize 1/sort_every (see
+    _make_resident_advance); bitwise-identical to the non-resident reuse
+    path while no static cap overflows."""
     if method == "pallas":
         steps_per_dispatch = min(
             steps_per_dispatch, MAX_PALLAS_STEPS_PER_DISPATCH
         )
+    if slot_resident and sort_every <= 1:
+        raise ValueError("slot_resident requires sort_every > 1")
     if sort_every > 1:
         # Addr reuse with a Verlet skin (SURVEY.md §7 hard-part 2, arXiv
         # 1804.06231 pattern): build the slot addressing every `sort_every`
@@ -233,13 +399,17 @@ def make_advance(
                 scene, cap=base.cap, skin=skin
             )
         sg = pallas_step.slot_grid(grid)
-        step_a = make_step(scene, "pallas", grid=grid, with_addr=True)
         blocks, rem = divmod(steps_per_dispatch, sort_every)
         if rem:
             raise ValueError(
                 f"steps_per_dispatch={steps_per_dispatch} must be a "
                 f"multiple of sort_every={sort_every}"
             )
+        if slot_resident:
+            return _make_resident_advance(
+                scene, grid, sg, sort_every, blocks, skin
+            )
+        step_a = make_step(scene, "pallas", grid=grid, with_addr=True)
         half2 = (0.5 * skin) ** 2
 
         @jax.jit
@@ -263,32 +433,6 @@ def make_advance(
             return out, viol
 
         return advance_reuse
-    if method == "pallas" and slot_cache:
-        # Persistent slot cache: the slot grid's full-background init (the
-        # scatter phase's dominant cost) runs once per DISPATCH; each step
-        # parks + rewrites only its own N×8 slots.  Bitwise identical.
-        from sph_tpu import neighbors, pallas_step
-
-        g = grid if grid is not None else neighbors.GridSpec.for_scene(scene)
-        sg = pallas_step.slot_grid(g)
-        step_c = make_step(scene, method, grid=g, with_cache=True)
-
-        @jax.jit
-        def advance(state: State) -> State:
-            cache = pallas_step.init_slot_cache(
-                sg, state.capacity, state.x.dtype
-            )
-
-            def body(carry, _):
-                return step_c(*carry), None
-
-            (out, _), _ = jax.lax.scan(
-                body, (state, cache), length=steps_per_dispatch
-            )
-            return out
-
-        return advance
-
     step = make_step(scene, method, grid=grid)
 
     @jax.jit
@@ -310,6 +454,7 @@ def run(
     state: State | None = None,
     frame_callback: Callable[[State], None] | None = None,
     sort_every: int = 1,
+    slot_resident: bool = False,
 ) -> State:
     """Top-level driver (reference main loop, SURVEY.md §3.5).
 
@@ -335,7 +480,8 @@ def run(
         steps_per_dispatch = max(steps_per_dispatch, sort_every)
     n_disp, rem = divmod(n_steps, steps_per_dispatch)
     advance = make_advance(scene, method, steps_per_dispatch,
-                           sort_every=sort_every)
+                           sort_every=sort_every,
+                           slot_resident=slot_resident)
 
     def dispatch(st, adv, reuse):
         if reuse:
@@ -357,7 +503,8 @@ def run(
         rem_reuse = sort_every if rem % sort_every == 0 else 1
         state = dispatch(
             state,
-            make_advance(scene, method, rem, sort_every=rem_reuse),
+            make_advance(scene, method, rem, sort_every=rem_reuse,
+                         slot_resident=slot_resident and rem_reuse > 1),
             rem_reuse > 1,
         )
         if frame_callback is not None:

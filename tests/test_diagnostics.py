@@ -90,7 +90,9 @@ def test_cfl_limit():
 def test_render_and_png(tmp_path):
     scene = small_scene(dim=2)
     state = init(scene)
-    field = np.asarray(render.render_splat(state, scene, 200, 150))
+    field = np.asarray(
+        render.render_splat(state, scene, 200, 150, radius=0)
+    )
     assert field.shape == (150, 200)
     assert field.sum() == int(state.n_active())  # every particle splatted
     # particles start in the lower-left block: mass should sit left+bottom
@@ -108,7 +110,7 @@ def test_render_3d_projection():
     scene = small_scene(dim=3)
     state = init(scene)
     field = np.asarray(
-        render.render_splat(state, scene, 100, 100, axes=(0, 1))
+        render.render_splat(state, scene, 100, 100, axes=(0, 1), radius=0)
     )
     assert field.sum() == int(state.n_active())
 
