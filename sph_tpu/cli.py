@@ -120,7 +120,28 @@ def cmd_run(args) -> int:
         # pallas launches per compiled program; see sph_tpu/step.py)
         inner = -(-spf // MAX_PALLAS_STEPS_PER_DISPATCH)
         spf = -(-args.steps_per_frame // inner)
-    adv = make_advance(scene, args.method, spf)
+    if getattr(args, "debug", False):
+        # sanitizer-style stepping (SURVEY.md §5.2): the checkify-
+        # instrumented step threads an error value through the frame;
+        # err.throw() surfaces the FIRST failed assert with its message
+        checked = diagnostics.make_checked_step(scene, args.method)
+
+        @jax.jit
+        def _adv_dbg(st):
+            err_acc = None
+            for _ in range(spf):
+                err, st = checked(st)
+                # keep the earliest error (a NaN-poisoned later step would
+                # otherwise mask the root cause)
+                err_acc = err if err_acc is None else err_acc
+            return err_acc, st
+
+        def adv(st):
+            err, s1 = _adv_dbg(st)
+            err.throw()
+            return s1
+    else:
+        adv = make_advance(scene, args.method, spf)
     pack_fn = jax.jit(
         lambda s: diagnostics.scalar_pack(s, scene.params)
     )
@@ -276,6 +297,11 @@ def main(argv=None) -> int:
                       help="poll FILE between frames for live interaction "
                            "commands (JSON lines: force_field / pause / "
                            "resume) — the headless mouse/keyboard analog")
+    runp.add_argument("--debug", action="store_true",
+                      help="checkify-instrumented stepping (SURVEY.md "
+                           "§5.2): on-device asserts for NaN positions, "
+                           "out-of-bounds cells, tile-cap overflow — "
+                           "slower, per-step dispatch")
     runp.add_argument("--checkpoint-every", type=int, default=0)
     runp.add_argument("--resume", default=None)
     runp.add_argument("--quiet", action="store_true")

@@ -169,3 +169,74 @@ def inject_nan(state: State, k: int = 4) -> State:
     """Fault injection (SURVEY.md §5.3): corrupt k particles with NaN."""
     x = state.x.at[:k].set(jnp.nan)
     return dataclasses.replace(state, x=x)
+
+
+# ---------------------------------------------------------------------------
+# Debug checking mode (SURVEY.md §5.2): checkify-instrumented step
+# ---------------------------------------------------------------------------
+
+
+def make_checked_step(scene: Scene, method: str = "grid"):
+    """Debug-mode step with on-device asserts (SURVEY.md §5.2): the
+    functional-core analog of a sanitizer build.
+
+    Checks BEFORE the physics (so the report names the state that broke,
+    not its NaN-poisoned successor):
+      - active positions are finite;
+      - active cell indices lie inside the grid *before clipping* (the
+        production path clips silently, which is exact physics but hides
+        an exploding position until the watchdog bound trips);
+      - per-cell occupancy fits the static tile cap (grid/pallas);
+    and AFTER: densities came out finite and positive.
+
+    Returns `checked(state) -> (error, new_state)`; call
+    `error.throw()` to raise on the host (jittable; works inside scan).
+    """
+    from jax.experimental import checkify
+
+    from sph_tpu.step import make_step
+
+    grid = None
+    if method in ("grid", "pallas"):
+        from sph_tpu import neighbors
+
+        grid = neighbors.GridSpec.for_scene(scene)
+    base = make_step(scene, method, grid=grid)
+
+    def checked(state: State) -> State:
+        act = state.active
+        checkify.check(
+            jnp.all(jnp.where(act[:, None], jnp.isfinite(state.x), True)),
+            "debug: non-finite active position",
+        )
+        if grid is not None:
+            lo = jnp.asarray(grid.lo, state.x.dtype)
+            ci_raw = jnp.floor((state.x - lo) / grid.cell).astype(jnp.int32)
+            shape = jnp.asarray(grid.shape, jnp.int32)
+            in_bounds = jnp.all(
+                (ci_raw >= 0) & (ci_raw < shape[None, :]), axis=-1
+            )
+            checkify.check(
+                jnp.all(jnp.where(act, in_bounds, True)),
+                "debug: active cell index out of grid bounds "
+                "(position escaped the domain)",
+            )
+            from sph_tpu import neighbors
+
+            over = neighbors.cell_overflow(state.x, act, grid)
+            checkify.check(
+                over <= 0,
+                "debug: cell tile overflow — {n} particles past the "
+                "static cap would be dropped",
+                n=jnp.maximum(over, 0),
+            )
+        out = base(state)
+        rho_ok = jnp.where(
+            out.active, jnp.isfinite(out.rho) & (out.rho > 0), True
+        )
+        checkify.check(
+            jnp.all(rho_ok), "debug: non-finite or non-positive density"
+        )
+        return out
+
+    return checkify.checkify(checked, errors=checkify.user_checks)

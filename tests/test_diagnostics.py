@@ -3,12 +3,15 @@
 
 import os
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from helpers import small_scene
 
 from sph_tpu import diagnostics, render
+from sph_tpu.params import Scene, SimParams
 from sph_tpu.state import init
 from sph_tpu.step import make_advance
 
@@ -178,3 +181,62 @@ def test_cli_run_smoke(tmp_path):
 
     rec = json.loads(lines[-1])
     assert rec["step"] == 10 and np.isfinite(rec["mean_rho"])
+
+
+def test_checked_step_passes_healthy_state():
+    """Debug checking mode (SURVEY.md §5.2): a healthy state steps clean."""
+    scene = small_scene(dim=2, seed=90)
+    state = init(scene)
+    checked = jax.jit(diagnostics.make_checked_step(scene, "grid"))
+    err, out = checked(state)
+    err.throw()  # no-op on a healthy state
+    assert int(out.step) == 1
+
+
+def test_checked_step_catches_injected_nan():
+    scene = small_scene(dim=2, seed=91)
+    state = diagnostics.inject_nan(init(scene), k=3)
+    checked = jax.jit(diagnostics.make_checked_step(scene, "grid"))
+    err, _ = checked(state)
+    with pytest.raises(Exception, match="non-finite active position"):
+        err.throw()
+
+
+def test_checked_step_catches_out_of_bounds_cell():
+    """An exploded (finite but far outside the domain) position trips the
+    pre-clip cell-bounds assert — the production path would clip silently."""
+    import dataclasses as _dc
+
+    scene = small_scene(dim=2, seed=92)
+    state = init(scene)
+    x = state.x.at[0].set(jnp.asarray([1e7, 1e7]))
+    state = _dc.replace(state, x=x)
+    checked = jax.jit(diagnostics.make_checked_step(scene, "grid"))
+    err, _ = checked(state)
+    with pytest.raises(Exception, match="out of grid bounds"):
+        err.throw()
+
+
+def test_checked_step_catches_cap_overflow():
+    """Overflowing the static tile cap is reported with the drop count."""
+    from sph_tpu.params import Block, calibrate
+
+    p = SimParams(boundary_mode="clamp")
+    scene = calibrate(
+        Scene(
+            params=p,
+            lo=(0.0, 0.0),
+            hi=(400.0, 400.0),
+            # pathological: everything crammed into ~one cell, with a
+            # deliberately tiny tile cap
+            blocks=(Block(lo=(100.0, 100.0), hi=(106.0, 106.0)),),
+            spacing=0.4,
+            grid_cap=8,
+            seed=93,
+        )
+    )
+    state = init(scene)
+    checked = jax.jit(diagnostics.make_checked_step(scene, "grid"))
+    err, _ = checked(state)
+    with pytest.raises(Exception, match="cell tile overflow"):
+        err.throw()
