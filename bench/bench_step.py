@@ -35,14 +35,17 @@ from sph_tpu.state import init
 from sph_tpu.step import make_advance, prime
 
 # trailing-edge floors (particle-steps/s) for regression mode; set from
-# measured round-1 numbers minus ~30% slack, updated as perf improves
+# measured round-2 numbers minus ~30% slack, updated as perf improves.
+# method "resident4" = pallas + sort_every=4 + slot-resident blocks.
 FLOORS = {
     ("tutorial2d", "naive"): 1.0e6,
     ("dam2d_10k", "grid"): 6.0e5,
     ("dam2d_10k", "pallas"): 2.4e6,
     ("dam3d_100k", "grid"): 1.8e5,
     ("dam3d_100k", "pallas"): 2.5e6,
+    ("dam3d_100k", "resident4"): 4.6e6,
     ("splash3d_1m", "pallas"): 3.0e6,
+    ("splash3d_1m", "resident4"): 6.5e6,
 }
 
 CONFIGS = [
@@ -51,9 +54,12 @@ CONFIGS = [
     ("tutorial2d", "pallas"),
     ("dam2d_10k", "grid"),
     ("dam2d_10k", "pallas"),
+    ("dam2d_10k", "resident4"),
     ("dam3d_100k", "grid"),
     ("dam3d_100k", "pallas"),
+    ("dam3d_100k", "resident4"),
     ("splash3d_1m", "pallas"),
+    ("splash3d_1m", "resident4"),
 ]
 
 
@@ -64,15 +70,31 @@ def checksum(state) -> float:
 def bench_one(name, method, steps, repeats=3):
     scene = preset(name)
     state = init(scene)
+    kw = {}
+    base = method
+    if method.startswith("resident"):
+        k = int(method[len("resident"):])
+        base = "pallas"
+        kw = dict(sort_every=k, slot_resident=True)
+        steps -= steps % k
     if scene.params.integrator == "leapfrog":
-        state = jax.jit(lambda s: prime(scene, s, method=method))(state)
-    adv = make_advance(scene, method, steps_per_dispatch=steps)
-    state = adv(state)        # compile + warm
+        state = jax.jit(lambda s: prime(scene, s, method=base))(state)
+    adv = make_advance(scene, base, steps_per_dispatch=steps, **kw)
+
+    def one(st):
+        if kw:
+            st, viol = adv(st)
+            if int(viol):
+                raise RuntimeError(f"{int(viol)} skin/cap violations")
+            return st
+        return adv(st)
+
+    state = one(state)        # compile + warm
     checksum(state)
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        state = adv(state)
+        state = one(state)
         checksum(state)
         best = min(best, time.perf_counter() - t0)
     n = int(state.n_active())

@@ -212,6 +212,10 @@ class SlotAddr:
     #   neighbor row; 0 (dummy) when the neighbor row is unoccupied,
     #   outside the grid, or dropped — its dummy features annihilate
     #   every pair term, so the kernels need no validity masks
+    overflow: jax.Array   # [] i32 particles dropped by the static caps AT
+    #   BUILD TIME (cell cap + row cap) — the block-resident advance
+    #   accumulates this across rebuilds so a mid-run compression spike
+    #   cannot drop physics silently (final-state audits would miss it)
 
 
 def build_addr(x, active, grid: GridSpec, sg: SlotGrid, ci_offset=None) -> SlotAddr:
@@ -256,6 +260,9 @@ def build_addr(x, active, grid: GridSpec, sg: SlotGrid, ci_offset=None) -> SlotA
     )
     row_pos = row_inv[code]                    # 0 iff dropped by c_rows cap
     ok = valid & (row_pos > 0)
+    overflow = jnp.sum(((~valid) & in_cell).astype(jnp.int32)) + jnp.sum(
+        (valid & (row_pos == 0)).astype(jnp.int32)
+    )
 
     gx = hx // sg.xc
     gcounts = (
@@ -291,6 +298,7 @@ def build_addr(x, active, grid: GridSpec, sg: SlotGrid, ci_offset=None) -> SlotA
         gcounts=gcounts,
         n_occ=n_occ.astype(jnp.int32),
         nbr_pos=nbr_pos,
+        overflow=overflow,
     )
 
 

@@ -264,6 +264,7 @@ def _make_resident_advance(
             act0 = s.active
             movable0 = act0 & (s.kind == 0)
             addr = pallas_step.build_addr(s.x, act0, grid, sg)
+            viol = viol + addr.overflow  # see advance_reuse: per-rebuild audit
             zpad = jnp.zeros((s.capacity, 3 - d), jnp.float32)
             rows = jnp.concatenate(
                 [s.x, zpad, s.v, zpad,
@@ -418,6 +419,10 @@ def make_advance(
                 s, viol = carry
                 x0, act0 = s.x, s.active
                 addr = pallas_step.build_addr(x0, act0, grid, sg)
+                # fold BUILD-TIME cap overflow in with the skin violations:
+                # both mean silently-degraded physics, and a mid-run
+                # compression spike would escape a final-state-only audit
+                viol = viol + addr.overflow
                 for _ in range(sort_every):
                     s = step_a(s, addr)
                     d = s.x - x0
