@@ -56,7 +56,8 @@ def checksum(state) -> float:
     return float(jnp.sum(state.x, dtype=jnp.float32))
 
 
-def overflow_counts(scene, state, method: str, sort_every: int = 1) -> int:
+def overflow_counts(scene, state, method: str, sort_every: int = 1,
+                    xsub: int = 1) -> int:
     """Total static-cap overflow at `state` (pallas path only; 0 elsewhere).
 
     A nonzero count means the measured configuration dropped pair physics —
@@ -72,10 +73,11 @@ def overflow_counts(scene, state, method: str, sort_every: int = 1) -> int:
     base = neighbors.GridSpec.for_scene(scene)
     if sort_every > 1:
         grid = neighbors.GridSpec.for_scene(
-            scene, cap=base.cap, skin=default_skin(scene, sort_every)
+            scene, cap=base.cap, skin=default_skin(scene, sort_every),
+            xsub=xsub,
         )
     else:
-        grid = base
+        grid = neighbors.GridSpec.for_scene(scene, xsub=xsub)
     sg = pallas_step.slot_grid(grid)
     cell_over, row_over = jax.jit(
         lambda s: pallas_step.slot_overflow(s.x, s.active, grid, sg)
@@ -84,7 +86,8 @@ def overflow_counts(scene, state, method: str, sort_every: int = 1) -> int:
 
 
 def bench_config(scene, method: str, steps: int, repeats: int = 3,
-                 sort_every: int = 1, slot_resident: bool = False):
+                 sort_every: int = 1, slot_resident: bool = False,
+                 xsub: int = 1):
     if method == "pallas":
         # keep in sync with make_advance's platform clamp, or throughput
         # would be inflated by steps/MAX (ADVICE r1)
@@ -95,7 +98,8 @@ def bench_config(scene, method: str, steps: int, repeats: int = 3,
     if scene.params.integrator == "leapfrog":
         state = jax.jit(lambda s: prime(scene, s, method=method))(state)
     adv = make_advance(scene, method, steps_per_dispatch=steps,
-                       sort_every=sort_every, slot_resident=slot_resident)
+                       sort_every=sort_every, slot_resident=slot_resident,
+                       xsub=xsub)
 
     def one(st):
         if sort_every > 1:
@@ -118,17 +122,17 @@ def bench_config(scene, method: str, steps: int, repeats: int = 3,
         checksum(state)  # forces completion (async timings unreliable here)
         best = min(best, time.perf_counter() - t0)
     n_active = int(state.n_active())
-    overflow = overflow_counts(scene, state, method, sort_every)
+    overflow = overflow_counts(scene, state, method, sort_every, xsub)
     return n_active * steps / best, best / steps, n_active, overflow
 
 
 def measure(name: str, method: str, steps: int, sort_every: int = 1,
-            slot_resident: bool = False):
+            slot_resident: bool = False, xsub: int = 1):
     """One ladder entry → result dict (raises if the config can't run)."""
     scene = preset(name)
     pstep_s, s_per_step, n, overflow = bench_config(
         scene, method, steps, sort_every=sort_every,
-        slot_resident=slot_resident,
+        slot_resident=slot_resident, xsub=xsub,
     )
     method_label = method
     if sort_every > 1:
@@ -158,6 +162,8 @@ def main():
                     help="pallas Verlet-skin addr reuse interval")
     ap.add_argument("--slot-resident", action="store_true",
                     help="integrate in slot space (requires --sort-every>1)")
+    ap.add_argument("--xsub", type=int, default=1,
+                    help="pallas x-cell subdivision (see GridSpec.xsub)")
     ap.add_argument(
         "--all", action="store_true",
         help="print one JSON line per ladder entry (default: one combined "
@@ -198,7 +204,8 @@ def main():
             try:
                 results.append(
                     measure(name, method, steps, sort_every=k_i,
-                            slot_resident=res_i)
+                            slot_resident=res_i,
+                            xsub=args.xsub if method == "pallas" else 1)
                 )
                 break
             except Exception as e:  # noqa: BLE001 — fall down the ladder

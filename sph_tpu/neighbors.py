@@ -49,6 +49,13 @@ class GridSpec:
     shape: tuple[int, ...]    # cells per axis
     cap: int                  # max particles per cell tile
     chunk: int                # particles per lax.map chunk
+    xsub: int = 1             # pallas-only: split each LANE-axis (x) cell
+    #   into `xsub` slot-cells of cap/xsub each.  The candidate window's
+    #   dead margin then shrinks from one cap-wide cell to sub-cell
+    #   granularity (the margin stays exactly one full cell = xsub slots
+    #   wide, so the compact-support/skin guarantee is unchanged), cutting
+    #   the per-pair-block padding the kernels chew through.  The XLA grid
+    #   path ignores it (full-cell tiles).
 
     @property
     def dim(self) -> int:
@@ -78,7 +85,7 @@ class GridSpec:
     @staticmethod
     def for_scene(
         scene: Scene, cap: int | None = None, chunk: int = 2048,
-        skin: float = 0.0,
+        skin: float = 0.0, xsub: int = 1,
     ) -> "GridSpec":
         """`skin` > 0 widens cells to h + skin (pseudo-Verlet, arXiv
         1804.06231 pattern): a neighbor structure built from positions at
@@ -99,7 +106,10 @@ class GridSpec:
         if cap is None:
             # rest occupancy (cell/spacing)^dim, ×2.5 compression headroom
             cap = _round_up(int(math.ceil((cell / spacing) ** p.dim * 2.5)), 8)
-        return GridSpec(lo=lo, cell=cell, shape=shape, cap=cap, chunk=chunk)
+        cap = _round_up(cap, xsub)  # slot cap = cap/xsub must stay integral
+        return GridSpec(
+            lo=lo, cell=cell, shape=shape, cap=cap, chunk=chunk, xsub=xsub
+        )
 
     @staticmethod
     def for_slab(
@@ -126,7 +136,7 @@ class GridSpec:
         )
         return GridSpec(
             lo=full.lo, cell=full.cell, shape=shape, cap=full.cap,
-            chunk=full.chunk,
+            chunk=full.chunk, xsub=full.xsub,
         )
 
 

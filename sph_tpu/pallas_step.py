@@ -98,9 +98,18 @@ class SlotGrid:
     """
 
     inner: tuple[int, ...]   # GridSpec.shape
-    cap: int                 # must divide 128
+    cap: int                 # SLOT-cell capacity (= GridSpec.cap / xsub);
+    #                          must divide 128
     c_rows: int              # compacted-row capacity incl. dummy row 0
-    xb_cells: int = 4        # cells batched per vector op (clipped to xc)
+    xb_cells: int = 4        # slot-cells batched per vector op (clipped to xc)
+    cell: float = 0.0        # FULL cell edge length (= GridSpec.cell); the
+    #                          bf16 kernels need it to fold static
+    #                          cell-center offsets back into the relative
+    #                          features (x axis uses cell/xsub)
+    xsub: int = 1            # x-cells split into xsub slot-cells each (see
+    #                          GridSpec.xsub); candidate margin = xsub slots
+    #                          = exactly one full cell, same support/skin
+    #                          guarantee as xsub=1
 
     @property
     def dim(self) -> int:
@@ -122,8 +131,8 @@ class SlotGrid:
     def h1(self) -> int:     # y rows incl. halo
         return self.inner[-2] + 2
     @property
-    def h2(self) -> int:     # x cells per row incl. one-group halos
-        return _round_up(self.inner[-1], self.xc) + 2 * self.xc
+    def h2(self) -> int:     # x SLOT-cells per row incl. one-group halos
+        return _round_up(self.inner[-1] * self.xsub, self.xc) + 2 * self.xc
 
     @property
     def n_groups(self) -> int:
@@ -145,8 +154,16 @@ def slot_grid(
     c_rows: int | None = None,
     xb_cells: int = 4,
 ) -> SlotGrid:
-    if LANE % grid.cap != 0:
-        raise ValueError(f"pallas path needs cap | 128, got {grid.cap}")
+    if grid.cap % grid.xsub != 0:
+        raise ValueError(
+            f"cap {grid.cap} must be divisible by xsub {grid.xsub}"
+        )
+    cap_slot = grid.cap // grid.xsub
+    if LANE % cap_slot != 0:
+        raise ValueError(
+            f"pallas path needs slot cap | 128, got {cap_slot} "
+            f"(cap {grid.cap} / xsub {grid.xsub})"
+        )
     dim = len(grid.shape)
     inner_rows = (grid.shape[0] + 2 if dim == 3 else 1) * (grid.shape[-2] + 2)
     if c_rows is None:
@@ -154,9 +171,11 @@ def slot_grid(
         c_rows = inner_rows if inner_rows <= 4096 else 4096
     return SlotGrid(
         inner=grid.shape,
-        cap=grid.cap,
+        cap=cap_slot,
         c_rows=min(c_rows, inner_rows) + 1,  # +1: reserved dummy row 0
         xb_cells=xb_cells,
+        cell=grid.cell,
+        xsub=grid.xsub,
     )
 
 
@@ -195,6 +214,69 @@ def _pack_rows6(x, v):
     )
 
 
+def _rel_rows(x, v, addr: "SlotAddr"):
+    """bf16 feature rows: positions CELL-RELATIVE (x − the center of the
+    cell the ADDR binned the particle into), velocities absolute, both
+    rounded to bfloat16 (precision="bf16").
+
+    Cell-relative keeps |stored x| ≤ ~1.5·cell so bf16's 8-bit mantissa
+    yields ~0.4% of a cell of position error instead of being meaningless
+    at domain scale; the kernels rebuild absolute pair distances from the
+    STATIC inter-cell offsets (cells are a known lattice — see
+    _bf16_offsets).  The reference frame is `addr.center` — the BUILD-TIME
+    cell assignment — because under `sort_every` reuse the slot's lane
+    still encodes that cell even after the particle drifts across a cell
+    edge; using the current cell would silently shift the pair distances
+    by whole cells."""
+    return _pack_rows6(x - addr.center, v).astype(jnp.bfloat16)
+
+
+def _bf16_offsets(sg: SlotGrid, d: int, cell: float):
+    """Static center-offset tensors for the bf16 cell-relative kernels.
+
+    Returns (ioff [LANE, FEAT], joffs {k: [FEAT, R·(xb+2)·cap]}), fp32:
+    ioff folds each i-particle's cell center into its upcast self block
+    (x lane axis only; i's own row is the y/z origin), joffs[k] folds
+    each candidate's center into the upcast candidate block (x from the
+    lane layout, y/z from the strip's static (dz, dy)).  After both folds,
+    xi' − xj' is the absolute pair distance, so the pair math is unchanged
+    — the folds are one [128, FEAT] add per group plus one [FEAT, W] add
+    per candidate block (~2% extra issue vs the ~15 ops/pair main loop).
+
+    Built from broadcasted_iota INSIDE the kernel trace (pallas_call
+    rejects captured array constants; iota + selects lower fine and run
+    once per program, outside the group loop)."""
+    cap, xb, xm = sg.cap, sg.xb, sg.xsub
+    w_seg = (xb + 2 * xm) * cap
+    n_r = len(sg.row_offsets)
+    cf = jnp.float32(cell)                   # full cell (y/z rows)
+    cfx = jnp.float32(cell / xm)             # slot-cell width (x lane axis)
+
+    sub = jax.lax.broadcasted_iota(jnp.int32, (LANE, FEAT), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (LANE, FEAT), 1)
+    ioff = jnp.where(col == d - 1, (sub // cap).astype(jnp.float32) * cfx, 0.0)
+
+    w = n_r * w_seg
+    row = jax.lax.broadcasted_iota(jnp.int32, (FEAT, w), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (FEAT, w), 1)
+    strip = lane // w_seg
+    if d == 3:
+        dz = strip // 3 - 1
+        dy = strip % 3 - 1
+    else:
+        dz = jnp.zeros_like(strip)
+        dy = strip - 1
+    joffs = {}
+    for k in range(0, sg.xc, xb):
+        xoff = ((lane % w_seg) // cap + (k - xm)).astype(jnp.float32) * cfx
+        j = jnp.where(row == d - 1, xoff, 0.0)
+        j = jnp.where(row == d - 2, dy.astype(jnp.float32) * cf, j)
+        if d == 3:
+            j = jnp.where(row == 0, dz.astype(jnp.float32) * cf, j)
+        joffs[k] = j
+    return ioff, joffs
+
+
 @dataclass(frozen=True)
 class SlotAddr:
     """Per-particle slot addressing + row compaction, built once per step
@@ -216,6 +298,12 @@ class SlotAddr:
     #   BUILD TIME (cell cap + row cap) — the block-resident advance
     #   accumulates this across rebuilds so a mid-run compression spike
     #   cannot drop physics silently (final-state audits would miss it)
+    row_code: jax.Array   # [c_rows] i32 halo (z, y) row code of each
+    #   compacted row (entry 0 = dummy); lets slot-space consumers recover
+    #   absolute cell centers (precision="bf16" cell-relative features)
+    center: jax.Array     # [N, D] fp32 center of the cell each particle was
+    #   binned into at build time — the bf16 cell-relative reference frame
+    #   (fixed for the whole reuse window, like the slot assignment itself)
 
 
 def build_addr(x, active, grid: GridSpec, sg: SlotGrid, ci_offset=None) -> SlotAddr:
@@ -224,7 +312,19 @@ def build_addr(x, active, grid: GridSpec, sg: SlotGrid, ci_offset=None) -> SlotA
     in_cell = flat < grid.n_cells
     h0 = (ci[:, 0] + 1) if sg.dim == 3 else jnp.zeros((n,), jnp.int32)
     h1 = ci[:, -2] + 1
-    hx = ci[:, -1] + sg.xc                     # one-group x halo
+    if sg.xsub == 1:
+        sx = ci[:, -1]
+    else:
+        # finer x binning: slot-cell index on the xsub-subdivided lattice,
+        # clamped into the full cell ci assigned (so fp rounding between
+        # the two floor computations can never split row/lane binning)
+        cell_x = grid.cell / sg.xsub
+        sxf = jnp.floor((x[:, -1] - grid.lo[-1]) / cell_x).astype(jnp.int32)
+        if ci_offset is not None:
+            sxf = sxf - ci_offset[-1] * sg.xsub
+        base_sx = ci[:, -1] * sg.xsub
+        sx = jnp.clip(sxf, base_sx, base_sx + sg.xsub - 1)
+    hx = sx + sg.xc                            # one-group x halo
     n_hrows = sg.h0 * sg.h1 * sg.h2
     hrow = (h0 * sg.h1 + h1) * sg.h2 + hx
     hrow = jnp.where(in_cell, hrow, n_hrows)
@@ -291,6 +391,17 @@ def build_addr(x, active, grid: GridSpec, sg: SlotGrid, ci_offset=None) -> SlotA
     # the dummy row's own strips must stay the dummy row (its program is
     # skipped, but keep the invariant tight)
     nbr_pos = nbr_pos.at[:, 0].set(0)
+    ci_glob = ci if ci_offset is None else ci + ci_offset[None, :]
+    center = jnp.asarray(grid.lo, x.dtype) + (
+        ci_glob.astype(x.dtype) + 0.5
+    ) * jnp.asarray(grid.cell, x.dtype)
+    if sg.xsub > 1:
+        # x reference = the SLOT-cell center (matches the lane binning)
+        sx_glob = sx if ci_offset is None else sx + ci_offset[-1] * sg.xsub
+        cx = jnp.asarray(grid.lo[-1], x.dtype) + (
+            sx_glob.astype(x.dtype) + 0.5
+        ) * jnp.asarray(grid.cell / sg.xsub, x.dtype)
+        center = jnp.concatenate([center[:, :-1], cx[:, None]], axis=1)
     return SlotAddr(
         pos=pos,
         valid=valid,
@@ -299,6 +410,8 @@ def build_addr(x, active, grid: GridSpec, sg: SlotGrid, ci_offset=None) -> SlotA
         n_occ=n_occ.astype(jnp.int32),
         nbr_pos=nbr_pos,
         overflow=overflow,
+        row_code=codes_ext,
+        center=center,
     )
 
 
@@ -381,19 +494,22 @@ def _group_windows(strips, g):
     return [s[0, :, pl.ds(start, 3 * LANE)] for s in strips]
 
 
-def _cand_block(wins, k, cap, xb):
+def _cand_block(wins, k, cap, xb, xm=1):
     """Static cell-batch slice across all strips and features: the union
-    candidate cells (k-1 .. k+xb) of cells k..k+xb-1, i.e. lanes
-    [(xc + k - 1)·cap, +(xb+2)·cap) of each strip window, concatenated →
-    [F, R·(xb+2)·cap].
+    candidate slot-cells (k-xm .. k+xb+xm-1) of slot-cells k..k+xb-1, i.e.
+    lanes [(xc + k - xm)·cap, +(xb+2·xm)·cap) of each strip window,
+    concatenated → [F, R·(xb+2·xm)·cap].
 
-    The union is exact physics: a candidate ≥2 cells away from an i-cell is
-    ≥ h away, so its contribution is identically zero (branchless kernels).
-    Batching xb cells per vector op trades (xb+2)/3 extra pair-elements for
-    1/xb the op-issue count — a win while the kernels are issue-bound."""
+    The union is exact physics: `xm` slot-cells span exactly one FULL grid
+    cell (xm = xsub), so a candidate beyond the margin is ≥ cell ≥ h(+skin)
+    away and its contribution is identically zero (branchless kernels).
+    Batching xb cells per vector op trades margin overhead for 1/xb the
+    op-issue count — and subdividing x-cells (xsub > 1) shrinks the margin
+    dead-width from cap lanes to cap/xsub lanes per side, the round-2
+    answer to the cap² padding (ROADMAP.md item 1)."""
     xc = LANE // cap
-    a = (xc + k - 1) * cap
-    w = (xb + 2) * cap
+    a = (xc + k - xm) * cap
+    w = (xb + 2 * xm) * cap
     return jnp.concatenate([win[:, a : a + w] for win in wins], axis=1)
 
 
@@ -418,17 +534,24 @@ def _density_kernel(n_ref, nbr_ref, gcount_ref, *refs, sg, params):
     rp_ref[...] = jnp.zeros_like(rp_ref)
 
     d_dim = params.dim
+    bf16 = params.precision == "bf16"
+    if bf16:
+        ioff_c, joff_c = _bf16_offsets(sg, d_dim, sg.cell)
     i_prog = pl.program_id(0)
 
     @pl.when((i_prog > 0) & (i_prog <= n_ref[0]))
     def _():
         def group(g):
             it = _self_block(center_ref, g)           # [128, FEAT], once/group
+            if bf16:
+                it = it.astype(jnp.float32) + jnp.asarray(ioff_c)
             wins = _group_windows(strips, g)          # R × [FEAT, 384]
             xb = sg.xb
             rhos = []
             for k in range(0, sg.xc, xb):
-                cand = _cand_block(wins, k, cap, xb)  # [FEAT, R·(xb+2)·cap]
+                cand = _cand_block(wins, k, cap, xb, sg.xsub)
+                if bf16:
+                    cand = cand.astype(jnp.float32) + jnp.asarray(joff_c[k])
                 r2 = None
                 # 2D: skip the z column — zero for every real particle, and
                 # the far x-column already annihilates dummy pairs
@@ -472,12 +595,17 @@ def _force_kernel(n_ref, nbr_ref, gcount_ref, *refs, sg, params):
     hk = params.h
     out_ref[...] = jnp.zeros_like(out_ref)
 
+    bf16 = params.precision == "bf16"
+    if bf16:
+        ioff_c, joff_c = _bf16_offsets(sg, d_dim, sg.cell)
     i_prog = pl.program_id(0)
 
     @pl.when((i_prog > 0) & (i_prog <= n_ref[0]))
     def _():
         def group(g):
             it = _self_block(center_ref, g)           # [128, FEAT], once/group
+            if bf16:
+                it = it.astype(jnp.float32) + jnp.asarray(ioff_c)
             wins = _group_windows(strips, g)          # R × [FEAT, 384]
             start_l = pl.multiple_of(g * LANE, LANE)
             pT = jnp.transpose(
@@ -487,8 +615,10 @@ def _force_kernel(n_ref, nbr_ref, gcount_ref, *refs, sg, params):
             xb = sg.xb
             f_rows = []
             for k in range(0, sg.xc, xb):
-                cand = _cand_block(wins, k, cap, xb)  # [FEAT, R·(xb+2)·cap]
-                cand_rp = _cand_block(rp_wins, k, cap, xb)  # [2, ...]
+                cand = _cand_block(wins, k, cap, xb, sg.xsub)
+                if bf16:
+                    cand = cand.astype(jnp.float32) + jnp.asarray(joff_c[k])
+                cand_rp = _cand_block(rp_wins, k, cap, xb, sg.xsub)  # [2, ...]
 
                 def self_col(c, k=k):
                     return it[k * cap : (k + xb) * cap, c : c + 1]
@@ -591,7 +721,7 @@ def _call_density(feat, addr: SlotAddr, sg, params):
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((sg.c_rows, 2, sg.lanes), feat.dtype),
+        out_shape=jax.ShapeDtypeStruct((sg.c_rows, 2, sg.lanes), jnp.float32),
         interpret=_interpret(),
     )(
         addr.n_occ,
@@ -619,7 +749,7 @@ def _call_force(feat, rp, addr: SlotAddr, sg, params):
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (sg.c_rows, FOUT, sg.lanes), feat.dtype
+            (sg.c_rows, FOUT, sg.lanes), jnp.float32
         ),
         interpret=_interpret(),
     )(
@@ -675,7 +805,12 @@ def pallas_rho_p_f(
     sg = slot_grid(grid, c_rows, xb_cells)
     if addr is None:
         addr = build_addr(x, active, grid, sg)
-    feat = scatter_slots(addr, _pack_rows6(x, v), sg)
+    rows = (
+        _rel_rows(x, v, addr)
+        if params.precision == "bf16"
+        else _pack_rows6(x, v)
+    )
+    feat = scatter_slots(addr, rows, sg)
     rp_slot = _call_density(feat, addr, sg, params)
     f_slot = _call_force(feat, rp_slot, addr, sg, params)
     rho, ok = _gather_rho(rp_slot, addr, sg, params)
@@ -692,7 +827,13 @@ def pallas_density(x, active, params: SimParams, grid: GridSpec,
     slab-local grids (see neighbors.cell_index)."""
     sg = slot_grid(grid)
     addr = build_addr(x, active, grid, sg, ci_offset)
-    feat = scatter_slots(addr, _pack_rows6(x, jnp.zeros_like(x)), sg)
+    zeros_v = jnp.zeros_like(x)
+    rows = (
+        _rel_rows(x, zeros_v, addr)
+        if params.precision == "bf16"
+        else _pack_rows6(x, zeros_v)
+    )
+    feat = scatter_slots(addr, rows, sg)
     rp_slot = _call_density(feat, addr, sg, params)
     rho, _ = _gather_rho(rp_slot, addr, sg, params)
     return rho
@@ -717,7 +858,12 @@ def pallas_forces(x, v, rho, p, active, params: SimParams, grid: GridSpec,
     n, d = x.shape
     sg = slot_grid(grid)
     addr = build_addr(x, active, grid, sg, ci_offset)
-    feat = scatter_slots(addr, _pack_rows6(x, v), sg)
+    rows = (
+        _rel_rows(x, v, addr)
+        if params.precision == "bf16"
+        else _pack_rows6(x, v)
+    )
+    feat = scatter_slots(addr, rows, sg)
     rp = scatter_rp(addr, rho, p, sg)
     f_slot = _call_force(feat, rp, addr, sg, params)
     ok = addr.valid & (addr.row_pos > 0)

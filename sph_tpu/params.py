@@ -49,6 +49,15 @@ class SimParams:
     integrator: str = "euler"       # "euler" (semi-implicit) | "leapfrog" (KDK)
     kernel_norm: str = "legacy3d"   # "proper" | "legacy3d" (2D codes reusing 3D consts)
 
+    precision: str = "fp32"         # "fp32" | "bf16" — bf16 stores the pallas
+    # candidate features (x, v) in bfloat16 with CELL-RELATIVE positions
+    # (arXiv 2401.08586 pattern: |x − cell_center| ≤ ~1.5·cell keeps the
+    # 8-bit mantissa meaningful; absolute positions in bf16 would be
+    # garbage at domain scale).  Pair math and accumulation stay fp32
+    # (kernels upcast in VMEM).  Affects ONLY the pallas path; naive/grid
+    # stay fp32 (they are the oracles).  See ROADMAP.md: measured ~neutral
+    # on v5e-lite (VPU doesn't pack bf16; kernels are issue-bound).
+
     boundary_mode: str = "clamp"    # "clamp" (reflect+damp) | "penalty" (spring-damper)
     boundary_damping: float = -0.5  # velocity multiplier on wall hit [clamp mode]
     wall_stiffness: float = 1e6     # k_wall   [penalty mode, force-density units]

@@ -249,6 +249,42 @@ def _make_resident_advance(
             [xs, pad, vs, pad, feat[:, 6:, :]], axis=1
         )
 
+    bf16 = params.precision == "bf16"
+
+    def slot_centers(addr):
+        """[c_rows, d, lanes] fp32 cell centers of every slot, from the
+        slot's lane (x cell) and compacted row code (z, y cells) — the
+        bf16 cell-relative reference frame (pallas_step._rel_rows uses the
+        same lattice on the per-particle side)."""
+        from sph_tpu import pallas_step as ps
+
+        cell_f = jnp.float32(grid.cell)
+        lane_i = jnp.arange(sg.lanes, dtype=jnp.int32)
+        cx = jnp.float32(grid.lo[-1]) + (
+            ((lane_i // sg.cap) - sg.xc).astype(jnp.float32) + 0.5
+        ) * jnp.float32(grid.cell / sg.xsub)  # lane axis: SLOT-cell width
+        code = addr.row_code
+        shape3 = (sg.c_rows, 1, sg.lanes)
+        cx_b = jnp.broadcast_to(cx[None, None, :], shape3)
+        if d == 3:
+            cz = jnp.float32(grid.lo[0]) + (
+                (code // sg.h1).astype(jnp.float32) - 0.5
+            ) * cell_f
+            cy = jnp.float32(grid.lo[1]) + (
+                (code % sg.h1).astype(jnp.float32) - 0.5
+            ) * cell_f
+            parts = [
+                jnp.broadcast_to(cz[:, None, None], shape3),
+                jnp.broadcast_to(cy[:, None, None], shape3),
+                cx_b,
+            ]
+        else:
+            cy = jnp.float32(grid.lo[0]) + (
+                code.astype(jnp.float32) - 0.5
+            ) * cell_f
+            parts = [jnp.broadcast_to(cy[:, None, None], shape3), cx_b]
+        return jnp.concatenate(parts, axis=1)
+
     def gather(slot, ncomp, addr):
         ncols = slot.shape[1]
         flat = slot.reshape(-1)
@@ -277,6 +313,24 @@ def _make_resident_advance(
             movb = feat[:, 6:7, :] > 0
             mov = movb.astype(jnp.float32)
             x0 = xs
+            if bf16:
+                # kernels see a bf16 CELL-RELATIVE view rebuilt each step;
+                # the fp32 absolute state (xs, vs) never leaves fp32
+                centers = slot_centers(addr)
+                zrow = jnp.zeros((sg.c_rows, 3 - d, sg.lanes), jnp.float32)
+                z2 = jnp.zeros((sg.c_rows, 2, sg.lanes), jnp.float32)
+
+                def mk_feat(xs_, vs_):
+                    return jnp.concatenate(
+                        [xs_ - centers, zrow, vs_, zrow, z2], axis=1
+                    ).astype(jnp.bfloat16)
+
+            else:
+                feat0 = feat
+
+                def mk_feat(xs_, vs_):
+                    return refresh_feat(feat0, xs_, vs_)
+
             if leap:
                 acc_rows = jnp.concatenate([s.acc, zpad], axis=1)
                 acc_s = pallas_step.scatter_slots(addr, acc_rows, sg)[
@@ -292,7 +346,7 @@ def _make_resident_advance(
                 if leap:
                     vs = vs + (0.5 * dt) * acc_s * mov
                     xs = xs + dt * vs * mov
-                    feat = refresh_feat(feat, xs, vs)
+                    feat = mk_feat(xs, vs)
                     rp = pallas_step._call_density(feat, addr, sg, params)
                     f_s = pallas_step._call_force(feat, rp, addr, sg, params)
                     rho_s = rp[:, 0:1, :]
@@ -305,7 +359,7 @@ def _make_resident_advance(
                     vs = vs + (0.5 * dt) * a_s
                     acc_s = a_s
                 else:
-                    feat = refresh_feat(feat, xs, vs)
+                    feat = mk_feat(xs, vs)
                     rp = pallas_step._call_density(feat, addr, sg, params)
                     f_s = pallas_step._call_force(feat, rp, addr, sg, params)
                     rho_s = rp[:, 0:1, :]
@@ -358,7 +412,7 @@ def _make_resident_advance(
 def make_advance(
     scene: Scene, method: str = "naive", steps_per_dispatch: int = 100,
     grid=None, sort_every: int = 1, skin: float | None = None,
-    slot_resident: bool = False,
+    slot_resident: bool = False, xsub: int = 1, xb_cells: int = 4,
 ):
     """jitted `advance(state) -> state` running S steps in one `lax.scan`.
 
@@ -397,9 +451,9 @@ def make_advance(
         if grid is None:
             base = neighbors.GridSpec.for_scene(scene)
             grid = neighbors.GridSpec.for_scene(
-                scene, cap=base.cap, skin=skin
+                scene, cap=base.cap, skin=skin, xsub=xsub
             )
-        sg = pallas_step.slot_grid(grid)
+        sg = pallas_step.slot_grid(grid, xb_cells=xb_cells)
         blocks, rem = divmod(steps_per_dispatch, sort_every)
         if rem:
             raise ValueError(
@@ -438,6 +492,10 @@ def make_advance(
             return out, viol
 
         return advance_reuse
+    if grid is None and method == "pallas" and xsub > 1:
+        from sph_tpu import neighbors
+
+        grid = neighbors.GridSpec.for_scene(scene, xsub=xsub)
     step = make_step(scene, method, grid=grid)
 
     @jax.jit
