@@ -141,7 +141,30 @@ def cmd_run(args) -> int:
             err.throw()
             return s1
     else:
-        adv = make_advance(scene, args.method, spf)
+        if args.sort_every > 1:
+            spf -= spf % args.sort_every
+            spf = max(spf, args.sort_every)
+
+        def _mk_adv(sc):
+            a = make_advance(sc, args.method, spf,
+                             sort_every=args.sort_every,
+                             slot_resident=args.resident)
+            if args.sort_every <= 1:
+                return a
+
+            def checked_adv(st):
+                st2, viol = a(st)
+                if int(viol):
+                    raise RuntimeError(
+                        f"sort_every={args.sort_every}: {int(viol)} skin/"
+                        "cap violations -- physics invalid; lower "
+                        "--sort-every or raise Scene.grid_cap"
+                    )
+                return st2
+
+            return checked_adv
+
+        adv = _mk_adv(scene)
     pack_fn = jax.jit(
         lambda s: diagnostics.scalar_pack(s, scene.params)
     )
@@ -165,12 +188,12 @@ def cmd_run(args) -> int:
             if interactor is not None:
                 scene, changed = interactor.poll(scene, int(state.step))
                 if changed:
-                    adv = make_advance(scene, args.method, spf)
+                    adv = _mk_adv(scene)
                 while interactor.paused:
                     time.sleep(0.2)
                     scene, changed = interactor.poll(scene, int(state.step))
                     if changed:
-                        adv = make_advance(scene, args.method, spf)
+                        adv = _mk_adv(scene)
             for _ in range(inner):
                 state = adv(state)
             pack = pack_fn(state)
@@ -249,7 +272,23 @@ def cmd_record(args) -> int:
     if args.method == "pallas" and spf > MAX_PALLAS_STEPS_PER_DISPATCH:
         inner = -(-spf // MAX_PALLAS_STEPS_PER_DISPATCH)
         spf = -(-args.steps_per_frame // inner)
-    adv = make_advance(scene, args.method, spf)
+    if args.sort_every > 1:
+        spf -= spf % args.sort_every
+        spf = max(spf, args.sort_every)
+    adv_raw = make_advance(scene, args.method, spf,
+                           sort_every=args.sort_every,
+                           slot_resident=args.resident)
+    if args.sort_every > 1:
+        def adv(st):
+            st2, viol = adv_raw(st)
+            if int(viol):
+                raise RuntimeError(
+                    f"sort_every={args.sort_every}: {int(viol)} skin/cap "
+                    "violations -- physics invalid"
+                )
+            return st2
+    else:
+        adv = adv_raw
     render_fn = jax.jit(
         lambda s: render.render_splat(
             s, scene, args.width, args.height, args.mode,
@@ -293,6 +332,13 @@ def main(argv=None) -> int:
     runp.add_argument("--height", type=int, default=300)
     runp.add_argument("--radius", type=int, default=1,
                       help="splat radius in px (GL point-sprite analog)")
+    runp.add_argument("--sort-every", type=int, default=1,
+                      help="pallas Verlet-skin addr reuse interval "
+                           "(>1: rebuild neighbor addressing every K steps)")
+    runp.add_argument("--resident", action="store_true",
+                      help="slot-resident block integration (fastest pallas "
+                           "mode; requires --sort-every>1; emitter "
+                           "activations freeze until the next rebuild)")
     runp.add_argument("--interact", default=None, metavar="FILE",
                       help="poll FILE between frames for live interaction "
                            "commands (JSON lines: force_field / pause / "
@@ -321,6 +367,13 @@ def main(argv=None) -> int:
     recp.add_argument("--height", type=int, default=300)
     recp.add_argument("--radius", type=int, default=1,
                       help="splat radius in px (GL point-sprite analog)")
+    recp.add_argument("--sort-every", type=int, default=1,
+                      help="pallas Verlet-skin addr reuse interval "
+                           "(>1: rebuild neighbor addressing every K steps)")
+    recp.add_argument("--resident", action="store_true",
+                      help="slot-resident block integration (fastest pallas "
+                           "mode; requires --sort-every>1; emitter "
+                           "activations freeze until the next rebuild)")
     recp.add_argument("--fps", type=float, default=20.0)
     recp.add_argument("--quiet", action="store_true")
     recp.set_defaults(fn=cmd_record)

@@ -80,3 +80,24 @@ def test_interactor_appends_force_field(tmp_path):
         fh.write(json.dumps({"resume": True}) + "\n")
     inter.poll(s3, 9)
     assert not inter.paused
+
+
+def test_cli_run_resident_fast_path(tmp_path):
+    """`sph-tpu run --sort-every 4 --resident` (the fast pallas mode) runs
+    end-to-end and audits violations (CLI plumbing for the flagship
+    configuration the benches measure)."""
+    import sph_tpu.cli as cli
+    from sph_tpu.params import scene_to_json
+
+    scene = small_scene(dim=2, seed=83)
+    scene_path = tmp_path / "scene.json"
+    scene_path.write_text(scene_to_json(scene))
+    rc = cli.main([
+        "run", str(scene_path), "--method", "pallas",
+        "--sort-every", "4", "--resident",
+        "--frames", "1", "--steps-per-frame", "8",
+        "--out", str(tmp_path / "out"), "--quiet",
+    ])
+    assert rc == 0
+    metrics = (tmp_path / "out" / "metrics.jsonl").read_text().strip()
+    assert json.loads(metrics.splitlines()[-1])["step"] == 8
