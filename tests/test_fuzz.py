@@ -73,3 +73,29 @@ def test_random_scene_paths_agree_and_stay_finite(seed):
         state = step(state)
     assert np.all(np.isfinite(np.asarray(state.x)))
     assert np.all(np.isfinite(np.asarray(state.v)))
+
+
+@pytest.mark.parametrize("seed", [515, 616])
+def test_random_scene_resident_matches_classic_reuse(seed):
+    """Fuzz the fast path: slot-resident block integration must stay
+    bitwise-equal (x, rho; v to ulp) to the classic sort_every path on
+    random scenes, with zero skin/cap violations."""
+    from sph_tpu.step import make_advance
+
+    rng = np.random.default_rng(seed)
+    scene = _random_scene(rng)
+    state = init(scene)
+    if scene.params.integrator == "leapfrog":
+        state = prime(scene, state, method="pallas")
+    kw = dict(steps_per_dispatch=8, sort_every=4)
+    s_a, viol_a = make_advance(scene, "pallas", **kw)(state)
+    s_b, viol_b = make_advance(
+        scene, "pallas", slot_resident=True, **kw
+    )(state)
+    assert int(viol_a) == 0 and int(viol_b) == 0, scene.params
+    assert np.array_equal(np.asarray(s_a.x), np.asarray(s_b.x))
+    assert np.array_equal(np.asarray(s_a.rho), np.asarray(s_b.rho))
+    assert np.allclose(
+        np.asarray(s_a.v), np.asarray(s_b.v), rtol=1e-5, atol=1e-5
+    )
+    assert np.all(np.isfinite(np.asarray(s_b.x)))
