@@ -124,22 +124,32 @@ def cmd_run(args) -> int:
         # sanitizer-style stepping (SURVEY.md §5.2): the checkify-
         # instrumented step threads an error value through the frame;
         # err.throw() surfaces the FIRST failed assert with its message
-        checked = diagnostics.make_checked_step(scene, args.method)
+        if args.sort_every > 1 or args.resident:
+            print(
+                "note: --debug steps one-at-a-time; "
+                "--sort-every/--resident are ignored",
+                file=sys.stderr,
+            )
 
-        @jax.jit
-        def _adv_dbg(st):
-            err_acc = None
-            for _ in range(spf):
-                err, st = checked(st)
-                # keep the earliest error (a NaN-poisoned later step would
-                # otherwise mask the root cause)
-                err_acc = err if err_acc is None else err_acc
-            return err_acc, st
+        def _mk_adv(sc):
+            checked = diagnostics.make_checked_step(sc, args.method)
 
-        def adv(st):
-            err, s1 = _adv_dbg(st)
-            err.throw()
-            return s1
+            @jax.jit
+            def _adv_dbg(st):
+                err_acc = None
+                for _ in range(spf):
+                    err, st = checked(st)
+                    # keep the earliest error (a NaN-poisoned later step
+                    # would otherwise mask the root cause)
+                    err_acc = err if err_acc is None else err_acc
+                return err_acc, st
+
+            def adv_dbg(st):
+                err, s1 = _adv_dbg(st)
+                err.throw()
+                return s1
+
+            return adv_dbg
     else:
         if args.sort_every > 1:
             spf -= spf % args.sort_every
@@ -151,20 +161,30 @@ def cmd_run(args) -> int:
                              slot_resident=args.resident)
             if args.sort_every <= 1:
                 return a
+            exact = []  # per-step-rebuild fallback, compiled on first use
 
             def checked_adv(st):
                 st2, viol = a(st)
                 if int(viol):
-                    raise RuntimeError(
-                        f"sort_every={args.sort_every}: {int(viol)} skin/"
-                        "cap violations -- physics invalid; lower "
-                        "--sort-every or raise Scene.grid_cap"
+                    # skin-drift/cap audit fired (e.g. splash-impact speed
+                    # spike): redo this dispatch from the still-held input
+                    # state on the exact path — fast when valid, exact
+                    # when not (same policy as step.run)
+                    if not exact:
+                        exact.append(make_advance(sc, args.method, spf))
+                    print(
+                        f"note: {int(viol)} skin/cap violations at step "
+                        f"{int(st.step)} -- dispatch re-run exactly",
+                        file=sys.stderr,
                     )
+                    return exact[0](st)
                 return st2
 
             return checked_adv
 
-        adv = _mk_adv(scene)
+    # interactor scene edits rebuild via the SAME factory, so the debug
+    # instrumentation / fast-path audit survive a mid-run rebuild
+    adv = _mk_adv(scene)
     pack_fn = jax.jit(
         lambda s: diagnostics.scalar_pack(s, scene.params)
     )
@@ -279,13 +299,19 @@ def cmd_record(args) -> int:
                            sort_every=args.sort_every,
                            slot_resident=args.resident)
     if args.sort_every > 1:
+        exact = []  # per-step-rebuild fallback, compiled on first use
+
         def adv(st):
             st2, viol = adv_raw(st)
             if int(viol):
-                raise RuntimeError(
-                    f"sort_every={args.sort_every}: {int(viol)} skin/cap "
-                    "violations -- physics invalid"
+                if not exact:
+                    exact.append(make_advance(scene, args.method, spf))
+                print(
+                    f"note: {int(viol)} skin/cap violations at step "
+                    f"{int(st.step)} -- dispatch re-run exactly",
+                    file=sys.stderr,
                 )
+                return exact[0](st)
             return st2
     else:
         adv = adv_raw

@@ -256,8 +256,6 @@ def _make_resident_advance(
         slot's lane (x cell) and compacted row code (z, y cells) — the
         bf16 cell-relative reference frame (pallas_step._rel_rows uses the
         same lattice on the per-particle side)."""
-        from sph_tpu import pallas_step as ps
-
         cell_f = jnp.float32(grid.cell)
         lane_i = jnp.arange(sg.lanes, dtype=jnp.int32)
         cx = jnp.float32(grid.lo[-1]) + (
@@ -523,9 +521,14 @@ def run(
 
     Host loop is coarse-grained: one device dispatch per `steps_per_dispatch`
     steps; `frame_callback` (render/metrics) runs once per dispatch.
-    sort_every > 1 (pallas): Verlet-skin addr reuse — raises if the drift
-    bound is violated during the run (physics would silently be wrong).
+    sort_every > 1 (pallas): Verlet-skin addr reuse with EXACT FALLBACK —
+    when the skin-drift/cap audit fires for a dispatch (e.g. a splash-impact
+    speed spike outrunning the skin), that dispatch is re-run from its
+    (still-held) input state on the per-step-rebuild path, so the result is
+    always valid physics: fast when the skin bound holds, exact when not.
     """
+    import sys
+
     from sph_tpu.state import init
 
     if state is None:
@@ -545,17 +548,23 @@ def run(
     advance = make_advance(scene, method, steps_per_dispatch,
                            sort_every=sort_every,
                            slot_resident=slot_resident)
+    exact = {}  # steps -> compiled sort_every=1 fallback (built on demand)
 
-    def dispatch(st, adv, reuse):
+    def dispatch(st, adv, reuse, steps=None):
         if reuse:
-            st, viol = adv(st)
+            st2, viol = adv(st)
             if int(viol):
-                raise RuntimeError(
-                    f"sort_every={sort_every}: {int(viol)} particles "
-                    "exceeded skin/2 drift — physics invalid; lower "
-                    "sort_every or raise skin"
+                k = steps if steps is not None else steps_per_dispatch
+                if k not in exact:
+                    exact[k] = make_advance(scene, method, k)
+                print(
+                    f"sph_tpu.run: {int(viol)} skin/cap violations in a "
+                    f"{k}-step dispatch at step {int(st.step)} — re-ran "
+                    "exactly (per-step rebuild)",
+                    file=sys.stderr,
                 )
-            return st
+                return exact[k](st)
+            return st2
         return adv(st)
 
     for _ in range(n_disp):
@@ -569,6 +578,7 @@ def run(
             make_advance(scene, method, rem, sort_every=rem_reuse,
                          slot_resident=slot_resident and rem_reuse > 1),
             rem_reuse > 1,
+            steps=rem,
         )
         if frame_callback is not None:
             frame_callback(state)

@@ -312,3 +312,26 @@ def test_slot_resident_force_fields():
     # and the field did something vs the plain scene
     s_c, _ = make_advance(base, "pallas", **kw)(state)
     assert not np.array_equal(np.asarray(s_a.x), np.asarray(s_c.x))
+
+
+def test_sort_every_fallback_recovers_exactly(capsys):
+    """When the skin audit fires mid-run, step.run re-runs that dispatch on
+    the per-step-rebuild path from the held input state — the result must
+    equal the plain pallas path bitwise (fast when valid, exact when not)."""
+    from sph_tpu.params import Block
+    from sph_tpu.step import run
+
+    base = small_scene(dim=2, seed=91)
+    # a fast jet: |v| >> c0 makes the default skin provably insufficient,
+    # so every reuse dispatch trips the drift audit
+    fast = base.replace(
+        blocks=(Block(lo=base.blocks[0].lo, hi=base.blocks[0].hi,
+                      velocity=(2000.0, 0.0)),),
+    )
+    s_fast = run(fast, 8, method="pallas", steps_per_dispatch=8,
+                 sort_every=4, slot_resident=True)
+    err = capsys.readouterr().err
+    assert "skin/cap violations" in err and "re-ran exactly" in err
+    s_exact = run(fast, 8, method="pallas", steps_per_dispatch=8)
+    assert np.array_equal(np.asarray(s_fast.x), np.asarray(s_exact.x))
+    assert np.array_equal(np.asarray(s_fast.v), np.asarray(s_exact.v))
