@@ -120,3 +120,26 @@ def test_stop_step_honored():
     scheduled = emit[(emit >= 0) & (emit != INACTIVE)]
     assert scheduled.min() == 5
     assert scheduled.max() < 25
+
+
+def test_emitter_under_resident_fast_path():
+    """Emitters on the slot-resident reuse path: activations freeze until
+    the next rebuild (≤ sort_every steps late), then join pair physics —
+    nothing is lost, shapes never change, and by any rebuild boundary the
+    active set equals the schedule's."""
+    scene = _emitter_scene(with_block=False, start=2, speed=30.0)
+    state = init(scene)
+    adv = make_advance(scene, "pallas", steps_per_dispatch=4,
+                       sort_every=4, slot_resident=True)
+    emit = np.asarray(state.emit_step)
+    for _ in range(6):   # 24 steps in 4-step blocks
+        state, viol = adv(state)
+        assert int(viol) == 0
+        step = int(state.step)
+        # block boundary: the activation mask must exactly match schedule
+        active = np.asarray(state.active)
+        assert np.array_equal(active, emit <= step)
+    x = np.asarray(state.x)[np.asarray(state.active)]
+    assert np.isfinite(x).all()
+    # emitted particles moved off the nozzle (they integrate after joining)
+    assert (x[:, 1] < 300.0 - 1e-3).all()
