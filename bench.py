@@ -93,7 +93,7 @@ def bench_config(scene, method: str, steps: int, repeats: int = 3,
         # would be inflated by steps/MAX (ADVICE r1)
         steps = min(steps, MAX_PALLAS_STEPS_PER_DISPATCH)
     if sort_every > 1:
-        steps -= steps % sort_every
+        steps = max(steps - steps % sort_every, sort_every)
     state = init(scene)
     if scene.params.integrator == "leapfrog":
         state = jax.jit(lambda s: prime(scene, s, method=method))(state)
@@ -219,7 +219,8 @@ def main():
             try:
                 results.append(
                     measure(name, method, steps, sort_every=k_i,
-                            slot_resident=res_i)
+                            slot_resident=res_i,
+                            xsub=args.xsub if method == "pallas" else 1)
                 )
             except Exception as e:  # noqa: BLE001
                 print(

@@ -76,7 +76,15 @@ def bench_one(name, method, steps, repeats=3):
         k = int(method[len("resident"):])
         base = "pallas"
         kw = dict(sort_every=k, slot_resident=True)
-        steps -= steps % k
+    if base == "pallas":
+        # make_advance clamps the dispatch internally; an unclamped
+        # `steps` here would inflate throughput by steps/MAX (the
+        # ADVICE-r1 bug bench.py fixes -- keep this in sync)
+        from sph_tpu.step import MAX_PALLAS_STEPS_PER_DISPATCH
+
+        steps = min(steps, MAX_PALLAS_STEPS_PER_DISPATCH)
+    if kw:
+        steps = max(steps - steps % kw["sort_every"], kw["sort_every"])
     if scene.params.integrator == "leapfrog":
         state = jax.jit(lambda s: prime(scene, s, method=base))(state)
     adv = make_advance(scene, base, steps_per_dispatch=steps, **kw)

@@ -23,7 +23,7 @@ ensure_backend()  # stale JAX_PLATFORMS env (axon-era) -- see sph_tpu/platform.p
 from sph_tpu import diagnostics, render
 from sph_tpu.params import calibrate, preset, preset_names, scene_from_json
 from sph_tpu.state import init
-from sph_tpu.step import make_advance, prime
+from sph_tpu.step import make_advance, make_audited_advance, prime
 
 
 class _Interactor:
@@ -136,17 +136,19 @@ def cmd_run(args) -> int:
 
             @jax.jit
             def _adv_dbg(st):
-                err_acc = None
+                errs = []
                 for _ in range(spf):
                     err, st = checked(st)
-                    # keep the earliest error (a NaN-poisoned later step
-                    # would otherwise mask the root cause)
-                    err_acc = err if err_acc is None else err_acc
-                return err_acc, st
+                    errs.append(err)
+                return errs, st
 
             def adv_dbg(st):
-                err, s1 = _adv_dbg(st)
-                err.throw()
+                errs, s1 = _adv_dbg(st)
+                # throw the EARLIEST failed step's error (a NaN-poisoned
+                # later step would otherwise mask the root cause); throw()
+                # is a no-op on ok steps
+                for e in errs:
+                    e.throw()
                 return s1
 
             return adv_dbg
@@ -156,31 +158,10 @@ def cmd_run(args) -> int:
             spf = max(spf, args.sort_every)
 
         def _mk_adv(sc):
-            a = make_advance(sc, args.method, spf,
-                             sort_every=args.sort_every,
-                             slot_resident=args.resident)
-            if args.sort_every <= 1:
-                return a
-            exact = []  # per-step-rebuild fallback, compiled on first use
-
-            def checked_adv(st):
-                st2, viol = a(st)
-                if int(viol):
-                    # skin-drift/cap audit fired (e.g. splash-impact speed
-                    # spike): redo this dispatch from the still-held input
-                    # state on the exact path — fast when valid, exact
-                    # when not (same policy as step.run)
-                    if not exact:
-                        exact.append(make_advance(sc, args.method, spf))
-                    print(
-                        f"note: {int(viol)} skin/cap violations at step "
-                        f"{int(st.step)} -- dispatch re-run exactly",
-                        file=sys.stderr,
-                    )
-                    return exact[0](st)
-                return st2
-
-            return checked_adv
+            return make_audited_advance(
+                sc, args.method, spf, sort_every=args.sort_every,
+                slot_resident=args.resident,
+            )
 
     # interactor scene edits rebuild via the SAME factory, so the debug
     # instrumentation / fast-path audit survive a mid-run rebuild
@@ -191,10 +172,21 @@ def cmd_run(args) -> int:
     overflow_fn = None
     if args.method == "pallas":
         # per-frame static-cap audit (cell tiles + row compaction): the
-        # kernels drop overflow by design, so surface it (SURVEY.md §5.2)
+        # kernels drop overflow by design, so surface it (SURVEY.md §5.2).
+        # Audit the SAME grid geometry the stepping uses — with
+        # --sort-every>1 that is the SKINNED grid, whose bigger cells
+        # overflow earlier than the plain one would report.
         from sph_tpu import neighbors, pallas_step
+        from sph_tpu.step import default_skin
 
-        _grid = neighbors.GridSpec.for_scene(scene)
+        _base = neighbors.GridSpec.for_scene(scene)
+        if args.sort_every > 1 and not getattr(args, "debug", False):
+            _grid = neighbors.GridSpec.for_scene(
+                scene, cap=_base.cap,
+                skin=default_skin(scene, args.sort_every),
+            )
+        else:
+            _grid = _base
         _sg = pallas_step.slot_grid(_grid)
         overflow_fn = jax.jit(
             lambda s: pallas_step.slot_overflow(s.x, s.active, _grid, _sg)
@@ -295,26 +287,9 @@ def cmd_record(args) -> int:
     if args.sort_every > 1:
         spf -= spf % args.sort_every
         spf = max(spf, args.sort_every)
-    adv_raw = make_advance(scene, args.method, spf,
-                           sort_every=args.sort_every,
-                           slot_resident=args.resident)
-    if args.sort_every > 1:
-        exact = []  # per-step-rebuild fallback, compiled on first use
-
-        def adv(st):
-            st2, viol = adv_raw(st)
-            if int(viol):
-                if not exact:
-                    exact.append(make_advance(scene, args.method, spf))
-                print(
-                    f"note: {int(viol)} skin/cap violations at step "
-                    f"{int(st.step)} -- dispatch re-run exactly",
-                    file=sys.stderr,
-                )
-                return exact[0](st)
-            return st2
-    else:
-        adv = adv_raw
+    adv = make_audited_advance(scene, args.method, spf,
+                               sort_every=args.sort_every,
+                               slot_resident=args.resident)
     render_fn = jax.jit(
         lambda s: render.render_splat(
             s, scene, args.width, args.height, args.mode,

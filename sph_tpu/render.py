@@ -66,9 +66,14 @@ def render_splat(
                 wgt = max(0.0, 1.0 - (dx * dx + dy * dy) / r2max)
                 if wgt <= 0.0:
                     continue
-                img = img.at[py + dy, px + dx].add(
-                    val * jnp.float32(wgt), mode="drop"
-                )
+                iy, ix = py + dy, px + dx
+                # mode="drop" only drops indices BEYOND the axis; negative
+                # taps (a particle on the image edge) would wrap to the
+                # opposite edge — route them one-past-the-end instead
+                oob = (iy < 0) | (iy >= height) | (ix < 0) | (ix >= width)
+                img = img.at[
+                    jnp.where(oob, height, iy), jnp.where(oob, width, ix)
+                ].add(val * jnp.float32(wgt), mode="drop")
         return img
 
     w = ok.astype(jnp.float32)

@@ -444,6 +444,17 @@ def make_advance(
             raise ValueError("sort_every > 1 requires method='pallas'")
         from sph_tpu import neighbors, pallas_step
 
+        if grid is not None and skin is None:
+            # the audit's drift bound must describe the grid actually used:
+            # a caller-supplied grid carries its skin as cell − h
+            skin = grid.cell - scene.params.h
+            if skin <= 0:
+                raise ValueError(
+                    "sort_every > 1 with a caller-supplied grid requires "
+                    "skinned cells (GridSpec.for_scene(..., skin=...)); "
+                    f"got cell == {grid.cell} for h == {scene.params.h} — "
+                    "addr reuse would be exact only at zero drift"
+                )
         if skin is None:
             skin = default_skin(scene, sort_every)
         if grid is None:
@@ -507,6 +518,45 @@ def make_advance(
     return advance
 
 
+def make_audited_advance(
+    scene: Scene, method: str, steps_per_dispatch: int,
+    sort_every: int = 1, slot_resident: bool = False, xsub: int = 1,
+):
+    """`advance(state) -> state` with the fast path's safety policy built
+    in: when the per-dispatch skin/cap audit fires (e.g. a splash-impact
+    speed spike outrunning the Verlet skin), the dispatch is re-run from
+    its still-held input state on the per-step-rebuild path — fast when
+    the skin bound holds, exact when not, never silently degraded.
+
+    The single implementation of that policy; step.run and both CLI
+    commands route through it.  For sort_every <= 1 this is just
+    make_advance."""
+    import sys
+
+    adv = make_advance(scene, method, steps_per_dispatch,
+                       sort_every=sort_every, slot_resident=slot_resident,
+                       xsub=xsub)
+    if sort_every <= 1:
+        return adv
+    exact = []  # per-step-rebuild fallback, compiled on first use
+
+    def audited(st: State) -> State:
+        st2, viol = adv(st)
+        if int(viol):
+            if not exact:
+                exact.append(make_advance(scene, method, steps_per_dispatch))
+            print(
+                f"sph_tpu: {int(viol)} skin/cap violations in a "
+                f"{steps_per_dispatch}-step dispatch at step "
+                f"{int(st.step)} — re-ran exactly (per-step rebuild)",
+                file=sys.stderr,
+            )
+            return exact[0](st)
+        return st2
+
+    return audited
+
+
 def run(
     scene: Scene,
     n_steps: int,
@@ -522,13 +572,8 @@ def run(
     Host loop is coarse-grained: one device dispatch per `steps_per_dispatch`
     steps; `frame_callback` (render/metrics) runs once per dispatch.
     sort_every > 1 (pallas): Verlet-skin addr reuse with EXACT FALLBACK —
-    when the skin-drift/cap audit fires for a dispatch (e.g. a splash-impact
-    speed spike outrunning the skin), that dispatch is re-run from its
-    (still-held) input state on the per-step-rebuild path, so the result is
-    always valid physics: fast when the skin bound holds, exact when not.
+    see make_audited_advance.
     """
-    import sys
-
     from sph_tpu.state import init
 
     if state is None:
@@ -545,41 +590,20 @@ def run(
         steps_per_dispatch -= steps_per_dispatch % sort_every
         steps_per_dispatch = max(steps_per_dispatch, sort_every)
     n_disp, rem = divmod(n_steps, steps_per_dispatch)
-    advance = make_advance(scene, method, steps_per_dispatch,
-                           sort_every=sort_every,
-                           slot_resident=slot_resident)
-    exact = {}  # steps -> compiled sort_every=1 fallback (built on demand)
-
-    def dispatch(st, adv, reuse, steps=None):
-        if reuse:
-            st2, viol = adv(st)
-            if int(viol):
-                k = steps if steps is not None else steps_per_dispatch
-                if k not in exact:
-                    exact[k] = make_advance(scene, method, k)
-                print(
-                    f"sph_tpu.run: {int(viol)} skin/cap violations in a "
-                    f"{k}-step dispatch at step {int(st.step)} — re-ran "
-                    "exactly (per-step rebuild)",
-                    file=sys.stderr,
-                )
-                return exact[k](st)
-            return st2
-        return adv(st)
+    advance = make_audited_advance(scene, method, steps_per_dispatch,
+                                   sort_every=sort_every,
+                                   slot_resident=slot_resident)
 
     for _ in range(n_disp):
-        state = dispatch(state, advance, sort_every > 1)
+        state = advance(state)
         if frame_callback is not None:
             frame_callback(state)
     if rem:
         rem_reuse = sort_every if rem % sort_every == 0 else 1
-        state = dispatch(
-            state,
-            make_advance(scene, method, rem, sort_every=rem_reuse,
-                         slot_resident=slot_resident and rem_reuse > 1),
-            rem_reuse > 1,
-            steps=rem,
-        )
+        state = make_audited_advance(
+            scene, method, rem, sort_every=rem_reuse,
+            slot_resident=slot_resident and rem_reuse > 1,
+        )(state)
         if frame_callback is not None:
             frame_callback(state)
     return state
