@@ -516,6 +516,7 @@ def _make_spatial_local(
         # re-imported below before the force pass (halo-depth correctness:
         # the alternative would be 2h-deep ghosts).
         nl = spec.cap_local
+        split_ctx = None
         if method == "grid":
             from sph_tpu import neighbors
 
@@ -525,9 +526,13 @@ def _make_spatial_local(
         elif method == "pallas":
             from sph_tpu import pallas_step
 
-            rho_c = pallas_step.pallas_density(
-                cx, c_act, params, grid, ci_offset=ci_off
+            # ONE addr build + feature scatter shared by both kernel
+            # phases (positions don't move between them — only ghost
+            # rho/p is re-imported)
+            split_ctx = pallas_step.pallas_split_build(
+                cx, cv, c_act, params, grid, ci_offset=ci_off
             )
+            rho_c = pallas_step.pallas_density_split(split_ctx, params)
         else:
             rho_c = physics.density_naive(cx, c_act, params)
         rho = rho_c[:nl]
@@ -565,8 +570,8 @@ def _make_spatial_local(
                 cx, cv, rho_cc, p_cc, c_act, params, grid, ci_offset=ci_off
             )
         elif method == "pallas":
-            f_c = pallas_step.pallas_forces(
-                cx, cv, rho_cc, p_cc, c_act, params, grid, ci_offset=ci_off
+            f_c = pallas_step.pallas_forces_split(
+                split_ctx, rho_cc, p_cc, params, d
             )
         else:
             f_c = physics.forces_naive(cx, cv, rho_cc, p_cc, c_act, params)

@@ -819,24 +819,62 @@ def pallas_rho_p_f(
     return rho, p, f
 
 
+@dataclass(frozen=True)
+class SplitCtx:
+    """Shared slot context for the split density/force phases (decomp.py's
+    halo-exchange step): ONE build_addr + ONE feature scatter serve both
+    kernel calls — the per-phase wrappers below each used to rebuild them,
+    doubling the two most expensive XLA-side phases per spatial step.
+    Numerically neutral: both phases see the identical addressing/features
+    they would have built independently (the density kernel never reads
+    the v columns)."""
+
+    sg: SlotGrid
+    addr: SlotAddr
+    feat: jax.Array
+
+
+def pallas_split_build(x, v, active, params: SimParams, grid: GridSpec,
+                       ci_offset=None) -> SplitCtx:
+    """Build the shared SplitCtx (see class docstring).  `ci_offset`
+    shifts the cell lattice per device for slab-local grids
+    (see neighbors.cell_index)."""
+    sg = slot_grid(grid)
+    addr = build_addr(x, active, grid, sg, ci_offset)
+    rows = (
+        _rel_rows(x, v, addr)
+        if params.precision == "bf16"
+        else _pack_rows6(x, v)
+    )
+    feat = scatter_slots(addr, rows, sg)
+    return SplitCtx(sg=sg, addr=addr, feat=feat)
+
+
+def pallas_density_split(ctx: SplitCtx, params: SimParams):
+    """Density-only phase over a prebuilt SplitCtx → per-particle rho."""
+    rp_slot = _call_density(ctx.feat, ctx.addr, ctx.sg, params)
+    rho, _ = _gather_rho(rp_slot, ctx.addr, ctx.sg, params)
+    return rho
+
+
+def pallas_forces_split(ctx: SplitCtx, rho, p, params: SimParams, d: int):
+    """Force-only phase over a prebuilt SplitCtx, given external per-
+    particle rho/p (e.g. with halo-exchanged ghost values re-imported)."""
+    rp = scatter_rp(ctx.addr, rho, p, ctx.sg)
+    f_slot = _call_force(ctx.feat, rp, ctx.addr, ctx.sg, params)
+    ok = ctx.addr.valid & (ctx.addr.row_pos > 0)
+    return _gather_f(f_slot, ctx.addr, ctx.sg, d, ok)
+
+
 def pallas_density(x, active, params: SimParams, grid: GridSpec,
                    ci_offset=None):
     """Density-only phase (split API for the halo-exchange step, mirroring
     neighbors.grid_density — sph_tpu/decomp.py re-imports ghost rho/p
-    between phases).  `ci_offset` shifts the cell lattice per device for
-    slab-local grids (see neighbors.cell_index)."""
-    sg = slot_grid(grid)
-    addr = build_addr(x, active, grid, sg, ci_offset)
-    zeros_v = jnp.zeros_like(x)
-    rows = (
-        _rel_rows(x, zeros_v, addr)
-        if params.precision == "bf16"
-        else _pack_rows6(x, zeros_v)
+    between phases)."""
+    ctx = pallas_split_build(
+        x, jnp.zeros_like(x), active, params, grid, ci_offset
     )
-    feat = scatter_slots(addr, rows, sg)
-    rp_slot = _call_density(feat, addr, sg, params)
-    rho, _ = _gather_rho(rp_slot, addr, sg, params)
-    return rho
+    return pallas_density_split(ctx, params)
 
 
 def scatter_rp(addr: SlotAddr, rho, p, sg: SlotGrid):
@@ -855,16 +893,5 @@ def scatter_rp(addr: SlotAddr, rho, p, sg: SlotGrid):
 def pallas_forces(x, v, rho, p, active, params: SimParams, grid: GridSpec,
                   ci_offset=None):
     """Force-only phase given rho/p (split API, see pallas_density)."""
-    n, d = x.shape
-    sg = slot_grid(grid)
-    addr = build_addr(x, active, grid, sg, ci_offset)
-    rows = (
-        _rel_rows(x, v, addr)
-        if params.precision == "bf16"
-        else _pack_rows6(x, v)
-    )
-    feat = scatter_slots(addr, rows, sg)
-    rp = scatter_rp(addr, rho, p, sg)
-    f_slot = _call_force(feat, rp, addr, sg, params)
-    ok = addr.valid & (addr.row_pos > 0)
-    return _gather_f(f_slot, addr, sg, d, ok)
+    ctx = pallas_split_build(x, v, active, params, grid, ci_offset)
+    return pallas_forces_split(ctx, rho, p, params, x.shape[1])
