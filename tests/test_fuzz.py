@@ -5,6 +5,7 @@ config space, SURVEY.md §4)."""
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from sph_tpu import neighbors, pallas_step, physics
@@ -99,3 +100,72 @@ def test_random_scene_resident_matches_classic_reuse(seed):
         np.asarray(s_a.v), np.asarray(s_b.v), rtol=1e-5, atol=1e-5
     )
     assert np.all(np.isfinite(np.asarray(s_b.x)))
+
+
+@pytest.mark.parametrize("seed", [717, 818])
+def test_random_scene_full_feature_matrix(seed):
+    """Fuzz the feature COMBINATION the targeted tests cover one-at-a-time:
+    static boundary particles + an emitter + a force field in one random
+    scene — all three neighbor paths agree on the seeded state, and a short
+    grid trajectory through emitter activations stays finite with shapes
+    unchanged."""
+    from sph_tpu.params import Emitter, ForceField
+
+    rng = np.random.default_rng(seed)
+    base = _random_scene(rng)
+    p = base.params
+    dim = p.dim
+    ext = base.hi[0]
+    s = p.h * 0.55
+    floor = Block(
+        lo=base.lo,
+        hi=tuple(2 * s if a == dim - 1 else base.hi[a] for a in range(dim)),
+        kind=1,
+    )
+    nozzle = tuple(
+        ext * 0.75 if a == 0 else base.hi[a] * 0.8 for a in range(dim)
+    )
+    jet = tuple(0.0 if a != dim - 1 else -30.0 for a in range(dim))
+    scene = calibrate(
+        base.replace(
+            blocks=base.blocks + (floor,),
+            emitters=(
+                Emitter(pos=nozzle, velocity=jet, width=2, start_step=3),
+            ),
+            force_fields=(
+                ForceField(
+                    pos=tuple(e * 0.5 for e in base.hi),
+                    strength=float(rng.uniform(-3e4, 3e4)),
+                    radius=3 * p.h,
+                    start_step=0,
+                ),
+            ),
+        )
+    )
+    state = init(scene)
+    if p.integrator == "leapfrog":
+        state = prime(scene, state, method="grid")
+
+    grid = neighbors.GridSpec.for_scene(scene)
+    x, v, act = state.x, state.v, state.active
+    rho_n = physics.density_naive(x, act, p)
+    rho_g, _, f_g = neighbors.grid_rho_p_f(x, v, act, p, grid)
+    rho_p, _, f_p = pallas_step.pallas_rho_p_f(x, v, act, p, grid)
+    assert np.allclose(np.asarray(rho_g), np.asarray(rho_n), rtol=1e-5)
+    assert np.allclose(np.asarray(rho_p), np.asarray(rho_g), rtol=1e-5)
+    fs = np.max(np.abs(np.asarray(f_g))) + 1e-9
+    assert np.max(np.abs(np.asarray(f_p) - np.asarray(f_g))) / fs < 1e-4
+
+    step = make_step(scene, "grid")
+    shapes = jax.tree.map(lambda a: a.shape, state)
+    for _ in range(12):
+        state = step(state)
+    assert jax.tree.map(lambda a: a.shape, state) == shapes
+    assert np.all(np.isfinite(np.asarray(state.x)))
+    # boundary particles never moved
+    kind = np.asarray(state.kind)
+    if (kind == 1).any():
+        x0 = np.asarray(init(scene).x)
+        assert np.array_equal(
+            np.asarray(state.x)[kind == 1], x0[kind == 1]
+        )
