@@ -292,18 +292,29 @@ def _chained(x, prev):
     return jax.lax.optimization_barrier((x, prev))[0]
 
 
+def _pack_idx(mask, cap):
+    """Fixed-size compaction INDICES: (idx [cap], valid [cap], overflow).
+    Split from _pack so the reuse path can pin the selection for a whole
+    block and re-gather fresh payloads per step."""
+    n = mask.shape[0]
+    idx = jnp.nonzero(mask, size=cap, fill_value=n)[0]
+    overflow = jnp.maximum(jnp.sum(mask.astype(jnp.int32)) - cap, 0)
+    return idx, idx < n, overflow
+
+
+def _gather_rows(payload, idx):
+    """payload rows at idx; index n (the pad fill) reads a zero row."""
+    return jnp.concatenate(
+        [payload, jnp.zeros((1, payload.shape[1]), payload.dtype)], 0
+    )[idx]
+
+
 def _pack(mask, payload, cap):
     """Fixed-size compaction: rows of `payload` where mask, padded.
 
     Returns (buf [cap, F], valid [cap] bool, overflow count)."""
-    n = mask.shape[0]
-    idx = jnp.nonzero(mask, size=cap, fill_value=n)[0]
-    buf = jnp.concatenate(
-        [payload, jnp.zeros((1, payload.shape[1]), payload.dtype)], 0
-    )[idx]
-    valid = idx < n
-    overflow = jnp.maximum(jnp.sum(mask.astype(jnp.int32)) - cap, 0)
-    return buf, valid, overflow
+    idx, valid, overflow = _pack_idx(mask, cap)
+    return _gather_rows(payload, idx), valid, overflow
 
 
 def spatial_shard_state(state: State, scene: Scene, spec: SpatialSpec, mesh: Mesh):
@@ -366,6 +377,35 @@ def spatial_gather_state(loc: State) -> State:
     return State(step=loc.step, **{k: jnp.asarray(v) for k, v in flat.items()})
 
 
+F_GHOST = 7  # ghost payload: x3 | v3 | kind   (2D uses first 2 of each)
+F_MIG = 11   # migration:     x3 | v3 | acc3 | kind | emit_step
+
+
+def _pack_payload(x, v, kind, d):
+    z = jnp.zeros((x.shape[0], 3 - d), x.dtype)
+    return jnp.concatenate(
+        [x, z, v, z, kind[:, None].astype(x.dtype)], axis=1
+    )
+
+
+def _pack_mig(x, v, acc, kind, emit, d):
+    z = jnp.zeros((x.shape[0], 3 - d), x.dtype)
+    # emit_step travels BITCAST to float32, not value-cast: int32 values
+    # above 2^24 (e.g. very long runs' step counts) would round in a
+    # value cast and corrupt the active mask after migration (ADVICE r1).
+    # The buffer only moves through gathers/ppermute — no arithmetic —
+    # so arbitrary bit patterns survive transport exactly.
+    emit_bits = jax.lax.bitcast_convert_type(emit, jnp.float32)
+    return jnp.concatenate(
+        [
+            x, z, v, z, acc, z,
+            kind[:, None].astype(x.dtype),
+            emit_bits[:, None],
+        ],
+        axis=1,
+    )
+
+
 def _make_spatial_local(
     scene: Scene, spec: SpatialSpec, mesh: Mesh, method: str = "grid"
 ):
@@ -396,32 +436,7 @@ def _make_spatial_local(
 
     right = [(i, (i + 1) % n_sh) for i in range(n_sh)]
     left = [(i, (i - 1) % n_sh) for i in range(n_sh)]
-
-    F_GHOST = 7  # x3 | v3 | kind   (2D uses first 2 of each)
-    F_MIG = 11   # x3 | v3 | acc3 | kind | emit_step
-
-    def pack_payload(x, v, kind, d):
-        z = jnp.zeros((x.shape[0], 3 - d), x.dtype)
-        return jnp.concatenate(
-            [x, z, v, z, kind[:, None].astype(x.dtype)], axis=1
-        )
-
-    def pack_mig(x, v, acc, kind, emit, d):
-        z = jnp.zeros((x.shape[0], 3 - d), x.dtype)
-        # emit_step travels BITCAST to float32, not value-cast: int32 values
-        # above 2^24 (e.g. very long runs' step counts) would round in a
-        # value cast and corrupt the active mask after migration (ADVICE r1).
-        # The buffer only moves through gathers/ppermute — no arithmetic —
-        # so arbitrary bit patterns survive transport exactly.
-        emit_bits = jax.lax.bitcast_convert_type(emit, jnp.float32)
-        return jnp.concatenate(
-            [
-                x, z, v, z, acc, z,
-                kind[:, None].astype(x.dtype),
-                emit_bits[:, None],
-            ],
-            axis=1,
-        )
+    pack_payload, pack_mig = _pack_payload, _pack_mig
 
     def sharded(st: State) -> State:
         # local views arrive as [1, cap_local, ...]: drop the stack axis
@@ -673,6 +688,296 @@ def _make_spatial_local(
     return sharded
 
 
+def _make_spatial_reuse_local(
+    scene: Scene, spec: SpatialSpec, mesh: Mesh, sort_every: int
+):
+    """Per-device BLOCK body for the decomp fast path (pallas only):
+    `sort_every` steps per block with the Verlet-skin contract of the
+    single-chip fast path (step.make_advance) extended across devices.
+
+    Pinned per block, from block-top positions:
+      - the ghost SELECTION (faces within h+skin instead of h — every
+        particle drifts < skin/2 within the block, so the pinned set stays
+        a superset of each step's exact h-band, and extras beyond h
+        annihilate by compact support);
+      - the slot ADDRESSING over locals + ghosts (skinned slab-local grid,
+        `GridSpec.for_slab(..., skin=...)`), so build_addr's sort runs
+        once per block instead of once per step.
+    Exchanged per step (values stay exact): ghost (x, v) payloads of the
+    pinned indices, then computed ghost (rho, p) between the kernel
+    phases — identical collective pattern to the per-step path.
+    Deferred to block END: migration and emitter activation (mid-block
+    activations join at the next block top, ≤ sort_every steps late —
+    the same documented semantics as the single-chip fast path).
+
+    The returned overflow folds every validity audit (ghost/migration/
+    addr caps AND skin-drift violations): nonzero ⇒ the block's physics is
+    unreliable — same contract the single-chip audit + exact-fallback
+    policy is built on.
+    """
+    from sph_tpu import neighbors, pallas_step
+    from sph_tpu.step import default_skin
+
+    params = scene.params
+    dt = params.dt
+    n_sh = spec.n_shards
+    ax = spec.axis
+    h = params.h
+    skin = default_skin(scene, sort_every)
+    h_eff = h + skin
+    half2 = (0.5 * skin) ** 2
+    leap = params.integrator == "leapfrog"
+    bf16 = params.precision == "bf16"
+
+    base = neighbors.GridSpec.for_scene(scene)
+    grid = neighbors.GridSpec.for_slab(
+        scene, spec.slab_w, ax, cap=base.cap, skin=skin
+    )
+    sg = pallas_step.slot_grid(grid)
+
+    right = [(i, (i + 1) % n_sh) for i in range(n_sh)]
+    left = [(i, (i - 1) % n_sh) for i in range(n_sh)]
+
+    def block(st: State):
+        st = State(
+            step=st.step,
+            **{
+                f.name: getattr(st, f.name)[0]
+                for f in dataclasses.fields(st)
+                if f.name != "step"
+            },
+        )
+        d = st.x.shape[1]
+        me = jax.lax.axis_index(AXIS)
+        my_lo = spec.slab_lo + me.astype(jnp.float32) * spec.slab_w
+        my_hi = my_lo + spec.slab_w
+        is_first = me == 0
+        is_last = me == n_sh - 1
+
+        from sph_tpu import neighbors as _nbr
+
+        s_full = _nbr.GridSpec.for_scene(scene, skin=skin).shape[ax]
+        k_dev = jnp.floor(
+            (my_lo - h_eff - grid.cell - grid.lo[ax]) / grid.cell
+        ).astype(jnp.int32)
+        k_dev = jnp.clip(k_dev, 0, s_full - grid.shape[ax])
+        ci_off = jnp.zeros((d,), jnp.int32).at[ax].set(1) * k_dev
+
+        active0 = st.emit_step <= st.step
+        movable0 = active0 & (st.kind == 0)
+        mov = movable0[:, None].astype(st.x.dtype)
+        x, v, acc = st.x, st.v, st.acc
+        x0_ref = x                      # drift-audit reference (block top)
+
+        # pinned ghost selection: h+skin band from block-top positions
+        near_lo = active0 & (x[:, ax] < my_lo + h_eff)
+        near_hi = active0 & (x[:, ax] >= my_hi - h_eff)
+        idx_lo, val_lo, ov1 = _pack_idx(near_lo, spec.cap_ghost)
+        idx_hi, val_hi, ov2 = _pack_idx(near_hi, spec.cap_ghost)
+        overflow = ov1 + ov2
+        viol = jnp.int32(0)
+
+        nl = spec.cap_local
+        addr = None
+        prev = None                     # collective ordering token
+        rho = st.rho[:nl] * 0 + params.rest_density
+        p_loc = jnp.zeros_like(rho)
+
+        for i in range(sort_every):
+            if leap:
+                v = v + (0.5 * dt) * acc * mov
+                x = x + dt * v * mov
+            pay = _pack_payload(x, v, st.kind, d)
+            buf_lo = _gather_rows(pay, idx_lo)
+            buf_hi = _gather_rows(pay, idx_hi)
+            g_from_right = jax.lax.ppermute(
+                _chained(
+                    jnp.concatenate(
+                        [buf_lo, val_lo[:, None].astype(pay.dtype)], 1
+                    ),
+                    prev,
+                ),
+                AXIS,
+                left,
+            )
+            g_from_left = jax.lax.ppermute(
+                _chained(
+                    jnp.concatenate(
+                        [buf_hi, val_hi[:, None].astype(pay.dtype)], 1
+                    ),
+                    g_from_right,
+                ),
+                AXIS,
+                right,
+            )
+            gl_valid = (g_from_left[:, F_GHOST] > 0) & ~is_first
+            gr_valid = (g_from_right[:, F_GHOST] > 0) & ~is_last
+
+            def unpack_ghost(g, valid):
+                gx = g[:, 0:d]
+                gv = g[:, 3 : 3 + d]
+                far = jnp.full_like(gx, 1e18)
+                gx = jnp.where(valid[:, None], gx, far)
+                return gx, jnp.where(valid[:, None], gv, 0.0), valid
+
+            glx, glv, glm = unpack_ghost(g_from_left, gl_valid)
+            grx, grv, grm = unpack_ghost(g_from_right, gr_valid)
+            cx = jnp.concatenate([x, glx, grx], axis=0)
+            cv = jnp.concatenate([v, glv, grv], axis=0)
+
+            if addr is None:
+                # block top: build the pinned addressing from the first
+                # exchange's positions (post-drift for leapfrog, exactly
+                # like the per-step path's binning)
+                c_act = jnp.concatenate([active0, glm, grm], axis=0)
+                addr = pallas_step.build_addr(cx, c_act, grid, sg, ci_off)
+                overflow = overflow + addr.overflow
+
+            rows = (
+                pallas_step._rel_rows(cx, cv, addr)
+                if bf16
+                else pallas_step._pack_rows6(cx, cv)
+            )
+            feat = pallas_step.scatter_slots(addr, rows, sg)
+            ctx = pallas_step.SplitCtx(sg=sg, addr=addr, feat=feat)
+            rho_c = pallas_step.pallas_density_split(ctx, params)
+            rho = rho_c[:nl]
+            p_loc = physics.eos_pressure(rho, params)
+
+            rp = jnp.stack([rho, p_loc], axis=1)
+            rp_lo = _gather_rows(rp, idx_lo)
+            rp_hi = _gather_rows(rp, idx_hi)
+            rp_from_right = jax.lax.ppermute(
+                _chained(rp_lo, g_from_left), AXIS, left
+            )
+            rp_from_left = jax.lax.ppermute(
+                _chained(rp_hi, rp_from_right), AXIS, right
+            )
+            ghost_rho = jnp.concatenate(
+                [
+                    jnp.where(gl_valid, rp_from_left[:, 0], 1.0),
+                    jnp.where(gr_valid, rp_from_right[:, 0], 1.0),
+                ]
+            )
+            ghost_p = jnp.concatenate(
+                [
+                    jnp.where(gl_valid, rp_from_left[:, 1], 0.0),
+                    jnp.where(gr_valid, rp_from_right[:, 1], 0.0),
+                ]
+            )
+            rho_cc = jnp.concatenate([rho, ghost_rho])
+            p_cc = jnp.concatenate([p_loc, ghost_p])
+            f = pallas_step.pallas_forces_split(
+                ctx, rho_cc, p_cc, params, d
+            )[:nl]
+
+            f = f + physics.gravity_force(rho, params)
+            if params.boundary_mode == "penalty":
+                f = f + physics.wall_penalty_force(
+                    x, v, scene.lo, scene.hi, params
+                )
+            if scene.force_fields:
+                f = f + physics.force_field_force(
+                    x, st.step + i, scene.force_fields
+                )
+
+            a = f / jnp.maximum(rho, 1e-12)[:, None]
+            if leap:
+                v = v + (0.5 * dt) * a * mov
+            else:
+                v = v + dt * a * mov
+                x = x + dt * v * mov
+            acc = jnp.where(movable0[:, None], a, 0.0)
+            if params.boundary_mode == "clamp":
+                xc_, vc_ = physics.clamp_boundary(
+                    x, v, scene.lo, scene.hi, params
+                )
+                x = jnp.where(movable0[:, None], xc_, x)
+                v = jnp.where(movable0[:, None], vc_, v)
+
+            dd = x - x0_ref
+            drift2 = jnp.sum(dd * dd, axis=1)
+            viol = viol + jnp.sum(
+                ((drift2 > half2) & active0).astype(jnp.int32)
+            )
+            prev = rp_from_left
+
+        # ---- block end: migration (same policy as the per-step path) ----
+        go_left = active0 & (x[:, ax] < my_lo) & ~is_first
+        go_right = active0 & (x[:, ax] >= my_hi) & ~is_last
+        leaver = go_left | go_right
+        mig = _pack_mig(x, v, acc, st.kind, st.emit_step, d)
+        m_lo, mval_lo, ov3 = _pack(go_left, mig, spec.cap_mig)
+        m_hi, mval_hi, ov4 = _pack(go_right, mig, spec.cap_mig)
+        m_from_right = jax.lax.ppermute(
+            _chained(
+                jnp.concatenate(
+                    [m_lo, mval_lo[:, None].astype(mig.dtype)], 1
+                ),
+                prev,
+            ),
+            AXIS,
+            left,
+        )
+        m_from_left = jax.lax.ppermute(
+            _chained(
+                jnp.concatenate(
+                    [m_hi, mval_hi[:, None].astype(mig.dtype)], 1
+                ),
+                m_from_right,
+            ),
+            AXIS,
+            right,
+        )
+        mr_valid = (m_from_right[:, F_MIG] > 0) & ~is_last
+        ml_valid = (m_from_left[:, F_MIG] > 0) & ~is_first
+        incoming = jnp.concatenate([m_from_left, m_from_right], axis=0)
+        inc_valid = jnp.concatenate([ml_valid, mr_valid], axis=0)
+
+        park = jnp.full((d,), -1e6, x.dtype)
+        x = jnp.where(leaver[:, None], park[None, :], x)
+        v = jnp.where(leaver[:, None], 0.0, v)
+        acc = jnp.where(leaver[:, None], 0.0, acc)
+        emit = jnp.where(leaver, INACTIVE, st.emit_step)
+
+        free = emit == INACTIVE
+        free_idx = jnp.nonzero(
+            free, size=2 * spec.cap_mig, fill_value=spec.cap_local
+        )[0]
+        slot = jnp.where(inc_valid, free_idx, spec.cap_local)
+        ins_overflow = jnp.sum(
+            (inc_valid & (free_idx >= spec.cap_local)).astype(jnp.int32)
+        )
+        x = x.at[slot, :].set(incoming[:, 0:d], mode="drop")
+        v = v.at[slot, :].set(incoming[:, 3 : 3 + d], mode="drop")
+        acc = acc.at[slot, :].set(incoming[:, 6 : 6 + d], mode="drop")
+        kind = st.kind.at[slot].set(
+            incoming[:, 9].astype(jnp.int32), mode="drop"
+        )
+        emit = emit.at[slot].set(
+            jax.lax.bitcast_convert_type(incoming[:, 10], jnp.int32),
+            mode="drop",
+        )
+
+        overflow = overflow + viol + ov3 + ov4 + ins_overflow
+        overflow = jax.lax.psum(overflow, AXIS)
+        return (
+            State(
+                x=x[None],
+                v=v[None],
+                acc=acc[None],
+                rho=jnp.where(active0, rho, st.rho)[None],
+                p=jnp.where(active0, p_loc, st.p)[None],
+                kind=kind[None],
+                emit_step=emit[None],
+                step=st.step + sort_every,
+            ),
+            overflow,
+        )
+
+    return block
+
+
 def _spatial_specs():
     part = P(AXIS)
     return State(
@@ -708,13 +1013,31 @@ def make_spatial_advance(
     mesh: Mesh,
     method: str = "grid",
     steps_per_dispatch: int = 50,
+    sort_every: int = 1,
 ):
     """jitted advance: `steps_per_dispatch` sharded steps in one lax.scan.
 
+    sort_every > 1 (pallas only): the decomp FAST PATH — Verlet-skin
+    addr/ghost-selection reuse per `sort_every`-step block with migration
+    at block boundaries (see _make_spatial_reuse_local).
+
     Returns (state, worst_overflow): worst_overflow > 0 means a ghost/
-    migration/local buffer cap dropped particles in some step — raise
-    `balance` or the buffer caps (watchdog hook, SURVEY.md §5.2-5.3)."""
-    sharded = _make_spatial_local(scene, spec, mesh, method)
+    migration/local buffer cap dropped particles — or, on the fast path,
+    the skin-drift audit fired — in some step/block; the dispatch's
+    physics is then unreliable (watchdog hook, SURVEY.md §5.2-5.3)."""
+    if sort_every > 1:
+        if method != "pallas":
+            raise ValueError("sort_every > 1 requires method='pallas'")
+        if steps_per_dispatch % sort_every:
+            raise ValueError(
+                f"steps_per_dispatch={steps_per_dispatch} must be a "
+                f"multiple of sort_every={sort_every}"
+            )
+        sharded = _make_spatial_reuse_local(scene, spec, mesh, sort_every)
+        length = steps_per_dispatch // sort_every
+    else:
+        sharded = _make_spatial_local(scene, spec, mesh, method)
+        length = steps_per_dispatch
 
     def scanned(st: State):
         def body(carry, _):
@@ -723,7 +1046,7 @@ def make_spatial_advance(
             return (s, jnp.maximum(worst, over)), None
 
         (out, worst), _ = jax.lax.scan(
-            body, (st, jnp.int32(0)), length=steps_per_dispatch
+            body, (st, jnp.int32(0)), length=length
         )
         return out, worst
 

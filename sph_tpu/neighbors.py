@@ -118,18 +118,22 @@ class GridSpec:
         axis: int,
         cap: int | None = None,
         chunk: int = 2048,
+        skin: float = 0.0,
     ) -> "GridSpec":
         """Slab-local grid for spatial decomposition (decomp.py): along
-        `axis` it spans only one slab plus an h-deep ghost band and margin
-        cells, so per-device grid/slot memory scales 1/n_shards.  Indices
-        are computed against the GLOBAL lattice and shifted per device by an
-        integer `ci_offset` (see cell_index) — grid.lo stays global."""
-        full = GridSpec.for_scene(scene, cap=cap, chunk=chunk)
-        h = scene.params.h
-        # cells covering [my_lo − h − 2·cell, my_hi + h + cell] for any
-        # fractional alignment of the slab against the lattice (decomp.py
-        # picks the matching integer offset per device)
-        n_ax = int(math.ceil((slab_w + 2 * h) / full.cell)) + 3
+        `axis` it spans only one slab plus an (h+skin)-deep ghost band and
+        margin cells, so per-device grid/slot memory scales 1/n_shards.
+        Indices are computed against the GLOBAL lattice and shifted per
+        device by an integer `ci_offset` (see cell_index) — grid.lo stays
+        global.  `skin` > 0 (decomp fast path) widens both the cells and
+        the covered ghost band, same pseudo-Verlet contract as
+        for_scene."""
+        full = GridSpec.for_scene(scene, cap=cap, chunk=chunk, skin=skin)
+        h_eff = scene.params.h + skin
+        # cells covering [my_lo − h_eff − 2·cell, my_hi + h_eff + cell] for
+        # any fractional alignment of the slab against the lattice
+        # (decomp.py picks the matching integer offset per device)
+        n_ax = int(math.ceil((slab_w + 2 * h_eff) / full.cell)) + 3
         shape = tuple(
             min(n_ax, s) if a == axis else s
             for a, s in enumerate(full.shape)

@@ -335,3 +335,85 @@ def test_slab_grid_memory_scales():
     spec = decomp.SpatialSpec.for_scene(scene, 8, 4096)
     slab = neighbors.GridSpec.for_slab(scene, spec.slab_w, spec.axis)
     assert slab.n_cells * 4 <= full.n_cells
+
+
+def test_spatial_fast_path_matches_per_step():
+    """Decomp fast path (sort_every=4 Verlet-skin addr/ghost-selection
+    reuse, migration at block boundaries) tracks the per-step spatial path
+    to tight tolerance with zero audit hits, and conserves the active set
+    exactly.  Bitwise is impossible (slot binning differs between the
+    skinned block-top grid and the per-step grid), so the contract matches
+    the spatial-vs-single-device tests."""
+    scene = _wide_scene(integrator="leapfrog", eos="tait")
+    mesh = decomp.mesh1d(8)
+    state = init(scene)
+    n_act = int(state.n_active())
+    spec = decomp.SpatialSpec.for_scene(scene, 8, state.capacity)
+    from sph_tpu.step import prime
+
+    state = prime(scene, state, method="pallas")
+    loc0 = decomp.spatial_shard_state(state, scene, spec, mesh)
+
+    adv_ref = decomp.make_spatial_advance(
+        scene, spec, mesh, method="pallas", steps_per_dispatch=24
+    )
+    adv_fast = decomp.make_spatial_advance(
+        scene, spec, mesh, method="pallas", steps_per_dispatch=24,
+        sort_every=4,
+    )
+    ref, ov_r = adv_ref(loc0)
+    fast, ov_f = adv_fast(loc0)
+    assert int(ov_r) == 0 and int(ov_f) == 0
+    assert int(fast.step) == int(ref.step) == int(state.step) + 24
+
+    m_r = decomp.spatial_gather_state(ref)
+    m_f = decomp.spatial_gather_state(fast)
+    act_r = np.asarray(m_r.emit_step) <= int(m_r.step)
+    act_f = np.asarray(m_f.emit_step) <= int(m_f.step)
+    assert act_r.sum() == act_f.sum() == n_act
+
+    xr = _sorted_active(np.asarray(m_r.x), act_r)
+    xf = _sorted_active(np.asarray(m_f.x), act_f)
+    scale = np.max(np.abs(xr)) + 1e-6
+    assert np.max(np.abs(xf - xr)) / scale < 1e-4
+
+
+def test_spatial_fast_path_migration_conserves():
+    """Fast-path migration (deferred to block boundaries): a fast block
+    crosses slabs; the active set is exactly conserved and no audit
+    fires (blocks of 4 with the default skin cover the 250 px/s drift)."""
+    p = SimParams(boundary_mode="clamp", dt=5e-4)
+    scene = calibrate(
+        Scene(
+            params=p,
+            lo=(0.0, 0.0),
+            hi=(1600.0, 300.0),
+            blocks=(
+                Block(
+                    lo=(150.0, 20.0),
+                    hi=(380.0, 150.0),
+                    velocity=(250.0, 0.0),
+                ),
+            ),
+            seed=63,
+        )
+    )
+    mesh = decomp.mesh1d(8)
+    state = init(scene)
+    n_act = int(state.n_active())
+    spec = decomp.SpatialSpec.for_scene(
+        scene, 8, state.capacity, balance=8.0
+    )
+    loc = decomp.spatial_shard_state(state, scene, spec, mesh)
+    before = np.asarray(
+        (np.asarray(loc.emit_step) <= int(loc.step)).sum(axis=1)
+    )
+    adv = decomp.make_spatial_advance(
+        scene, spec, mesh, method="pallas", steps_per_dispatch=148,
+        sort_every=4,
+    )
+    loc, overflow = adv(loc)
+    assert int(overflow) == 0
+    after = (np.asarray(loc.emit_step) <= int(loc.step)).sum(axis=1)
+    assert not np.array_equal(before, after)   # migration happened
+    assert after.sum() == n_act                # nothing lost in flight
