@@ -417,3 +417,55 @@ def test_spatial_fast_path_migration_conserves():
     after = (np.asarray(loc.emit_step) <= int(loc.step)).sum(axis=1)
     assert not np.array_equal(before, after)   # migration happened
     assert after.sum() == n_act                # nothing lost in flight
+
+
+def test_spatial_fast_path_with_emitters():
+    """Emitters under the decomp fast path: mid-block activations join at
+    the next block top (≤ sort_every steps late, the documented fast-path
+    semantics), so after a run the activation COUNT matches the schedule
+    exactly, nothing is clobbered by migration, and trajectories stay
+    finite inside the domain."""
+    from sph_tpu.params import Emitter
+
+    p = SimParams(boundary_mode="clamp", dt=5e-4)
+    scene = calibrate(
+        Scene(
+            params=p,
+            lo=(0.0, 0.0),
+            hi=(1600.0, 300.0),
+            blocks=(
+                Block(
+                    lo=(100.0, 20.0), hi=(400.0, 120.0), velocity=(60.0, 0.0)
+                ),
+            ),
+            emitters=(
+                Emitter(
+                    pos=(800.0, 250.0), velocity=(200.0, -150.0), width=2
+                ),
+            ),
+            capacity=2048,
+            seed=67,
+        )
+    )
+    mesh = decomp.mesh1d(8)
+    state = init(scene)
+    spec = decomp.SpatialSpec.for_scene(
+        scene, 8, state.capacity, balance=8.0
+    )
+    loc = decomp.spatial_shard_state(state, scene, spec, mesh)
+    adv = decomp.make_spatial_advance(
+        scene, spec, mesh, method="pallas", steps_per_dispatch=148,
+        sort_every=4,
+    )
+    loc, overflow = adv(loc)
+    assert int(overflow) == 0
+    merged = decomp.spatial_gather_state(loc)
+    step_now = int(merged.step)
+    act = np.asarray(merged.emit_step) <= step_now
+    emit = np.asarray(merged.emit_step)
+    # activation exactly matches the schedule at the block boundary
+    scheduled = (emit != decomp.INACTIVE) & (emit <= step_now)
+    assert act.sum() == scheduled.sum() > int(state.n_active())
+    x = np.asarray(merged.x)[act]
+    assert np.isfinite(x).all()
+    assert (x[:, 0] >= -1.0).all() and (x[:, 0] <= 1601.0).all()
