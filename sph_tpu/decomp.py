@@ -689,7 +689,8 @@ def _make_spatial_local(
 
 
 def _make_spatial_reuse_local(
-    scene: Scene, spec: SpatialSpec, mesh: Mesh, sort_every: int
+    scene: Scene, spec: SpatialSpec, mesh: Mesh, sort_every: int,
+    slot_resident: bool = False,
 ):
     """Per-device BLOCK body for the decomp fast path (pallas only):
     `sort_every` steps per block with the Verlet-skin contract of the
@@ -719,6 +720,12 @@ def _make_spatial_reuse_local(
     from sph_tpu.step import default_skin
 
     params = scene.params
+    if slot_resident and params.precision == "bf16":
+        raise ValueError(
+            "slot_resident decomp does not support precision='bf16': the "
+            "slot-side cell-center frame is slab-local (shifted by k_dev "
+            "cells), which would blow the bf16 relative-coordinate budget"
+        )
     dt = params.dt
     n_sh = spec.n_shards
     ax = spec.axis
@@ -783,7 +790,303 @@ def _make_spatial_reuse_local(
         rho = st.rho[:nl] * 0 + params.rest_density
         p_loc = jnp.zeros_like(rho)
 
-        for i in range(sort_every):
+        if slot_resident:
+            # ---- SLOT-RESIDENT block: state lives in the slot arrays ----
+            # step 0 enters slot space from particle space; steps 1..k-1
+            # integrate elementwise in slots, with only the pinned ghost
+            # payloads and face (rho, p) crossing particle space (small
+            # gathers/scatters instead of the full per-step feature
+            # scatter + result gathers).  Bitwise-equal to the classic
+            # reuse loop below while no cap overflows (same argument as
+            # the single-chip slot-resident advance).
+            # Measured (1-device mesh, dam3d_100k): 29.4 vs the classic
+            # reuse loop's 28.8 ms/step — a wash at this scale, where
+            # scatter+gather are ~20% of the step; the mode exists for
+            # 1M-scale slabs, where those phases are ~44% and the
+            # single-chip resident win (250→117 ms) came from exactly
+            # this amortization.
+            from sph_tpu.step import _SlotPhysics
+
+            sp = _SlotPhysics(scene, grid, sg)
+            lanes = sg.lanes
+            g_cap = spec.cap_ghost
+
+            if leap:
+                v = v + (0.5 * dt) * acc * mov
+                x = x + dt * v * mov
+            pay = _pack_payload(x, v, st.kind, d)
+            buf_lo = _gather_rows(pay, idx_lo)
+            buf_hi = _gather_rows(pay, idx_hi)
+            g_from_right = jax.lax.ppermute(
+                _chained(
+                    jnp.concatenate(
+                        [buf_lo, val_lo[:, None].astype(pay.dtype)], 1
+                    ),
+                    prev,
+                ),
+                AXIS,
+                left,
+            )
+            g_from_left = jax.lax.ppermute(
+                _chained(
+                    jnp.concatenate(
+                        [buf_hi, val_hi[:, None].astype(pay.dtype)], 1
+                    ),
+                    g_from_right,
+                ),
+                AXIS,
+                right,
+            )
+            gl_valid = (g_from_left[:, F_GHOST] > 0) & ~is_first
+            gr_valid = (g_from_right[:, F_GHOST] > 0) & ~is_last
+            far3 = jnp.full((g_cap, d), 1e18, x.dtype)
+            glx = jnp.where(gl_valid[:, None], g_from_left[:, 0:d], far3)
+            glv = jnp.where(gl_valid[:, None], g_from_left[:, 3 : 3 + d], 0.0)
+            grx = jnp.where(gr_valid[:, None], g_from_right[:, 0:d], far3)
+            grv = jnp.where(gr_valid[:, None], g_from_right[:, 3 : 3 + d], 0.0)
+            cx = jnp.concatenate([x, glx, grx], axis=0)
+            cv = jnp.concatenate([v, glv, grv], axis=0)
+            c_act = jnp.concatenate([active0, gl_valid, gr_valid], axis=0)
+            addr = pallas_step.build_addr(cx, c_act, grid, sg, ci_off)
+            overflow = overflow + addr.overflow
+
+            nc = cx.shape[0]
+            zc = jnp.zeros((nc, 3 - d), jnp.float32)
+            movflag = jnp.concatenate(
+                [movable0, jnp.zeros((2 * g_cap,), bool)], axis=0
+            )
+            rows7 = jnp.concatenate(
+                [cx, zc, cv, zc, movflag[:, None].astype(jnp.float32)],
+                axis=1,
+            )
+            feat32 = pallas_step.scatter_slots(addr, rows7, sg)
+            xs = feat32[:, 0:d, :]
+            vs = feat32[:, 3 : 3 + d, :]
+            movb = feat32[:, 6:7, :] > 0
+            movs = movb.astype(jnp.float32)
+            mk_feat = sp.mk_feat_builder(addr, feat32)
+            xs0 = xs
+            acc_s = jnp.zeros_like(xs)
+            if leap:
+                acc_rows = jnp.concatenate(
+                    [acc, jnp.zeros((2 * g_cap, d), jnp.float32)], axis=0
+                )
+                acc_rows = jnp.concatenate([acc_rows, zc], axis=1)
+                acc_s = (
+                    pallas_step.scatter_slots(addr, acc_rows, sg)[:, 0:d, :]
+                    * movs
+                )
+
+            ok_all = addr.valid & (addr.row_pos > 0)
+            # ghost slot scatter indices into the [c_rows, C, lanes] arrays
+            okg = ok_all[nl:]
+            g_row = addr.row_pos[nl:]
+            g_pos = addr.pos[nl:]
+
+            def ghost_idx(c_cols):
+                base = jnp.where(
+                    okg,
+                    (g_row * c_cols) * lanes + g_pos,
+                    sg.c_rows * c_cols * lanes,  # out of range -> dropped
+                )
+                return base[:, None] + (
+                    jnp.arange(c_cols, dtype=jnp.int32) * lanes
+                )[None, :]
+
+            gidx_d = ghost_idx(d)
+            gidx_2 = ghost_idx(2)
+
+            # pinned face gather bases (locals; invalid -> masked after)
+            def face_sel(idx_face):
+                safe = jnp.minimum(idx_face, nl - 1)
+                okf = (idx_face < nl) & ok_all[safe]
+                return safe, okf
+
+            safe_lo, okf_lo = face_sel(idx_lo)
+            safe_hi, okf_hi = face_sel(idx_hi)
+
+            def face_base(safe, okf, c_cols):
+                return jnp.where(
+                    okf,
+                    (addr.row_pos[safe] * c_cols) * lanes + addr.pos[safe],
+                    sg.c_rows * c_cols * lanes - 1,  # in-range, masked out
+                )
+
+            base_lo_d = face_base(safe_lo, okf_lo, d)
+            base_hi_d = face_base(safe_hi, okf_hi, d)
+            base_lo_2 = face_base(safe_lo, okf_lo, 2)
+            base_hi_2 = face_base(safe_hi, okf_hi, 2)
+            kind_lo = jnp.where(okf_lo, st.kind[safe_lo], 0)
+            kind_hi = jnp.where(okf_hi, st.kind[safe_hi], 0)
+            send_lo = val_lo & okf_lo
+            send_hi = val_hi & okf_hi
+            zg = jnp.zeros((g_cap, 3 - d), jnp.float32)
+
+            for i in range(sort_every):
+                step_i = st.step + i
+                if i > 0:
+                    if leap:
+                        vs = vs + (0.5 * dt) * acc_s * movs
+                        xs = xs + dt * vs * movs
+                    xsf = xs.reshape(-1)
+                    vsf = vs.reshape(-1)
+
+                    def mkbuf(base, okf, kind_c):
+                        xx = jnp.stack(
+                            [xsf[base + c * lanes] for c in range(d)], 1
+                        )
+                        vv = jnp.stack(
+                            [vsf[base + c * lanes] for c in range(d)], 1
+                        )
+                        return jnp.concatenate(
+                            [
+                                jnp.where(okf[:, None], xx, 1e18),
+                                zg,
+                                jnp.where(okf[:, None], vv, 0.0),
+                                zg,
+                                kind_c[:, None].astype(jnp.float32),
+                            ],
+                            axis=1,
+                        )
+
+                    b_lo = mkbuf(base_lo_d, okf_lo, kind_lo)
+                    b_hi = mkbuf(base_hi_d, okf_hi, kind_hi)
+                    g_from_right = jax.lax.ppermute(
+                        _chained(
+                            jnp.concatenate(
+                                [
+                                    b_lo,
+                                    send_lo[:, None].astype(jnp.float32),
+                                ],
+                                1,
+                            ),
+                            prev,
+                        ),
+                        AXIS,
+                        left,
+                    )
+                    g_from_left = jax.lax.ppermute(
+                        _chained(
+                            jnp.concatenate(
+                                [
+                                    b_hi,
+                                    send_hi[:, None].astype(jnp.float32),
+                                ],
+                                1,
+                            ),
+                            g_from_right,
+                        ),
+                        AXIS,
+                        right,
+                    )
+                    inc_x = jnp.concatenate(
+                        [g_from_left[:, 0:d], g_from_right[:, 0:d]], 0
+                    )
+                    inc_v = jnp.concatenate(
+                        [
+                            g_from_left[:, 3 : 3 + d],
+                            g_from_right[:, 3 : 3 + d],
+                        ],
+                        0,
+                    )
+                    xs = (
+                        xs.reshape(-1)
+                        .at[gidx_d]
+                        .set(inc_x, mode="drop")
+                        .reshape(xs.shape)
+                    )
+                    vs = (
+                        vs.reshape(-1)
+                        .at[gidx_d]
+                        .set(inc_v, mode="drop")
+                        .reshape(vs.shape)
+                    )
+
+                feat = mk_feat(xs, vs)
+                rp = pallas_step._call_density(feat, addr, sg, params)
+                rpf = rp.reshape(-1)
+
+                def rp_face(base, okf):
+                    return jnp.stack(
+                        [
+                            jnp.where(
+                                okf, rpf[base], params.rest_density
+                            ),
+                            jnp.where(okf, rpf[base + lanes], 0.0),
+                        ],
+                        axis=1,
+                    )
+
+                rp_lo = rp_face(base_lo_2, okf_lo)
+                rp_hi = rp_face(base_hi_2, okf_hi)
+                rp_from_right = jax.lax.ppermute(
+                    _chained(rp_lo, g_from_left), AXIS, left
+                )
+                rp_from_left = jax.lax.ppermute(
+                    _chained(rp_hi, rp_from_right), AXIS, right
+                )
+                inc_rp = jnp.concatenate(
+                    [rp_from_left, rp_from_right], axis=0
+                )
+                rp = (
+                    rp.reshape(-1)
+                    .at[gidx_2]
+                    .set(inc_rp, mode="drop")
+                    .reshape(rp.shape)
+                )
+
+                f_s = pallas_step._call_force(feat, rp, addr, sg, params)
+                rho_s = rp[:, 0:1, :]
+                f_tot = sp.body_forces(
+                    xs, vs, rho_s, f_s[:, 0:d, :], step_i
+                )
+                a_s = jnp.where(
+                    movb, f_tot / jnp.maximum(rho_s, 1e-12), 0.0
+                )
+                if leap:
+                    vs = vs + (0.5 * dt) * a_s
+                    acc_s = a_s
+                else:
+                    vs = vs + dt * a_s * movs
+                    xs = xs + dt * vs * movs
+                if params.boundary_mode == "clamp":
+                    xs, vs = sp.clamp_slot(xs, vs, movb)
+                ddx = xs - xs0
+                drift2 = jnp.sum(ddx * ddx, axis=1, keepdims=True)
+                viol = viol + jnp.sum(
+                    ((drift2 > half2) & movb).astype(jnp.int32)
+                )
+                prev = rp_from_left
+
+            # materialize locals from the slots (once per block)
+            ok_loc = ok_all[:nl]
+            okc = ok_loc[:, None]
+
+            def gat_loc(slot):
+                flat = slot.reshape(-1)
+                b = (
+                    addr.row_pos[:nl] * slot.shape[1]
+                ) * lanes + addr.pos[:nl]
+                return jnp.stack(
+                    [
+                        flat[b + c * lanes]
+                        for c in range(min(d, slot.shape[1]))
+                    ],
+                    1,
+                )
+
+            x = jnp.where(okc, gat_loc(xs), st.x)
+            v = jnp.where(okc, gat_loc(vs), st.v)
+            acc = jnp.where(okc & movable0[:, None], gat_loc(a_s), st.acc)
+            rho_g = gat_loc(rp)[:, 0]
+            rho = jnp.where(ok_loc & active0, rho_g, st.rho)
+            p_loc = jnp.where(
+                ok_loc & active0,
+                physics.eos_pressure(rho, params),
+                st.p,
+            )
+        else:
+          for i in range(sort_every):
             if leap:
                 v = v + (0.5 * dt) * acc * mov
                 x = x + dt * v * mov
@@ -1014,12 +1317,16 @@ def make_spatial_advance(
     method: str = "grid",
     steps_per_dispatch: int = 50,
     sort_every: int = 1,
+    slot_resident: bool = False,
 ):
     """jitted advance: `steps_per_dispatch` sharded steps in one lax.scan.
 
     sort_every > 1 (pallas only): the decomp FAST PATH — Verlet-skin
     addr/ghost-selection reuse per `sort_every`-step block with migration
-    at block boundaries (see _make_spatial_reuse_local).
+    at block boundaries (see _make_spatial_reuse_local).  slot_resident
+    additionally keeps the block's state IN the slot arrays (elementwise
+    integration; only pinned ghost payloads and face rho/p cross particle
+    space per step) — the decomp form of the single-chip flagship mode.
 
     Returns (state, worst_overflow): worst_overflow > 0 means a ghost/
     migration/local buffer cap dropped particles — or, on the fast path,
@@ -1033,7 +1340,9 @@ def make_spatial_advance(
                 f"steps_per_dispatch={steps_per_dispatch} must be a "
                 f"multiple of sort_every={sort_every}"
             )
-        sharded = _make_spatial_reuse_local(scene, spec, mesh, sort_every)
+        sharded = _make_spatial_reuse_local(
+            scene, spec, mesh, sort_every, slot_resident=slot_resident
+        )
         length = steps_per_dispatch // sort_every
     else:
         sharded = _make_spatial_local(scene, spec, mesh, method)

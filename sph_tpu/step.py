@@ -178,54 +178,43 @@ def default_skin(scene: Scene, sort_every: int) -> float:
     return 2.0 * sort_every * scene.params.dt * scene.params.sound_speed
 
 
-def _make_resident_advance(
-    scene: Scene, grid, sg, sort_every: int, blocks: int, skin: float
-):
-    """Slot-resident block advance: the particle state LIVES in the slot
-    arrays for `sort_every` steps — integration is elementwise in slot
-    space — so the per-step costs of the classic path (the N×6 feature
-    scatter, the per-particle result gathers, and the sort) are paid once
-    per block instead of once per step.  Measured at 1M those three are
-    ~110 ms of the 250 ms step; at sort_every=4 they amortize to ~27 ms.
+class _SlotPhysics:
+    """Elementwise physics in [c_rows, d, lanes] SLOT space — the exact
+    per-element arithmetic of physics.gravity_force / wall_penalty_force /
+    force_field_force / clamp_boundary (bitwise parity with the
+    per-particle layout), shared by the single-chip slot-resident advance
+    and the decomp slot-resident block (sph_tpu/decomp.py)."""
 
-    Bitwise-identical to the non-resident sort_every path while no static
-    cap overflows (integration is elementwise — layout-independent — and
-    the kernels see identical inputs); tested in test_pallas_equiv.py.
-    Semantics at the documented degradation edges:
-      - cap/row-overflow particles FREEZE for the block (they are not in
-        slots); the classic paths move them ballistically.  Benches assert
-        overflow == 0 either way.
-      - mid-block emitter activations freeze until the next block top
-        (classic sort_every already excludes them from pair physics).
-    """
-    import jax.numpy as jnp
+    def __init__(self, scene: Scene, grid, sg):
+        params = scene.params
+        self.scene = scene
+        self.params = params
+        self.grid = grid
+        self.sg = sg
+        self.d = params.dim
+        self.g3 = jnp.asarray(params.gravity, jnp.float32).reshape(
+            1, self.d, 1
+        )
+        self.lo_w = (
+            jnp.asarray(scene.lo, jnp.float32).reshape(1, self.d, 1)
+            + params.wall_eps
+        )
+        self.hi_w = (
+            jnp.asarray(scene.hi, jnp.float32).reshape(1, self.d, 1)
+            - params.wall_eps
+        )
 
-    from sph_tpu import pallas_step, physics
-
-    params = scene.params
-    dt = params.dt
-    d = params.dim
-    lanes = sg.lanes
-    half2 = (0.5 * skin) ** 2
-    leap = params.integrator == "leapfrog"
-    g3 = jnp.asarray(params.gravity, jnp.float32).reshape(1, d, 1)
-    lo_w = jnp.asarray(scene.lo, jnp.float32).reshape(1, d, 1) + params.wall_eps
-    hi_w = jnp.asarray(scene.hi, jnp.float32).reshape(1, d, 1) - params.wall_eps
-
-    def body_forces(xs, vs, rho_s, f_s, step_i):
-        """Gravity + walls + force fields, elementwise in slot space —
-        the exact per-element arithmetic of physics.gravity_force /
-        wall_penalty_force / force_field_force (bitwise parity with the
-        per-particle layout)."""
-        f = f_s + rho_s * g3
+    def body_forces(self, xs, vs, rho_s, f_s, step_i):
+        params, d = self.params, self.d
+        f = f_s + rho_s * self.g3
         if params.boundary_mode == "penalty":
             k_w, c_w = params.wall_stiffness, params.wall_damping
-            d_lo = jnp.maximum(lo_w - xs, 0.0)
-            d_hi = jnp.maximum(xs - hi_w, 0.0)
+            d_lo = jnp.maximum(self.lo_w - xs, 0.0)
+            d_hi = jnp.maximum(xs - self.hi_w, 0.0)
             f = f + (k_w * d_lo - c_w * vs) * (d_lo > 0) - (
                 k_w * d_hi - c_w * (-vs)
             ) * (d_hi > 0)
-        for ff in scene.force_fields:
+        for ff in self.scene.force_fields:
             c = jnp.asarray(ff.pos, jnp.float32).reshape(1, d, 1)
             dx = c - xs
             r = jnp.sqrt(jnp.sum(dx * dx, axis=1, keepdims=True))
@@ -237,25 +226,18 @@ def _make_resident_advance(
             f = f + (ff.strength * live) * fall * dirn
         return f
 
-    def clamp_slot(xs, vs, movb):
-        hit = (xs < lo_w) | (xs > hi_w)
-        vs2 = jnp.where(hit, vs * params.boundary_damping, vs)
-        xs2 = jnp.clip(xs, lo_w, hi_w)
+    def clamp_slot(self, xs, vs, movb):
+        hit = (xs < self.lo_w) | (xs > self.hi_w)
+        vs2 = jnp.where(hit, vs * self.params.boundary_damping, vs)
+        xs2 = jnp.clip(xs, self.lo_w, self.hi_w)
         return jnp.where(movb, xs2, xs), jnp.where(movb, vs2, vs)
 
-    def refresh_feat(feat, xs, vs):
-        pad = feat[:, d : 3, :] * 0.0
-        return jnp.concatenate(
-            [xs, pad, vs, pad, feat[:, 6:, :]], axis=1
-        )
-
-    bf16 = params.precision == "bf16"
-
-    def slot_centers(addr):
+    def slot_centers(self, addr):
         """[c_rows, d, lanes] fp32 cell centers of every slot, from the
         slot's lane (x cell) and compacted row code (z, y cells) — the
-        bf16 cell-relative reference frame (pallas_step._rel_rows uses the
-        same lattice on the per-particle side)."""
+        bf16 cell-relative reference frame (pallas_step._rel_rows uses
+        the same lattice on the per-particle side)."""
+        grid, sg, d = self.grid, self.sg, self.d
         cell_f = jnp.float32(grid.cell)
         lane_i = jnp.arange(sg.lanes, dtype=jnp.int32)
         cx = jnp.float32(grid.lo[-1]) + (
@@ -283,13 +265,73 @@ def _make_resident_advance(
             parts = [jnp.broadcast_to(cy[:, None, None], shape3), cx_b]
         return jnp.concatenate(parts, axis=1)
 
-    def gather(slot, ncomp, addr):
+    def gather(self, slot, ncomp, addr):
         ncols = slot.shape[1]
+        lanes = self.sg.lanes
         flat = slot.reshape(-1)
         base = addr.row_pos * (ncols * lanes) + addr.pos
         return jnp.stack(
             [flat[base + c * lanes] for c in range(ncomp)], axis=1
         )
+
+    def mk_feat_builder(self, addr, feat0):
+        """feat-refresh closure for a block: bf16 mode rebuilds a
+        cell-relative bf16 view each step; fp32 splices xs/vs into the
+        block-top feat (pad + flag columns never change)."""
+        d, sg = self.d, self.sg
+        if self.params.precision == "bf16":
+            centers = self.slot_centers(addr)
+            zrow = jnp.zeros((sg.c_rows, 3 - d, sg.lanes), jnp.float32)
+            z2 = jnp.zeros((sg.c_rows, 2, sg.lanes), jnp.float32)
+
+            def mk_feat(xs_, vs_):
+                return jnp.concatenate(
+                    [xs_ - centers, zrow, vs_, zrow, z2], axis=1
+                ).astype(jnp.bfloat16)
+
+        else:
+
+            def mk_feat(xs_, vs_):
+                pad = feat0[:, d : 3, :] * 0.0
+                return jnp.concatenate(
+                    [xs_, pad, vs_, pad, feat0[:, 6:, :]], axis=1
+                )
+
+        return mk_feat
+
+
+def _make_resident_advance(
+    scene: Scene, grid, sg, sort_every: int, blocks: int, skin: float
+):
+    """Slot-resident block advance: the particle state LIVES in the slot
+    arrays for `sort_every` steps — integration is elementwise in slot
+    space — so the per-step costs of the classic path (the N×6 feature
+    scatter, the per-particle result gathers, and the sort) are paid once
+    per block instead of once per step.  Measured at 1M those three are
+    ~110 ms of the 250 ms step; at sort_every=4 they amortize to ~27 ms.
+
+    Bitwise-identical to the non-resident sort_every path while no static
+    cap overflows (integration is elementwise — layout-independent — and
+    the kernels see identical inputs); tested in test_pallas_equiv.py.
+    Semantics at the documented degradation edges:
+      - cap/row-overflow particles FREEZE for the block (they are not in
+        slots); the classic paths move them ballistically.  Benches assert
+        overflow == 0 either way.
+      - mid-block emitter activations freeze until the next block top
+        (classic sort_every already excludes them from pair physics).
+    """
+    from sph_tpu import pallas_step, physics
+
+    params = scene.params
+    dt = params.dt
+    d = params.dim
+    half2 = (0.5 * skin) ** 2
+    leap = params.integrator == "leapfrog"
+    sp = _SlotPhysics(scene, grid, sg)
+    body_forces = sp.body_forces
+    clamp_slot = sp.clamp_slot
+    gather = sp.gather
+    bf16 = params.precision == "bf16"
 
     @jax.jit
     def advance(state: State):
@@ -311,24 +353,9 @@ def _make_resident_advance(
             movb = feat[:, 6:7, :] > 0
             mov = movb.astype(jnp.float32)
             x0 = xs
-            if bf16:
-                # kernels see a bf16 CELL-RELATIVE view rebuilt each step;
-                # the fp32 absolute state (xs, vs) never leaves fp32
-                centers = slot_centers(addr)
-                zrow = jnp.zeros((sg.c_rows, 3 - d, sg.lanes), jnp.float32)
-                z2 = jnp.zeros((sg.c_rows, 2, sg.lanes), jnp.float32)
-
-                def mk_feat(xs_, vs_):
-                    return jnp.concatenate(
-                        [xs_ - centers, zrow, vs_, zrow, z2], axis=1
-                    ).astype(jnp.bfloat16)
-
-            else:
-                feat0 = feat
-
-                def mk_feat(xs_, vs_):
-                    return refresh_feat(feat0, xs_, vs_)
-
+            # kernels see a per-step view rebuilt from xs/vs (bf16 mode: a
+            # cell-relative bf16 view; the fp32 state never leaves fp32)
+            mk_feat = sp.mk_feat_builder(addr, feat)
             if leap:
                 acc_rows = jnp.concatenate([s.acc, zpad], axis=1)
                 acc_s = pallas_step.scatter_slots(addr, acc_rows, sg)[

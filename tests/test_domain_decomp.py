@@ -469,3 +469,39 @@ def test_spatial_fast_path_with_emitters():
     x = np.asarray(merged.x)[act]
     assert np.isfinite(x).all()
     assert (x[:, 0] >= -1.0).all() and (x[:, 0] <= 1601.0).all()
+
+
+def test_spatial_slot_resident_bitwise_vs_classic_reuse():
+    """Decomp slot-resident blocks == the classic decomp reuse path,
+    BITWISE (x, rho) while no static cap overflows: integration is
+    elementwise in either layout and the kernels see identical inputs —
+    the same contract as the single-chip resident tests, extended across
+    the mesh (ghost payload/rp round trips are value-identical)."""
+    scene = _wide_scene(integrator="leapfrog", eos="tait")
+    mesh = decomp.mesh1d(8)
+    state = init(scene)
+    spec = decomp.SpatialSpec.for_scene(scene, 8, state.capacity)
+    from sph_tpu.step import prime
+
+    state = prime(scene, state, method="pallas")
+    loc0 = decomp.spatial_shard_state(state, scene, spec, mesh)
+
+    adv_cls = decomp.make_spatial_advance(
+        scene, spec, mesh, method="pallas", steps_per_dispatch=12,
+        sort_every=4,
+    )
+    adv_res = decomp.make_spatial_advance(
+        scene, spec, mesh, method="pallas", steps_per_dispatch=12,
+        sort_every=4, slot_resident=True,
+    )
+    a, ov_a = adv_cls(loc0)
+    b, ov_b = adv_res(loc0)
+    assert int(ov_a) == 0 and int(ov_b) == 0
+    assert np.array_equal(np.asarray(a.x), np.asarray(b.x))
+    assert np.array_equal(np.asarray(a.rho), np.asarray(b.rho))
+    assert np.allclose(
+        np.asarray(a.v), np.asarray(b.v), rtol=1e-5, atol=1e-5
+    )
+    assert np.array_equal(
+        np.asarray(a.emit_step), np.asarray(b.emit_step)
+    )
