@@ -799,12 +799,12 @@ def _make_spatial_reuse_local(
             # scatter + result gathers).  Bitwise-equal to the classic
             # reuse loop below while no cap overflows (same argument as
             # the single-chip slot-resident advance).
-            # Measured (1-device mesh, dam3d_100k): 29.4 vs the classic
-            # reuse loop's 28.8 ms/step — a wash at this scale, where
-            # scatter+gather are ~20% of the step; the mode exists for
-            # 1M-scale slabs, where those phases are ~44% and the
-            # single-chip resident win (250→117 ms) came from exactly
-            # this amortization.
+            # Measured (1-device mesh): dam3d_100k 29.4 vs the classic
+            # reuse loop's 28.8 ms/step (a wash — scatter+gather are only
+            # ~20% of the step there), but splash3d_1m 595 (per-step) →
+            # 376 (reuse4) → 321 (resident4) ms/step: at 1M-scale slabs,
+            # where those phases are ~44%, this is the decomp counterpart
+            # of the single-chip resident win (250→117 ms).
             from sph_tpu.step import _SlotPhysics
 
             sp = _SlotPhysics(scene, grid, sg)
