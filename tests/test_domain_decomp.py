@@ -419,12 +419,14 @@ def test_spatial_fast_path_migration_conserves():
     assert after.sum() == n_act                # nothing lost in flight
 
 
-def test_spatial_fast_path_with_emitters():
-    """Emitters under the decomp fast path: mid-block activations join at
-    the next block top (≤ sort_every steps late, the documented fast-path
-    semantics), so after a run the activation COUNT matches the schedule
-    exactly, nothing is clobbered by migration, and trajectories stay
-    finite inside the domain."""
+@pytest.mark.parametrize("resident", [False, True])
+def test_spatial_fast_path_with_emitters(resident):
+    """Emitters under the decomp fast path (classic reuse AND the
+    slot-resident variant): mid-block activations join at the next block
+    top (≤ sort_every steps late, the documented fast-path semantics), so
+    after a run the activation COUNT matches the schedule exactly, nothing
+    is clobbered by migration, and trajectories stay finite inside the
+    domain."""
     from sph_tpu.params import Emitter
 
     p = SimParams(boundary_mode="clamp", dt=5e-4)
@@ -455,7 +457,7 @@ def test_spatial_fast_path_with_emitters():
     loc = decomp.spatial_shard_state(state, scene, spec, mesh)
     adv = decomp.make_spatial_advance(
         scene, spec, mesh, method="pallas", steps_per_dispatch=148,
-        sort_every=4,
+        sort_every=4, slot_resident=resident,
     )
     loc, overflow = adv(loc)
     assert int(overflow) == 0
