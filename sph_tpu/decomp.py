@@ -377,15 +377,15 @@ def spatial_gather_state(loc: State) -> State:
     return State(step=loc.step, **{k: jnp.asarray(v) for k, v in flat.items()})
 
 
-F_GHOST = 7  # ghost payload: x3 | v3 | kind   (2D uses first 2 of each)
+F_GHOST = 6  # ghost payload: x3 | v3 (2D pads); ghosts are pair-SOURCES
+#              only, so kind never rides the ring (review r2: the old kind
+#              column was packed+exchanged every step and never read)
 F_MIG = 11   # migration:     x3 | v3 | acc3 | kind | emit_step
 
 
-def _pack_payload(x, v, kind, d):
+def _pack_payload(x, v, d):
     z = jnp.zeros((x.shape[0], 3 - d), x.dtype)
-    return jnp.concatenate(
-        [x, z, v, z, kind[:, None].astype(x.dtype)], axis=1
-    )
+    return jnp.concatenate([x, z, v, z], axis=1)
 
 
 def _pack_mig(x, v, acc, kind, emit, d):
@@ -484,7 +484,7 @@ def _make_spatial_local(
         # ---- (a) ghost exchange: faces within h of each slab boundary ----
         near_lo = active & (x[:, ax] < my_lo + h)
         near_hi = active & (x[:, ax] >= my_hi - h)
-        pay = pack_payload(x, v, st.kind, d)
+        pay = pack_payload(x, v, d)
         buf_lo, val_lo, ov1 = _pack(near_lo, pay, spec.cap_ghost)
         buf_hi, val_hi, ov2 = _pack(near_hi, pay, spec.cap_ghost)
         # send my lo-face to left neighbor, my hi-face to right neighbor
@@ -512,13 +512,12 @@ def _make_spatial_local(
         def unpack_ghost(g, valid):
             gx = g[:, 0:d]
             gv = g[:, 3 : 3 + d]
-            gkind = g[:, 6].astype(jnp.int32)
             far = jnp.full_like(gx, 1e18)
             gx = jnp.where(valid[:, None], gx, far)
-            return gx, jnp.where(valid[:, None], gv, 0.0), gkind, valid
+            return gx, jnp.where(valid[:, None], gv, 0.0), valid
 
-        glx, glv, glk, glm = unpack_ghost(g_from_left, gl_valid)
-        grx, grv, grk, grm = unpack_ghost(g_from_right, gr_valid)
+        glx, glv, glm = unpack_ghost(g_from_left, gl_valid)
+        grx, grv, grm = unpack_ghost(g_from_right, gr_valid)
 
         cx = jnp.concatenate([x, glx, grx], axis=0)
         cv = jnp.concatenate([v, glv, grv], axis=0)
@@ -654,9 +653,15 @@ def _make_spatial_local(
         free_idx = jnp.nonzero(
             free, size=2 * spec.cap_mig, fill_value=spec.cap_local
         )[0]
-        slot = jnp.where(inc_valid, free_idx, spec.cap_local)
+        # rank-compact arrivals onto the free list: valid arrival #r takes
+        # free slot #r regardless of its buffer row (positional
+        # free_idx[row] indexing dropped arrivals whenever the row index
+        # ran past the populated free prefix even though slots were free)
+        rank = jnp.cumsum(inc_valid.astype(jnp.int32)) - 1
+        take = free_idx[jnp.clip(rank, 0, 2 * spec.cap_mig - 1)]
+        slot = jnp.where(inc_valid, take, spec.cap_local)
         ins_overflow = jnp.sum(
-            (inc_valid & (free_idx >= spec.cap_local)).astype(jnp.int32)
+            (inc_valid & (take >= spec.cap_local)).astype(jnp.int32)
         )
         x = x.at[slot, :].set(incoming[:, 0:d], mode="drop")
         v = v.at[slot, :].set(incoming[:, 3 : 3 + d], mode="drop")
@@ -670,6 +675,10 @@ def _make_spatial_local(
         )
 
         overflow = ov1 + ov2 + ov3 + ov4 + ins_overflow
+        if split_ctx is not None:
+            # slot cell-cap/row-compaction drops are degraded physics too
+            # (the fast path already folds them in; review r2)
+            overflow = overflow + split_ctx.addr.overflow
         overflow = jax.lax.psum(overflow, AXIS)
         return (
             State(
@@ -787,8 +796,6 @@ def _make_spatial_reuse_local(
         nl = spec.cap_local
         addr = None
         prev = None                     # collective ordering token
-        rho = st.rho[:nl] * 0 + params.rest_density
-        p_loc = jnp.zeros_like(rho)
 
         if slot_resident:
             # ---- SLOT-RESIDENT block: state lives in the slot arrays ----
@@ -814,7 +821,7 @@ def _make_spatial_reuse_local(
             if leap:
                 v = v + (0.5 * dt) * acc * mov
                 x = x + dt * v * mov
-            pay = _pack_payload(x, v, st.kind, d)
+            pay = _pack_payload(x, v, d)
             buf_lo = _gather_rows(pay, idx_lo)
             buf_hi = _gather_rows(pay, idx_hi)
             g_from_right = jax.lax.ppermute(
@@ -865,6 +872,13 @@ def _make_spatial_reuse_local(
             movb = feat32[:, 6:7, :] > 0
             movs = movb.astype(jnp.float32)
             mk_feat = sp.mk_feat_builder(addr, feat32)
+            # drift-audit reference = BIN-time positions (post step-0
+            # drift).  This is exactly requirement (a): addr validity
+            # needs |x_t − x_bin| < skin/2, and it fires at v > c0·k/(k−1).
+            # The pinned ghost band (h+skin from PRE-drift positions) has
+            # skin of slack against a skin/2 + one-drift excursion, so
+            # requirement (b) is implied; the classic loop's pre-drift
+            # reference is merely more conservative (fires at v > c0).
             xs0 = xs
             acc_s = jnp.zeros_like(xs)
             if leap:
@@ -916,8 +930,6 @@ def _make_spatial_reuse_local(
             base_hi_d = face_base(safe_hi, okf_hi, d)
             base_lo_2 = face_base(safe_lo, okf_lo, 2)
             base_hi_2 = face_base(safe_hi, okf_hi, 2)
-            kind_lo = jnp.where(okf_lo, st.kind[safe_lo], 0)
-            kind_hi = jnp.where(okf_hi, st.kind[safe_hi], 0)
             send_lo = val_lo & okf_lo
             send_hi = val_hi & okf_hi
             zg = jnp.zeros((g_cap, 3 - d), jnp.float32)
@@ -931,7 +943,7 @@ def _make_spatial_reuse_local(
                     xsf = xs.reshape(-1)
                     vsf = vs.reshape(-1)
 
-                    def mkbuf(base, okf, kind_c):
+                    def mkbuf(base, okf):
                         xx = jnp.stack(
                             [xsf[base + c * lanes] for c in range(d)], 1
                         )
@@ -944,13 +956,12 @@ def _make_spatial_reuse_local(
                                 zg,
                                 jnp.where(okf[:, None], vv, 0.0),
                                 zg,
-                                kind_c[:, None].astype(jnp.float32),
                             ],
                             axis=1,
                         )
 
-                    b_lo = mkbuf(base_lo_d, okf_lo, kind_lo)
-                    b_hi = mkbuf(base_hi_d, okf_hi, kind_hi)
+                    b_lo = mkbuf(base_lo_d, okf_lo)
+                    b_hi = mkbuf(base_hi_d, okf_hi)
                     g_from_right = jax.lax.ppermute(
                         _chained(
                             jnp.concatenate(
@@ -1090,7 +1101,7 @@ def _make_spatial_reuse_local(
             if leap:
                 v = v + (0.5 * dt) * acc * mov
                 x = x + dt * v * mov
-            pay = _pack_payload(x, v, st.kind, d)
+            pay = _pack_payload(x, v, d)
             buf_lo = _gather_rows(pay, idx_lo)
             buf_hi = _gather_rows(pay, idx_hi)
             g_from_right = jax.lax.ppermute(
@@ -1247,9 +1258,15 @@ def _make_spatial_reuse_local(
         free_idx = jnp.nonzero(
             free, size=2 * spec.cap_mig, fill_value=spec.cap_local
         )[0]
-        slot = jnp.where(inc_valid, free_idx, spec.cap_local)
+        # rank-compact arrivals onto the free list: valid arrival #r takes
+        # free slot #r regardless of its buffer row (positional
+        # free_idx[row] indexing dropped arrivals whenever the row index
+        # ran past the populated free prefix even though slots were free)
+        rank = jnp.cumsum(inc_valid.astype(jnp.int32)) - 1
+        take = free_idx[jnp.clip(rank, 0, 2 * spec.cap_mig - 1)]
+        slot = jnp.where(inc_valid, take, spec.cap_local)
         ins_overflow = jnp.sum(
-            (inc_valid & (free_idx >= spec.cap_local)).astype(jnp.int32)
+            (inc_valid & (take >= spec.cap_local)).astype(jnp.int32)
         )
         x = x.at[slot, :].set(incoming[:, 0:d], mode="drop")
         v = v.at[slot, :].set(incoming[:, 3 : 3 + d], mode="drop")
@@ -1332,6 +1349,8 @@ def make_spatial_advance(
     migration/local buffer cap dropped particles — or, on the fast path,
     the skin-drift audit fired — in some step/block; the dispatch's
     physics is then unreliable (watchdog hook, SURVEY.md §5.2-5.3)."""
+    if slot_resident and sort_every <= 1:
+        raise ValueError("slot_resident requires sort_every > 1")
     if sort_every > 1:
         if method != "pallas":
             raise ValueError("sort_every > 1 requires method='pallas'")
