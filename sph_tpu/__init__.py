@@ -23,7 +23,13 @@ from sph_tpu.params import (
     scene_to_json,
 )
 from sph_tpu.state import State, init
-from sph_tpu.step import make_advance, make_step, prime, run
+from sph_tpu.step import (
+    make_advance,
+    make_audited_advance,
+    make_step,
+    prime,
+    run,
+)
 
 __all__ = [
     "SimParams",
@@ -39,6 +45,7 @@ __all__ = [
     "init",
     "make_step",
     "make_advance",
+    "make_audited_advance",
     "prime",
     "run",
 ]
