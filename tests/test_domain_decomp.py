@@ -507,3 +507,39 @@ def test_spatial_slot_resident_bitwise_vs_classic_reuse():
     assert np.array_equal(
         np.asarray(a.emit_step), np.asarray(b.emit_step)
     )
+
+
+def test_spatial_fast_path_axis1():
+    """Fast path + slot-resident along axis 1 — in 2D that is the LANE
+    axis of the slot layout, so this covers the pinned addressing's
+    interaction with slab offsets on the subdivided index path."""
+    p = SimParams(boundary_mode="clamp", dt=5e-4)
+    scene = calibrate(
+        Scene(
+            params=p,
+            lo=(0.0, 0.0),
+            hi=(300.0, 1600.0),
+            blocks=(
+                Block(
+                    lo=(20.0, 100.0), hi=(200.0, 500.0), velocity=(0.0, 60.0)
+                ),
+            ),
+            seed=68,
+        )
+    )
+    mesh = decomp.mesh1d(8)
+    state = init(scene)
+    spec = decomp.SpatialSpec.for_scene(
+        scene, 8, state.capacity, axis=1, balance=8.0
+    )
+    loc = decomp.spatial_shard_state(state, scene, spec, mesh)
+    kw = dict(method="pallas", steps_per_dispatch=24, sort_every=4)
+    a, ov_a = decomp.make_spatial_advance(scene, spec, mesh, **kw)(loc)
+    b, ov_b = decomp.make_spatial_advance(
+        scene, spec, mesh, slot_resident=True, **kw
+    )(loc)
+    assert int(ov_a) == 0 and int(ov_b) == 0
+    assert np.array_equal(np.asarray(a.x), np.asarray(b.x))
+    act = np.asarray(a.emit_step) <= int(a.step)
+    assert act.sum() == int(state.n_active())
+    assert np.isfinite(np.asarray(a.x)[act]).all()
