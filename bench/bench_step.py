@@ -41,6 +41,7 @@ FLOORS = {
     ("tutorial2d", "naive"): 1.0e6,
     ("dam2d_10k", "grid"): 6.0e5,
     ("dam2d_10k", "pallas"): 2.4e6,
+    ("dam2d_10k", "resident4"): 4.4e6,
     ("dam3d_100k", "grid"): 1.8e5,
     ("dam3d_100k", "pallas"): 2.5e6,
     ("dam3d_100k", "resident4"): 4.6e6,
