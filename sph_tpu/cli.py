@@ -23,7 +23,7 @@ ensure_backend()  # stale JAX_PLATFORMS env (axon-era) -- see sph_tpu/platform.p
 from sph_tpu import diagnostics, render
 from sph_tpu.params import calibrate, preset, preset_names, scene_from_json
 from sph_tpu.state import init
-from sph_tpu.step import make_advance, make_audited_advance, prime
+from sph_tpu.step import make_audited_advance, prime
 
 
 class _Interactor:

@@ -41,7 +41,6 @@ the same code via a bigger mesh (SURVEY.md §5.8).
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Callable
 
 import jax

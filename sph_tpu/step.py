@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from sph_tpu import physics
-from sph_tpu.params import Scene, SimParams
+from sph_tpu.params import Scene
 from sph_tpu.state import State
 
 
