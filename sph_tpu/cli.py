@@ -92,6 +92,113 @@ class _Interactor:
         return scene, changed
 
 
+def _run_spatial(args, scene, state, spf, inner) -> int:
+    """`sph-tpu run --shards N`: spatial slab decomposition across the
+    device mesh (SURVEY.md C16/§5.7), with the audited-fallback policy
+    extended across the mesh and ELASTIC RECOVERY: a SpatialCapOverflow
+    (static buffers outgrown by the flow) rebuilds the SpatialSpec from
+    the gathered state and recompiles, then continues (SURVEY.md §5.3)."""
+    from sph_tpu import decomp
+    from sph_tpu.step import default_skin
+
+    if getattr(args, "debug", False):
+        print("--debug is not supported with --shards", file=sys.stderr)
+        return 2
+    if args.sort_every > 1:
+        spf -= spf % args.sort_every
+        spf = max(spf, args.sort_every)
+        if args.method != "pallas":
+            print("--sort-every>1 requires --method pallas", file=sys.stderr)
+            return 2
+    n_dev = len(jax.devices())
+    if args.shards > n_dev:
+        print(
+            f"--shards {args.shards} > {n_dev} visible devices",
+            file=sys.stderr,
+        )
+        return 2
+    mesh = decomp.mesh1d(args.shards)
+    skin = default_skin(scene, args.sort_every) if args.sort_every > 1 else 0.0
+
+    def build(sc, st):
+        spec = decomp.SpatialSpec.for_state(
+            sc, st, args.shards, axis=args.shard_axis, skin=skin
+        )
+        loc = decomp.spatial_shard_state(st, sc, spec, mesh)
+        adv = decomp.make_audited_spatial_advance(
+            sc, spec, mesh, args.method, spf,
+            sort_every=args.sort_every, slot_resident=args.resident,
+        )
+        return spec, loc, adv
+
+    spec, loc, adv = build(scene, state)
+    pack_fn = jax.jit(lambda s: diagnostics.scalar_pack(s, scene.params))
+    watchdog = diagnostics.Watchdog(scene.params)
+    interactor = _Interactor(args.interact) if args.interact else None
+    metrics_path = os.path.join(args.out, "metrics.jsonl")
+    t0 = time.perf_counter()
+    with open(metrics_path, "a") as mf:
+        for frame in range(args.frames):
+            if interactor is not None:
+                scene, changed = interactor.poll(scene, int(loc.step))
+                if changed:
+                    _, _, adv = build(scene, decomp.spatial_gather_state(loc))
+                while interactor.paused:
+                    time.sleep(0.2)
+                    scene, changed = interactor.poll(scene, int(loc.step))
+                    if changed:
+                        _, _, adv = build(
+                            scene, decomp.spatial_gather_state(loc)
+                        )
+            for _ in range(inner):
+                try:
+                    loc = adv(loc)
+                except decomp.SpatialCapOverflow as e:
+                    print(f"elastic recovery: {e}", file=sys.stderr)
+                    spec, loc, adv = build(
+                        scene, decomp.spatial_gather_state(loc)
+                    )
+                    loc = adv(loc)
+            view = decomp.spatial_gather_state(loc)
+            pack = pack_fn(view)
+            if args.render:
+                render.save_frame(
+                    view, scene,
+                    os.path.join(args.out, f"frame_{frame:05d}.png"),
+                    width=args.width, height=args.height,
+                    mode=args.mode, radius=args.radius,
+                )
+            try:
+                scalars = watchdog.check(pack)
+            except diagnostics.SimulationDiverged as e:
+                dump = os.path.join(args.out, "diverged_state.npz")
+                diagnostics.save_checkpoint(dump, view, scene)
+                print(f"DIVERGED at frame {frame}: {e}; state -> {dump}",
+                      file=sys.stderr)
+                return 2
+            scalars["frame"] = frame
+            scalars["step"] = int(loc.step)
+            scalars["shards"] = args.shards
+            scalars["wall_s"] = time.perf_counter() - t0
+            mf.write(json.dumps(scalars) + "\n")
+            mf.flush()
+            if args.checkpoint_every and (frame + 1) % args.checkpoint_every == 0:
+                diagnostics.save_checkpoint(
+                    os.path.join(args.out, f"ckpt_{frame:05d}.npz"),
+                    view, scene,
+                )
+            if not args.quiet:
+                print(
+                    f"frame {frame:4d} step {int(loc.step):7d} "
+                    f"n={int(scalars['n_active'])} "
+                    f"max|v|={scalars['max_speed']:8.2f} "
+                    f"rho={scalars['mean_rho']:8.2f} "
+                    f"shards={args.shards} "
+                    f"({scalars['wall_s']:.1f}s)"
+                )
+    return 0
+
+
 def _load_scene(name_or_path: str):
     """A preset name, or a path to a Scene .json (mass-calibrated)."""
     if name_or_path.endswith(".json"):
@@ -120,6 +227,9 @@ def cmd_run(args) -> int:
         # pallas launches per compiled program; see sph_tpu/step.py)
         inner = -(-spf // MAX_PALLAS_STEPS_PER_DISPATCH)
         spf = -(-args.steps_per_frame // inner)
+    shards = getattr(args, "shards", 0)
+    if shards:
+        return _run_spatial(args, scene, state, spf, inner)
     if getattr(args, "debug", False):
         # sanitizer-style stepping (SURVEY.md §5.2): the checkify-
         # instrumented step threads an error value through the frame;
@@ -161,6 +271,7 @@ def cmd_run(args) -> int:
             return make_audited_advance(
                 sc, args.method, spf, sort_every=args.sort_every,
                 slot_resident=args.resident,
+                adaptive_cap=getattr(args, "adaptive_cap", False),
             )
 
     # interactor scene edits rebuild via the SAME factory, so the debug
@@ -289,7 +400,9 @@ def cmd_record(args) -> int:
         spf = max(spf, args.sort_every)
     adv = make_audited_advance(scene, args.method, spf,
                                sort_every=args.sort_every,
-                               slot_resident=args.resident)
+                               slot_resident=args.resident,
+                               adaptive_cap=getattr(args, "adaptive_cap",
+                                                    False))
     render_fn = jax.jit(
         lambda s: render.render_splat(
             s, scene, args.width, args.height, args.mode,
@@ -340,6 +453,17 @@ def main(argv=None) -> int:
                       help="slot-resident block integration (fastest pallas "
                            "mode; requires --sort-every>1; emitter "
                            "activations freeze until the next rebuild)")
+    runp.add_argument("--adaptive-cap", action="store_true",
+                      help="start on a cap-8 slot grid while occupancy "
+                           "allows (1.3-1.4x faster), healing overflow "
+                           "blocks exactly and switching to the default "
+                           "cap when outgrown (requires --resident)")
+    runp.add_argument("--shards", type=int, default=0,
+                      help="spatial slab decomposition across N mesh "
+                           "devices (0 = single-chip); audited-fallback + "
+                           "elastic recovery built in")
+    runp.add_argument("--shard-axis", type=int, default=0,
+                      help="domain axis the slabs cut (with --shards)")
     runp.add_argument("--interact", default=None, metavar="FILE",
                       help="poll FILE between frames for live interaction "
                            "commands (JSON lines: force_field / pause / "
@@ -375,6 +499,8 @@ def main(argv=None) -> int:
                       help="slot-resident block integration (fastest pallas "
                            "mode; requires --sort-every>1; emitter "
                            "activations freeze until the next rebuild)")
+    recp.add_argument("--adaptive-cap", action="store_true",
+                      help="see run --adaptive-cap")
     recp.add_argument("--fps", type=float, default=20.0)
     recp.add_argument("--quiet", action="store_true")
     recp.set_defaults(fn=cmd_record)

@@ -245,13 +245,25 @@ class SpatialSpec:
         n_shards: int,
         axis: int = 0,
         headroom: float = 3.0,
+        skin: float = 0.0,
     ) -> "SpatialSpec":
         """Lumpiness-aware spec: sizes cap_local from the state's ACTUAL
         worst-slab occupancy × headroom instead of a blind balance factor
         (a dam-break column concentrates most particles in a few slabs, so
         `for_scene` needed hand-tuned `balance` — VERDICT r1).  Headroom
         covers later compression/sloshing into one slab; overflow is still
-        reported by the advance loop if it ever exceeds this."""
+        reported by the advance loop if it ever exceeds this.
+
+        Ghost/migration buffers are sized from the ACTUAL worst face-band
+        occupancy (particles within 2·(h+skin) of any interior slab face —
+        double the exchange band, as sloshing margin), not from cap_local:
+        the band holds ~2% of a slab's particles in practice, and the old
+        `cap_local // 2` sizing made the 1M spatial step spend ~200 ms on
+        `nonzero` compactions and ~15 MB ppermute payloads for nearly-empty
+        bands (VERDICT r2 weakness 2).  Pass the fast path's Verlet `skin`
+        so the band matches the pinned h+skin ghost selection.  A nonzero
+        floor keeps tiny scenes and late-run sloshing safe; the advance
+        loop still audits every cap."""
         import numpy as np_
 
         lo, hi = scene.lo[axis], scene.hi[axis]
@@ -270,14 +282,27 @@ class SpatialSpec:
             _round_up(state.capacity, 64),
             _round_up(int(worst * headroom) + 64, 64),
         )
+        # worst interior-face band occupancy, 2·h_eff deep on each side
+        h_eff = scene.params.h + skin
+        band = 0
+        xa = x[live, axis]
+        for i in range(1, n_shards):
+            face = lo + i * slab_w
+            band = max(
+                band, int(np_.sum(np_.abs(xa - face) < 2.0 * h_eff))
+            )
+        cap_ghost = min(
+            _round_up(cap_local // 2 + 64, 64),
+            _round_up(int(band * headroom) + 256, 64),
+        )
         return SpatialSpec(
             n_shards=n_shards,
             axis=axis,
             slab_lo=lo,
             slab_w=slab_w,
             cap_local=cap_local,
-            cap_ghost=_round_up(cap_local // 2 + 64, 64),
-            cap_mig=_round_up(cap_local // 4 + 64, 64),
+            cap_ghost=cap_ghost,
+            cap_mig=max(_round_up(cap_ghost // 2, 64), 256),
         )
 
 
@@ -451,6 +476,8 @@ def _make_spatial_local(
         me = jax.lax.axis_index(AXIS)
         my_lo = spec.slab_lo + me.astype(jnp.float32) * spec.slab_w
         my_hi = my_lo + spec.slab_w
+        is_first = me == 0
+        is_last = me == n_sh - 1
 
         ci_off = None
         if grid is not None:
@@ -481,8 +508,11 @@ def _make_spatial_local(
             x = x + dt * v * mov
 
         # ---- (a) ghost exchange: faces within h of each slab boundary ----
-        near_lo = active & (x[:, ax] < my_lo + h)
-        near_hi = active & (x[:, ax] >= my_hi - h)
+        # Domain-wall faces exchange nothing (their wrapped ghosts would be
+        # discarded on receipt anyway); masking at SEND also keeps the
+        # band-sized cap_ghost audit honest — wall pileups are not ghosts.
+        near_lo = active & (x[:, ax] < my_lo + h) & ~is_first
+        near_hi = active & (x[:, ax] >= my_hi - h) & ~is_last
         pay = pack_payload(x, v, d)
         buf_lo, val_lo, ov1 = _pack(near_lo, pay, spec.cap_ghost)
         buf_hi, val_hi, ov2 = _pack(near_hi, pay, spec.cap_ghost)
@@ -500,11 +530,8 @@ def _make_spatial_local(
             AXIS,
             right,
         )
-        # edge slabs: ring wraps, but a wrapped ghost lies ≥ slab_w - 2h
-        # away along `ax` from every local particle, so W(r)=0 kills it —
-        # EXCEPT with very few shards.  Mask wrapped ghosts explicitly:
-        is_first = me == 0
-        is_last = me == n_sh - 1
+        # edge slabs: ring wraps, but sends are already masked at the
+        # domain-wall faces; keep the receipt-side mask as defense in depth
         gl_valid = (g_from_left[:, F_GHOST] > 0) & ~is_first
         gr_valid = (g_from_right[:, F_GHOST] > 0) & ~is_last
 
@@ -785,8 +812,9 @@ def _make_spatial_reuse_local(
         x0_ref = x                      # drift-audit reference (block top)
 
         # pinned ghost selection: h+skin band from block-top positions
-        near_lo = active0 & (x[:, ax] < my_lo + h_eff)
-        near_hi = active0 & (x[:, ax] >= my_hi - h_eff)
+        # (domain-wall faces masked at send — see _make_spatial_local)
+        near_lo = active0 & (x[:, ax] < my_lo + h_eff) & ~is_first
+        near_hi = active0 & (x[:, ax] >= my_hi - h_eff) & ~is_last
         idx_lo, val_lo, ov1 = _pack_idx(near_lo, spec.cap_ghost)
         idx_hi, val_hi, ov2 = _pack_idx(near_hi, spec.cap_ghost)
         overflow = ov1 + ov2
@@ -1073,17 +1101,12 @@ def _make_spatial_reuse_local(
             okc = ok_loc[:, None]
 
             def gat_loc(slot):
-                flat = slot.reshape(-1)
-                b = (
-                    addr.row_pos[:nl] * slot.shape[1]
-                ) * lanes + addr.pos[:nl]
-                return jnp.stack(
-                    [
-                        flat[b + c * lanes]
-                        for c in range(min(d, slot.shape[1]))
-                    ],
-                    1,
-                )
+                # feature-minor transpose + one contiguous row-gather per
+                # particle (see pallas_step.slot_rows_view; measured 2.6×
+                # cheaper than strided element-gathers at 1M)
+                rows = pallas_step.slot_rows_view(slot)
+                b = addr.row_pos[:nl] * lanes + addr.pos[:nl]
+                return rows[b][:, : min(d, slot.shape[1])]
 
             x = jnp.where(okc, gat_loc(xs), st.x)
             v = jnp.where(okc, gat_loc(vs), st.v)
@@ -1385,3 +1408,578 @@ def make_spatial_advance(
             check_vma=False,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 3. Pencil (2-axis) decomposition — ring per axis, corner ghosts via two-hop
+# ---------------------------------------------------------------------------
+
+AXIS2 = "shard2"
+
+
+def mesh2d(n1: int, n2: int) -> Mesh:
+    """2D device mesh for pencil decomposition: axis AXIS (n1) × AXIS2
+    (n2), row-major over jax.devices()."""
+    devs = jax.devices()
+    if n1 * n2 > len(devs):
+        raise ValueError(f"need {n1 * n2} devices, have {len(devs)}")
+    return Mesh(np.array(devs[: n1 * n2]).reshape(n1, n2), (AXIS, AXIS2))
+
+
+@dataclasses.dataclass(frozen=True)
+class PencilSpec:
+    """Static 2-axis decomposition geometry: the domain is cut into
+    n1 × n2 rectangular pencils along (axis1, axis2).  ROADMAP round-3
+    queue 3 / VERDICT r2 missing 4: the structure slabs cannot give past
+    ~dozens of chips (slab width shrinks below 2h; pencils keep each cut
+    direction coarse)."""
+
+    n1: int
+    n2: int
+    axis1: int
+    axis2: int
+    lo1: float
+    lo2: float
+    w1: float
+    w2: float
+    cap_local: int
+    cap_ghost: int   # per face, both axes (phase-2 bands include phase-1
+    #                  ghosts, so this is sized from the worst band of
+    #                  either axis plus the corner strips)
+    cap_mig: int
+
+    @staticmethod
+    def for_state(
+        scene: Scene,
+        state,
+        n1: int,
+        n2: int,
+        axis1: int = 0,
+        axis2: int | None = None,
+        headroom: float = 3.0,
+        skin: float = 0.0,
+    ) -> "PencilSpec":
+        """Occupancy-aware sizing, same pattern as SpatialSpec.for_state:
+        cap_local from the worst pencil, cap_ghost from the worst face
+        band (2·h_eff deep) of either axis."""
+        import numpy as np_
+
+        if axis2 is None:
+            # default: the last axis (2D: the other axis; 3D: x — keeps
+            # the vertical (gravity) axis uncut for dam scenes)
+            axis2 = scene.dim - 1
+        if axis1 == axis2:
+            raise ValueError("pencil axes must differ")
+        lo1, hi1 = scene.lo[axis1], scene.hi[axis1]
+        lo2, hi2 = scene.lo[axis2], scene.hi[axis2]
+        w1 = (hi1 - lo1) / n1
+        w2 = (hi2 - lo2) / n2
+        if min(w1, w2) < 2 * scene.params.h:
+            raise ValueError(
+                f"pencil widths ({w1:.1f}, {w2:.1f}) < 2h; fewer shards"
+            )
+        x = np_.asarray(state.x)
+        live = np_.asarray(state.emit_step) != int(INACTIVE)
+        s1 = np_.clip(((x[:, axis1] - lo1) // w1).astype(int), 0, n1 - 1)
+        s2 = np_.clip(((x[:, axis2] - lo2) // w2).astype(int), 0, n2 - 1)
+        worst = int(
+            np_.bincount((s1 * n2 + s2)[live], minlength=n1 * n2).max()
+        )
+        cap_local = min(
+            _round_up(state.capacity, 64),
+            _round_up(int(worst * headroom) + 64, 64),
+        )
+        h_eff = scene.params.h + skin
+        band = 0
+        for axn, lo, w, ax in ((n1, lo1, w1, axis1), (n2, lo2, w2, axis2)):
+            xa = x[live, ax]
+            for i in range(1, axn):
+                band = max(
+                    band,
+                    int(np_.sum(np_.abs(xa - (lo + i * w)) < 2.0 * h_eff)),
+                )
+        cap_ghost = min(
+            _round_up(cap_local // 2 + 64, 64),
+            _round_up(int(band * headroom) + 256, 64),
+        )
+        return PencilSpec(
+            n1=n1, n2=n2, axis1=axis1, axis2=axis2,
+            lo1=lo1, lo2=lo2, w1=w1, w2=w2,
+            cap_local=cap_local,
+            cap_ghost=cap_ghost,
+            cap_mig=max(_round_up(cap_ghost // 2, 64), 256),
+        )
+
+
+def pencil_shard_state(state: State, scene: Scene, spec: PencilSpec, mesh: Mesh):
+    """Host-side: split a global State into per-pencil local States, stacked
+    on a leading device axis (row-major (i1, i2)) and device_put sharded
+    over the 2D mesh."""
+    n1, n2 = spec.n1, spec.n2
+    x = np.asarray(state.x)
+    live = np.asarray(state.emit_step) != int(INACTIVE)
+    s1 = np.clip(
+        ((x[:, spec.axis1] - spec.lo1) // spec.w1).astype(int), 0, n1 - 1
+    )
+    s2 = np.clip(
+        ((x[:, spec.axis2] - spec.lo2) // spec.w2).astype(int), 0, n2 - 1
+    )
+    pencil = s1 * n2 + s2
+    fields = {
+        f.name: np.asarray(getattr(state, f.name))
+        for f in dataclasses.fields(state)
+        if f.name != "step"
+    }
+    out = {k: [] for k in fields}
+    park = x.min(axis=0) * 0 + np.float32(-1e6)
+    for s in range(n1 * n2):
+        sel = live & (pencil == s)
+        cnt = sel.sum()
+        if cnt > spec.cap_local:
+            raise ValueError(
+                f"pencil {s} holds {cnt} > cap_local {spec.cap_local}"
+            )
+        pad = spec.cap_local - cnt
+        for k, arr in fields.items():
+            take = arr[sel]
+            if k == "x":
+                fill = np.broadcast_to(park, (pad, take.shape[1]))
+            elif k == "emit_step":
+                fill = np.full((pad,), INACTIVE, take.dtype)
+            elif k == "rho":
+                fill = np.ones((pad,), take.dtype)
+            else:
+                fill = np.zeros((pad,) + take.shape[1:], take.dtype)
+            out[k].append(np.concatenate([take, fill], axis=0))
+    stacked = {k: np.stack(v, axis=0) for k, v in out.items()}
+    loc = State(
+        step=state.step, **{k: jnp.asarray(v) for k, v in stacked.items()}
+    )
+
+    def sspec(leaf):
+        if getattr(leaf, "ndim", 0) >= 1 and leaf.shape[0] == n1 * n2:
+            return NamedSharding(
+                mesh, P((AXIS, AXIS2), *([None] * (leaf.ndim - 1)))
+            )
+        return NamedSharding(mesh, P())
+
+    return jax.device_put(loc, jax.tree.map(sspec, loc))
+
+
+def _make_pencil_local(
+    scene: Scene, spec: PencilSpec, mesh: Mesh, method: str = "pallas"
+):
+    """Per-device pencil step body.  Same structure as _make_spatial_local
+    with every phase done TWICE, once per cut axis, sequentially:
+
+      ghosts:    axis1 faces first; the axis2 exchange then selects from
+                 locals AND the fresh axis1 ghosts, so corner regions
+                 (diagonal-neighbor pencils) arrive via two hops — no
+                 dedicated corner channels (SURVEY.md §5.7).
+      rho/p:     re-imported in the same two-hop order (phase 2 forwards
+                 phase-1-corrected ghost values, so corner ghosts stream
+                 their owner's exact rho/p).
+      migration: axis1 exchange, insert, then axis2 over the updated
+                 arrays — a particle crossing both faces in one step
+                 reaches its diagonal owner in the same step.
+    """
+    params = scene.params
+    dt = params.dt
+    a1, a2 = spec.axis1, spec.axis2
+    h = params.h
+
+    from sph_tpu import neighbors
+
+    grid = neighbors.GridSpec.for_pencil(
+        scene, {a1: spec.w1, a2: spec.w2}
+    )
+
+    right1 = [(i, (i + 1) % spec.n1) for i in range(spec.n1)]
+    left1 = [(i, (i - 1) % spec.n1) for i in range(spec.n1)]
+    right2 = [(i, (i + 1) % spec.n2) for i in range(spec.n2)]
+    left2 = [(i, (i - 1) % spec.n2) for i in range(spec.n2)]
+
+    def sharded(st: State):
+        st = State(
+            step=st.step,
+            **{
+                f.name: getattr(st, f.name)[0]
+                for f in dataclasses.fields(st)
+                if f.name != "step"
+            },
+        )
+        d = st.x.shape[1]
+        me1 = jax.lax.axis_index(AXIS)
+        me2 = jax.lax.axis_index(AXIS2)
+        my_lo1 = spec.lo1 + me1.astype(jnp.float32) * spec.w1
+        my_hi1 = my_lo1 + spec.w1
+        my_lo2 = spec.lo2 + me2.astype(jnp.float32) * spec.w2
+        my_hi2 = my_lo2 + spec.w2
+        first1, last1 = me1 == 0, me1 == spec.n1 - 1
+        first2, last2 = me2 == 0, me2 == spec.n2 - 1
+
+        # integer cell offset against the global lattice, both cut axes
+        s_full = neighbors.GridSpec.for_scene(scene).shape
+        ci_off = jnp.zeros((d,), jnp.int32)
+        for ax, my_lo in ((a1, my_lo1), (a2, my_lo2)):
+            k_dev = jnp.floor(
+                (my_lo - h - grid.cell - grid.lo[ax]) / grid.cell
+            ).astype(jnp.int32)
+            k_dev = jnp.clip(k_dev, 0, s_full[ax] - grid.shape[ax])
+            ci_off = ci_off.at[ax].set(k_dev)
+
+        active = st.emit_step <= st.step
+        movable = active & (st.kind == 0)
+        mov = movable[:, None].astype(st.x.dtype)
+        x, v, acc = st.x, st.v, st.acc
+
+        if params.integrator == "leapfrog":
+            v = v + (0.5 * dt) * acc * mov
+            x = x + dt * v * mov
+
+        gc = spec.cap_ghost
+        nl = spec.cap_local
+        prev = None
+
+        def exchange(pay_rows, masks, axis_name, left, right, prev):
+            """One two-sided ghost/payload exchange along a mesh axis:
+            pack rows where mask, ppermute both directions, chained."""
+            (m_lo, m_hi) = masks
+            buf_lo, val_lo, ov_a = _pack(m_lo, pay_rows, gc)
+            buf_hi, val_hi, ov_b = _pack(m_hi, pay_rows, gc)
+            fr_r = jax.lax.ppermute(
+                _chained(
+                    jnp.concatenate(
+                        [buf_lo, val_lo[:, None].astype(pay_rows.dtype)], 1
+                    ),
+                    prev,
+                ),
+                axis_name,
+                left,
+            )
+            fr_l = jax.lax.ppermute(
+                _chained(
+                    jnp.concatenate(
+                        [buf_hi, val_hi[:, None].astype(pay_rows.dtype)], 1
+                    ),
+                    fr_r,
+                ),
+                axis_name,
+                right,
+            )
+            return fr_l, fr_r, ov_a + ov_b
+
+        # ---- ghosts, phase 1 (axis1) ----
+        near_lo1 = active & (x[:, a1] < my_lo1 + h) & ~first1
+        near_hi1 = active & (x[:, a1] >= my_hi1 - h) & ~last1
+        pay = _pack_payload(x, v, d)
+        g1l, g1r, ov1 = exchange(
+            pay, (near_lo1, near_hi1), AXIS, left1, right1, prev
+        )
+        g1l_valid = (g1l[:, F_GHOST] > 0) & ~first1
+        g1r_valid = (g1r[:, F_GHOST] > 0) & ~last1
+
+        def unpack(g, valid):
+            far = jnp.full((gc, d), 1e18, x.dtype)
+            gx = jnp.where(valid[:, None], g[:, 0:d], far)
+            gv = jnp.where(valid[:, None], g[:, 3 : 3 + d], 0.0)
+            return gx, gv
+
+        g1lx, g1lv = unpack(g1l, g1l_valid)
+        g1rx, g1rv = unpack(g1r, g1r_valid)
+        cx1 = jnp.concatenate([x, g1lx, g1rx], axis=0)
+        cv1 = jnp.concatenate([v, g1lv, g1rv], axis=0)
+        act1 = jnp.concatenate([active, g1l_valid, g1r_valid], axis=0)
+
+        # ---- ghosts, phase 2 (axis2, over locals + phase-1 ghosts) ----
+        near_lo2 = act1 & (cx1[:, a2] < my_lo2 + h) & ~first2
+        near_hi2 = act1 & (cx1[:, a2] >= my_hi2 - h) & ~last2
+        pay1 = _pack_payload(cx1, cv1, d)
+        g2l, g2r, ov2 = exchange(
+            pay1, (near_lo2, near_hi2), AXIS2, left2, right2, g1l
+        )
+        g2l_valid = (g2l[:, F_GHOST] > 0) & ~first2
+        g2r_valid = (g2r[:, F_GHOST] > 0) & ~last2
+        g2lx, g2lv = unpack(g2l, g2l_valid)
+        g2rx, g2rv = unpack(g2r, g2r_valid)
+        cx = jnp.concatenate([cx1, g2lx, g2rx], axis=0)
+        cv = jnp.concatenate([cv1, g2lv, g2rv], axis=0)
+        c_act = jnp.concatenate([act1, g2l_valid, g2r_valid], axis=0)
+
+        # ---- density over locals + both ghost bands ----
+        split_ctx = None
+        if method == "grid":
+            rho_c = neighbors.grid_density(
+                cx, c_act, params, grid, ci_offset=ci_off
+            )
+        elif method == "pallas":
+            from sph_tpu import pallas_step
+
+            split_ctx = pallas_step.pallas_split_build(
+                cx, cv, c_act, params, grid, ci_offset=ci_off
+            )
+            rho_c = pallas_step.pallas_density_split(split_ctx, params)
+        else:
+            rho_c = physics.density_naive(cx, c_act, params)
+        rho = rho_c[:nl]
+        p_loc = physics.eos_pressure(rho, params)
+
+        # ---- rho/p re-import, two-hop (phase 1 then phase 2) ----
+        rp_loc = jnp.stack([rho, p_loc], axis=1)
+        rp1_lo, _, _ = _pack(near_lo1, rp_loc, gc)
+        rp1_hi, _, _ = _pack(near_hi1, rp_loc, gc)
+        rp1_fr_r = jax.lax.ppermute(_chained(rp1_lo, g2l), AXIS, left1)
+        rp1_fr_l = jax.lax.ppermute(
+            _chained(rp1_hi, rp1_fr_r), AXIS, right1
+        )
+        g1l_rp = jnp.where(
+            g1l_valid[:, None], rp1_fr_l,
+            jnp.array([[1.0, 0.0]], jnp.float32),
+        )
+        g1r_rp = jnp.where(
+            g1r_valid[:, None], rp1_fr_r,
+            jnp.array([[1.0, 0.0]], jnp.float32),
+        )
+        rp_c1 = jnp.concatenate([rp_loc, g1l_rp, g1r_rp], axis=0)
+        # phase 2 forwards the corrected combined1 values (corner ghosts
+        # get their owner's exact rho/p via the middle device)
+        rp2_lo, _, _ = _pack(near_lo2, rp_c1, gc)
+        rp2_hi, _, _ = _pack(near_hi2, rp_c1, gc)
+        rp2_fr_r = jax.lax.ppermute(
+            _chained(rp2_lo, rp1_fr_l), AXIS2, left2
+        )
+        rp2_fr_l = jax.lax.ppermute(
+            _chained(rp2_hi, rp2_fr_r), AXIS2, right2
+        )
+        g2l_rp = jnp.where(
+            g2l_valid[:, None], rp2_fr_l,
+            jnp.array([[1.0, 0.0]], jnp.float32),
+        )
+        g2r_rp = jnp.where(
+            g2r_valid[:, None], rp2_fr_r,
+            jnp.array([[1.0, 0.0]], jnp.float32),
+        )
+        rp_cc = jnp.concatenate([rp_c1, g2l_rp, g2r_rp], axis=0)
+        rho_cc, p_cc = rp_cc[:, 0], rp_cc[:, 1]
+
+        # ---- forces with correct ghost rho/p ----
+        if method == "grid":
+            f_c = neighbors.grid_forces(
+                cx, cv, rho_cc, p_cc, c_act, params, grid, ci_offset=ci_off
+            )
+        elif method == "pallas":
+            from sph_tpu import pallas_step
+
+            f_c = pallas_step.pallas_forces_split(
+                split_ctx, rho_cc, p_cc, params, d
+            )
+        else:
+            f_c = physics.forces_naive(cx, cv, rho_cc, p_cc, c_act, params)
+        f = f_c[:nl]
+        f = f + physics.gravity_force(rho, params)
+        if params.boundary_mode == "penalty":
+            f = f + physics.wall_penalty_force(
+                x, v, scene.lo, scene.hi, params
+            )
+        if scene.force_fields:
+            f = f + physics.force_field_force(x, st.step, scene.force_fields)
+
+        # ---- integrate locals ----
+        a = f / jnp.maximum(rho, 1e-12)[:, None]
+        if params.integrator == "leapfrog":
+            v = v + (0.5 * dt) * a * mov
+        else:
+            v = v + dt * a * mov
+            x = x + dt * v * mov
+        acc = jnp.where(movable[:, None], a, 0.0)
+        if params.boundary_mode == "clamp":
+            xc, vc = physics.clamp_boundary(x, v, scene.lo, scene.hi, params)
+            x = jnp.where(movable[:, None], xc, x)
+            v = jnp.where(movable[:, None], vc, v)
+
+        # ---- migration, two-phase ----
+        kind, emit = st.kind, st.emit_step
+        ov_mig = jnp.int32(0)
+        prev_tok = rp2_fr_l
+        for phase, (ax_name, lo_b, hi_b, ax, first, last, left, right) in (
+            (1, (AXIS, my_lo1, my_hi1, a1, first1, last1, left1, right1)),
+            (2, (AXIS2, my_lo2, my_hi2, a2, first2, last2, left2, right2)),
+        ):
+            act_now = emit <= st.step
+            go_left = act_now & (x[:, ax] < lo_b) & ~first
+            go_right = act_now & (x[:, ax] >= hi_b) & ~last
+            leaver = go_left | go_right
+            mig = _pack_mig(x, v, acc, kind, emit, d)
+            m_lo, mval_lo, ova = _pack(go_left, mig, spec.cap_mig)
+            m_hi, mval_hi, ovb = _pack(go_right, mig, spec.cap_mig)
+            m_fr_r = jax.lax.ppermute(
+                _chained(
+                    jnp.concatenate(
+                        [m_lo, mval_lo[:, None].astype(mig.dtype)], 1
+                    ),
+                    prev_tok,
+                ),
+                ax_name,
+                left,
+            )
+            m_fr_l = jax.lax.ppermute(
+                _chained(
+                    jnp.concatenate(
+                        [m_hi, mval_hi[:, None].astype(mig.dtype)], 1
+                    ),
+                    m_fr_r,
+                ),
+                ax_name,
+                right,
+            )
+            mr_valid = (m_fr_r[:, F_MIG] > 0) & ~last
+            ml_valid = (m_fr_l[:, F_MIG] > 0) & ~first
+            incoming = jnp.concatenate([m_fr_l, m_fr_r], axis=0)
+            inc_valid = jnp.concatenate([ml_valid, mr_valid], axis=0)
+
+            park = jnp.full((d,), -1e6, x.dtype)
+            x = jnp.where(leaver[:, None], park[None, :], x)
+            v = jnp.where(leaver[:, None], 0.0, v)
+            acc = jnp.where(leaver[:, None], 0.0, acc)
+            emit = jnp.where(leaver, INACTIVE, emit)
+
+            free = emit == INACTIVE
+            free_idx = jnp.nonzero(
+                free, size=2 * spec.cap_mig, fill_value=spec.cap_local
+            )[0]
+            rank = jnp.cumsum(inc_valid.astype(jnp.int32)) - 1
+            take = free_idx[jnp.clip(rank, 0, 2 * spec.cap_mig - 1)]
+            slot = jnp.where(inc_valid, take, spec.cap_local)
+            ov_mig = ov_mig + ova + ovb + jnp.sum(
+                (inc_valid & (take >= spec.cap_local)).astype(jnp.int32)
+            )
+            x = x.at[slot, :].set(incoming[:, 0:d], mode="drop")
+            v = v.at[slot, :].set(incoming[:, 3 : 3 + d], mode="drop")
+            acc = acc.at[slot, :].set(incoming[:, 6 : 6 + d], mode="drop")
+            kind = kind.at[slot].set(
+                incoming[:, 9].astype(jnp.int32), mode="drop"
+            )
+            emit = emit.at[slot].set(
+                jax.lax.bitcast_convert_type(incoming[:, 10], jnp.int32),
+                mode="drop",
+            )
+            prev_tok = m_fr_l
+
+        overflow = ov1 + ov2 + ov_mig
+        if split_ctx is not None:
+            overflow = overflow + split_ctx.addr.overflow
+        overflow = jax.lax.psum(overflow, (AXIS, AXIS2))
+        return (
+            State(
+                x=x[None],
+                v=v[None],
+                acc=acc[None],
+                rho=jnp.where(active, rho, st.rho)[None],
+                p=jnp.where(active, p_loc, st.p)[None],
+                kind=kind[None],
+                emit_step=emit[None],
+                step=st.step + 1,
+            ),
+            overflow,
+        )
+
+    return sharded
+
+
+def make_pencil_advance(
+    scene: Scene,
+    spec: PencilSpec,
+    mesh: Mesh,
+    method: str = "pallas",
+    steps_per_dispatch: int = 50,
+):
+    """jitted pencil advance: `steps_per_dispatch` 2-axis-decomposed steps
+    in one lax.scan.  Returns (state, worst_overflow) — same audit
+    contract as make_spatial_advance."""
+    sharded = _make_pencil_local(scene, spec, mesh, method)
+
+    def scanned(st: State):
+        def body(carry, _):
+            s, worst = carry
+            s, over = sharded(s)
+            return (s, jnp.maximum(worst, over)), None
+
+        (out, worst), _ = jax.lax.scan(
+            body, (st, jnp.int32(0)), length=steps_per_dispatch
+        )
+        return out, worst
+
+    part = P((AXIS, AXIS2))
+    spec_in = State(
+        x=part, v=part, acc=part, rho=part, p=part,
+        kind=part, emit_step=part, step=P(),
+    )
+    return jax.jit(
+        jax.shard_map(
+            scanned, mesh=mesh, in_specs=(spec_in,),
+            out_specs=(spec_in, P()),
+            check_vma=False,
+        )
+    )
+
+
+class SpatialCapOverflow(RuntimeError):
+    """A spatial dispatch overflowed a static buffer (ghost/migration/
+    local/slot cap) even on the per-step-rebuild path: the SpatialSpec is
+    too small for the current state.  Callers recover by rebuilding the
+    spec from the gathered state (`SpatialSpec.for_state`) and recompiling
+    — see cli.cmd_run's elastic-recovery loop."""
+
+
+def make_audited_spatial_advance(
+    scene: Scene,
+    spec: SpatialSpec,
+    mesh: Mesh,
+    method: str = "pallas",
+    steps_per_dispatch: int = 100,
+    sort_every: int = 1,
+    slot_resident: bool = False,
+):
+    """`advance(loc_state) -> loc_state` with the single-chip audited-
+    fallback policy extended across the mesh (VERDICT r2 missing 2): when
+    the fast path's skin/cap audit fires, the dispatch re-runs from its
+    held input on the per-step-rebuild spatial path — fast when the skin
+    bound holds, exact when not.  If even the per-step path overflows a
+    static buffer, raises SpatialCapOverflow (the spec must be resized —
+    a recompile-grade event, surfaced rather than silently degraded)."""
+    import sys
+
+    adv = make_spatial_advance(
+        scene, spec, mesh, method, steps_per_dispatch,
+        sort_every=sort_every, slot_resident=slot_resident,
+    )
+    exact = []  # per-step spatial fallback, compiled on first use
+
+    def audited(loc: State) -> State:
+        out, worst = adv(loc)
+        if int(worst) == 0:
+            return out
+        if sort_every > 1:
+            if not exact:
+                exact.append(
+                    make_spatial_advance(
+                        scene, spec, mesh, method, steps_per_dispatch
+                    )
+                )
+            print(
+                f"sph_tpu: {int(worst)} skin/cap violations in a spatial "
+                f"{steps_per_dispatch}-step dispatch at step "
+                f"{int(loc.step)} — re-ran exactly (per-step rebuild)",
+                file=sys.stderr,
+            )
+            out, worst = exact[0](loc)
+            if int(worst) == 0:
+                return out
+        raise SpatialCapOverflow(
+            f"spatial dispatch at step {int(loc.step)} overflowed a static "
+            f"buffer even on the per-step path (worst={int(worst)}); "
+            f"rebuild the SpatialSpec from the current state "
+            f"(SpatialSpec.for_state) and recompile"
+        )
+
+    return audited

@@ -143,6 +143,31 @@ class GridSpec:
             chunk=full.chunk, xsub=full.xsub,
         )
 
+    @staticmethod
+    def for_pencil(
+        scene: Scene,
+        widths: dict[int, float],
+        cap: int | None = None,
+        chunk: int = 2048,
+        skin: float = 0.0,
+    ) -> "GridSpec":
+        """Pencil-local grid (decomp.make_pencil_advance): like for_slab
+        but restricted along EVERY axis in `widths` ({axis: pencil width}),
+        so per-device grid/slot memory scales 1/(n1·n2).  Same global-
+        lattice + integer ci_offset contract as for_slab."""
+        full = GridSpec.for_scene(scene, cap=cap, chunk=chunk, skin=skin)
+        h_eff = scene.params.h + skin
+        shape = tuple(
+            min(int(math.ceil((widths[a] + 2 * h_eff) / full.cell)) + 3, s)
+            if a in widths
+            else s
+            for a, s in enumerate(full.shape)
+        )
+        return GridSpec(
+            lo=full.lo, cell=full.cell, shape=shape, cap=full.cap,
+            chunk=full.chunk, xsub=full.xsub,
+        )
+
 
 # ---------------------------------------------------------------------------
 # Grid build

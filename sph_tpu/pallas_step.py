@@ -110,6 +110,12 @@ class SlotGrid:
     #                          GridSpec.xsub); candidate margin = xsub slots
     #                          = exactly one full cell, same support/skin
     #                          guarantee as xsub=1
+    row_pair: bool = False   # 2 compacted rows per kernel program (ROADMAP
+    #                          round-3 queue 1): halves the program count +
+    #                          per-program preamble; strip DMA volume is
+    #                          unchanged (compacted rows are not spatially
+    #                          adjacent, so the two rows' strip sets don't
+    #                          merge).  c_rows is padded even.
 
     @property
     def dim(self) -> int:
@@ -153,6 +159,7 @@ def slot_grid(
     grid: GridSpec,
     c_rows: int | None = None,
     xb_cells: int = 4,
+    row_pair: bool = False,
 ) -> SlotGrid:
     if grid.cap % grid.xsub != 0:
         raise ValueError(
@@ -169,13 +176,17 @@ def slot_grid(
     if c_rows is None:
         # always-correct when the row space is small; else a documented cap
         c_rows = inner_rows if inner_rows <= 4096 else 4096
+    c_rows = min(c_rows, inner_rows) + 1  # +1: reserved dummy row 0
+    if row_pair and c_rows % 2:
+        c_rows += 1  # pad even: the last program's second row is a skip
     return SlotGrid(
         inner=grid.shape,
         cap=cap_slot,
-        c_rows=min(c_rows, inner_rows) + 1,  # +1: reserved dummy row 0
+        c_rows=c_rows,
         xb_cells=xb_cells,
         cell=grid.cell,
         xsub=grid.xsub,
+        row_pair=row_pair,
     )
 
 
@@ -442,8 +453,64 @@ def _init_row(dtype):
     )
 
 
-def scatter_slots(addr: SlotAddr, rows, sg: SlotGrid):
-    """Scatter packed [N, ncols] rows → feat [c_rows, FEAT, lanes]."""
+def _stage_transpose_kernel(s_ref, o_ref):
+    o_ref[0] = jnp.transpose(s_ref[0])
+
+
+def _stage_to_feat(stag, sg: SlotGrid):
+    """[c_rows·lanes, FEAT] feature-minor staging → [c_rows, FEAT, lanes]
+    kernel layout, one Pallas program per compacted row (an XLA swapaxes
+    on the minor-dim-8 staging array measured ~40 ms SLOWER than the
+    direct scatter at 1M — Mosaic's in-VMEM tile transpose is the fast
+    path for this shape)."""
+    stag3 = stag.reshape(sg.c_rows, sg.lanes, FEAT)
+    return pl.pallas_call(
+        _stage_transpose_kernel,
+        grid=(sg.c_rows,),
+        in_specs=[
+            pl.BlockSpec((1, sg.lanes, FEAT), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((1, FEAT, sg.lanes), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (sg.c_rows, FEAT, sg.lanes), stag.dtype
+        ),
+        interpret=_interpret(),
+    )(stag3)
+
+
+def scatter_slots(addr: SlotAddr, rows, sg: SlotGrid, staged: bool = False):
+    """Scatter packed [N, ncols] rows → feat [c_rows, FEAT, lanes].
+
+    staged=True: scatter into a FEATURE-MINOR staging array
+    [c_rows·lanes, FEAT] — each particle's features are then CONTIGUOUS,
+    one row-scatter per particle — then transpose to the kernel layout
+    with the Pallas tile-transpose above.  Bitwise-identical output.
+    Measured (bench/probe_r3c/r3d.py at 1M): the XLA-swapaxes form of the
+    transpose is a dead end (96 ms vs 57 direct — minor-dim-8 layouts
+    transpose terribly through XLA); the Pallas-transpose form is what
+    this flag now selects.  Default stays the direct scatter unless the
+    measurement says otherwise."""
+    if staged:
+        ncols = rows.shape[1]
+        if ncols < FEAT:
+            init_tail = jax.lax.optimization_barrier(
+                jnp.zeros((FEAT - ncols,), rows.dtype)
+            )
+            rows = jnp.concatenate(
+                [rows, jnp.broadcast_to(init_tail[None, :],
+                                        (rows.shape[0], FEAT - ncols))],
+                axis=1,
+            )
+        size = sg.c_rows * sg.lanes
+        ok = addr.valid & (addr.row_pos > 0)
+        base = jnp.where(ok, addr.row_pos * sg.lanes + addr.pos, size)
+        stag = jnp.broadcast_to(
+            _init_row(rows.dtype)[None, :], (size, FEAT)
+        )
+        stag = stag.at[base].set(rows, mode="drop")
+        return _stage_to_feat(stag, sg)
     feat = jnp.broadcast_to(
         _init_row(rows.dtype)[None, :, None],
         (sg.c_rows, FEAT, sg.lanes),
@@ -471,11 +538,13 @@ def slot_overflow(x, active, grid: GridSpec, sg: SlotGrid, ci_offset=None):
 # ---------------------------------------------------------------------------
 
 
-def _group_loop(sg: SlotGrid, gcount_ref, group_body):
-    """Run group_body(g) for every occupied group g."""
+def _group_loop(sg: SlotGrid, count_fn, group_body):
+    """Run group_body(g) for every occupied group g; `count_fn(g)` reads
+    the per-group occupancy (parametrized for row-pair programs, whose
+    gcount block carries one row per paired compute row)."""
 
     def body(g, _):
-        @pl.when(gcount_ref[0, 0, g] > 0)
+        @pl.when(count_fn(g) > 0)
         def _():
             group_body(g)
 
@@ -525,9 +594,13 @@ def _density_kernel(n_ref, nbr_ref, gcount_ref, *refs, sg, params):
     """Density pass → lane-major (rho, EOS p) rows rp[c_rows, 2, lanes].
     The EOS runs HERE so no per-particle gather/re-scatter sits between
     the density and force kernels; the dummy row 0 keeps rho = 0 (its
-    1e18 features annihilate everything downstream)."""
-    strips, rp_ref = refs[:-1], refs[-1]
-    center_ref = strips[len(strips) // 2]
+    1e18 features annihilate everything downstream).
+
+    row_pair mode: each program handles `nw = 2` consecutive compacted
+    rows (`which` below) — same math per row, half the programs."""
+    nw = 2 if sg.row_pair else 1
+    n_r = len(sg.row_offsets)
+    strips_all, rp_ref = refs[:-1], refs[-1]
     cap = sg.cap
     c_p, _, _ = kernel_constants(params.dim, params.h, params.kernel_norm)
     h2k = params.h * params.h
@@ -539,42 +612,49 @@ def _density_kernel(n_ref, nbr_ref, gcount_ref, *refs, sg, params):
         ioff_c, joff_c = _bf16_offsets(sg, d_dim, sg.cell)
     i_prog = pl.program_id(0)
 
-    @pl.when((i_prog > 0) & (i_prog <= n_ref[0]))
-    def _():
-        def group(g):
-            it = _self_block(center_ref, g)           # [128, FEAT], once/group
-            if bf16:
-                it = it.astype(jnp.float32) + jnp.asarray(ioff_c)
-            wins = _group_windows(strips, g)          # R × [FEAT, 384]
-            xb = sg.xb
-            rhos = []
-            for k in range(0, sg.xc, xb):
-                cand = _cand_block(wins, k, cap, xb, sg.xsub)
-                if bf16:
-                    cand = cand.astype(jnp.float32) + jnp.asarray(joff_c[k])
-                r2 = None
-                # 2D: skip the z column — zero for every real particle, and
-                # the far x-column already annihilates dummy pairs
-                for c in range(d_dim):
-                    xi = it[k * cap : (k + xb) * cap, c : c + 1]  # [xb·cap, 1]
-                    d = xi - cand[c : c + 1, :]
-                    r2 = d * d if r2 is None else r2 + d * d
-                q = jnp.maximum(h2k - r2, 0.0)
-                rho = (params.mass * c_p) * jnp.sum(
-                    q * q * q, axis=1, keepdims=True
-                )  # [xb·cap, 1]
-                rhos.append(rho)
-            # lane-dim stores must be 128-aligned: assemble the whole
-            # group's [2, LANE] (rho, EOS p) block and store once at g·LANE
-            rho_g = jnp.concatenate(rhos, axis=0)     # [LANE, 1]
-            rp = jnp.concatenate(
-                [rho_g, physics.eos_pressure(rho_g, params)], axis=1
-            )
-            rp_ref[0, 0:2, pl.ds(pl.multiple_of(g * LANE, LANE), LANE)] = (
-                jnp.transpose(rp)
-            )
+    for which in range(nw):
+        strips = strips_all[which * n_r : (which + 1) * n_r]
+        center_ref = strips[n_r // 2]
+        row = i_prog * nw + which
 
-        _group_loop(sg, gcount_ref, group)
+        @pl.when((row > 0) & (row <= n_ref[0]))
+        def _(strips=strips, center_ref=center_ref, which=which):
+            def group(g):
+                it = _self_block(center_ref, g)       # [128, FEAT], once/group
+                if bf16:
+                    it = it.astype(jnp.float32) + jnp.asarray(ioff_c)
+                wins = _group_windows(strips, g)      # R × [FEAT, 384]
+                xb = sg.xb
+                rhos = []
+                for k in range(0, sg.xc, xb):
+                    cand = _cand_block(wins, k, cap, xb, sg.xsub)
+                    if bf16:
+                        cand = cand.astype(jnp.float32) + jnp.asarray(
+                            joff_c[k]
+                        )
+                    r2 = None
+                    # 2D: skip the z column — zero for every real particle,
+                    # and the far x-column already annihilates dummy pairs
+                    for c in range(d_dim):
+                        xi = it[k * cap : (k + xb) * cap, c : c + 1]
+                        d = xi - cand[c : c + 1, :]
+                        r2 = d * d if r2 is None else r2 + d * d
+                    q = jnp.maximum(h2k - r2, 0.0)
+                    rho = (params.mass * c_p) * jnp.sum(
+                        q * q * q, axis=1, keepdims=True
+                    )  # [xb·cap, 1]
+                    rhos.append(rho)
+                # lane-dim stores must be 128-aligned: assemble the whole
+                # group's [2, LANE] (rho, EOS p) block, store once at g·LANE
+                rho_g = jnp.concatenate(rhos, axis=0)     # [LANE, 1]
+                rp = jnp.concatenate(
+                    [rho_g, physics.eos_pressure(rho_g, params)], axis=1
+                )
+                rp_ref[
+                    which, 0:2, pl.ds(pl.multiple_of(g * LANE, LANE), LANE)
+                ] = jnp.transpose(rp)
+
+            _group_loop(sg, lambda g: gcount_ref[which, 0, g], group)
 
 
 def _force_kernel(n_ref, nbr_ref, gcount_ref, *refs, sg, params):
@@ -583,12 +663,12 @@ def _force_kernel(n_ref, nbr_ref, gcount_ref, *refs, sg, params):
     kernel output), both routed per row by the prefetched neighbor table.
     No validity masks: missing/dropped neighbor rows alias the dummy row 0,
     whose 1e18 positions zero s(r) and t before the rho=0 reciprocal can
-    hurt."""
+    hurt.  row_pair: see _density_kernel."""
+    nw = 2 if sg.row_pair else 1
     n_r = len(sg.row_offsets)
-    strips, rp_strips = refs[:n_r], refs[n_r : 2 * n_r]
+    strips_all = refs[: nw * n_r]
+    rp_all = refs[nw * n_r : 2 * nw * n_r]
     out_ref = refs[-1]
-    center_ref = strips[n_r // 2]
-    rp_center = rp_strips[n_r // 2]
     cap = sg.cap
     d_dim = params.dim
     _, c_s, c_v = kernel_constants(d_dim, params.h, params.kernel_norm)
@@ -600,69 +680,84 @@ def _force_kernel(n_ref, nbr_ref, gcount_ref, *refs, sg, params):
         ioff_c, joff_c = _bf16_offsets(sg, d_dim, sg.cell)
     i_prog = pl.program_id(0)
 
-    @pl.when((i_prog > 0) & (i_prog <= n_ref[0]))
-    def _():
-        def group(g):
-            it = _self_block(center_ref, g)           # [128, FEAT], once/group
-            if bf16:
-                it = it.astype(jnp.float32) + jnp.asarray(ioff_c)
-            wins = _group_windows(strips, g)          # R × [FEAT, 384]
-            start_l = pl.multiple_of(g * LANE, LANE)
-            pT = jnp.transpose(
-                rp_center[0, 1:2, pl.ds(start_l, LANE)]
-            )                                         # [128, 1] self pressure
-            rp_wins = _group_windows(rp_strips, g)    # R × [2, 384]
-            xb = sg.xb
-            f_rows = []
-            for k in range(0, sg.xc, xb):
-                cand = _cand_block(wins, k, cap, xb, sg.xsub)
+    for which in range(nw):
+        strips = strips_all[which * n_r : (which + 1) * n_r]
+        rp_strips = rp_all[which * n_r : (which + 1) * n_r]
+        center_ref = strips[n_r // 2]
+        rp_center = rp_strips[n_r // 2]
+        row = i_prog * nw + which
+
+        @pl.when((row > 0) & (row <= n_ref[0]))
+        def _(strips=strips, rp_strips=rp_strips, center_ref=center_ref,
+              rp_center=rp_center, which=which):
+            def group(g):
+                it = _self_block(center_ref, g)       # [128, FEAT], once/group
                 if bf16:
-                    cand = cand.astype(jnp.float32) + jnp.asarray(joff_c[k])
-                cand_rp = _cand_block(rp_wins, k, cap, xb, sg.xsub)  # [2, ...]
+                    it = it.astype(jnp.float32) + jnp.asarray(ioff_c)
+                wins = _group_windows(strips, g)      # R × [FEAT, 384]
+                start_l = pl.multiple_of(g * LANE, LANE)
+                pT = jnp.transpose(
+                    rp_center[0, 1:2, pl.ds(start_l, LANE)]
+                )                                     # [128, 1] self pressure
+                rp_wins = _group_windows(rp_strips, g)  # R × [2, 384]
+                xb = sg.xb
+                f_rows = []
+                for k in range(0, sg.xc, xb):
+                    cand = _cand_block(wins, k, cap, xb, sg.xsub)
+                    if bf16:
+                        cand = cand.astype(jnp.float32) + jnp.asarray(
+                            joff_c[k]
+                        )
+                    cand_rp = _cand_block(rp_wins, k, cap, xb, sg.xsub)
 
-                def self_col(c, k=k):
-                    return it[k * cap : (k + xb) * cap, c : c + 1]
+                    def self_col(c, k=k, it=it):
+                        return it[k * cap : (k + xb) * cap, c : c + 1]
 
-                def cand_col(c, cand=cand):
-                    return cand[c : c + 1, :]
+                    def cand_col(c, cand=cand):
+                        return cand[c : c + 1, :]
 
-                dx = []
-                r2 = None
-                for c in range(d_dim):
-                    dc = self_col(c) - cand_col(c)
-                    dx.append(dc)
-                    r2 = dc * dc if r2 is None else r2 + dc * dc
-                # one rsqrt replaces sqrt + divide (multi-cycle VPU ops);
-                # same form as kernels.pair_scales → pallas == grid bitwise
-                inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-24))
-                t = jnp.maximum(hk - r2 * inv_r, 0.0)
-                s = c_s * t * t * inv_r * (r2 > 1e-24)
-                inv_rho_j = 1.0 / jnp.maximum(cand_rp[0:1, :], 1e-12)
-                p_i = pT[k * cap : (k + xb) * cap, 0:1]
-                coef_p = (
-                    (params.mass * 0.5)
-                    * (p_i + cand_rp[1:2, :])
-                    * inv_rho_j
-                    * s
-                )
-                coef_v = (
-                    (params.viscosity * params.mass) * inv_rho_j * (c_v * t)
-                )
-                fc = [
-                    jnp.sum(
-                        coef_p * dx[c]
-                        + coef_v * (cand_col(3 + c) - self_col(3 + c)),
-                        axis=1,
-                        keepdims=True,
+                    dx = []
+                    r2 = None
+                    for c in range(d_dim):
+                        dc = self_col(c) - cand_col(c)
+                        dx.append(dc)
+                        r2 = dc * dc if r2 is None else r2 + dc * dc
+                    # one rsqrt replaces sqrt + divide (multi-cycle VPU
+                    # ops); same form as kernels.pair_scales → pallas ==
+                    # grid bitwise
+                    inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-24))
+                    t = jnp.maximum(hk - r2 * inv_r, 0.0)
+                    s = c_s * t * t * inv_r * (r2 > 1e-24)
+                    inv_rho_j = 1.0 / jnp.maximum(cand_rp[0:1, :], 1e-12)
+                    p_i = pT[k * cap : (k + xb) * cap, 0:1]
+                    coef_p = (
+                        (params.mass * 0.5)
+                        * (p_i + cand_rp[1:2, :])
+                        * inv_rho_j
+                        * s
                     )
-                    for c in range(d_dim)
-                ]  # d × [xb·cap, 1]
-                f_rows.append(jnp.concatenate(fc, axis=1))  # [xb·cap, d]
-            # one aligned lane-major store per group (like the rp store)
-            f_g = jnp.concatenate(f_rows, axis=0)     # [LANE, d]
-            out_ref[0, 0:d_dim, pl.ds(start_l, LANE)] = jnp.transpose(f_g)
+                    coef_v = (
+                        (params.viscosity * params.mass)
+                        * inv_rho_j
+                        * (c_v * t)
+                    )
+                    fc = [
+                        jnp.sum(
+                            coef_p * dx[c]
+                            + coef_v * (cand_col(3 + c) - self_col(3 + c)),
+                            axis=1,
+                            keepdims=True,
+                        )
+                        for c in range(d_dim)
+                    ]  # d × [xb·cap, 1]
+                    f_rows.append(jnp.concatenate(fc, axis=1))  # [xb·cap, d]
+                # one aligned lane-major store per group (like the rp store)
+                f_g = jnp.concatenate(f_rows, axis=0)     # [LANE, d]
+                out_ref[which, 0:d_dim, pl.ds(start_l, LANE)] = (
+                    jnp.transpose(f_g)
+                )
 
-        _group_loop(sg, gcount_ref, group)
+            _group_loop(sg, lambda g: gcount_ref[which, 0, g], group)
 
 
 # ---------------------------------------------------------------------------
@@ -672,33 +767,40 @@ def _force_kernel(n_ref, nbr_ref, gcount_ref, *refs, sg, params):
 
 def _specs(sg: SlotGrid):
     """Block specs: per-group counts (SMEM), feat strips, rho/p strips —
-    all routed through the prefetched compacted neighbor-row table."""
+    all routed through the prefetched compacted neighbor-row table.
+    row_pair mode doubles the strip lists (one set per paired row) and
+    widens the gcount/output blocks to 2 rows."""
+    nw = 2 if sg.row_pair else 1
 
     def gcount_map(i, n, nbrs):
         return i, 0, 0
 
     gcount_spec = pl.BlockSpec(
-        (1, 1, sg.n_groups), gcount_map, memory_space=pltpu.SMEM
+        (nw, 1, sg.n_groups), gcount_map, memory_space=pltpu.SMEM
     )
 
-    def strip_map_factory(s):
+    def strip_map_factory(s, which):
         def strip_map(i, n, nbrs):
-            return nbrs[s, i], 0, 0
+            return nbrs[s, nw * i + which], 0, 0
 
         return strip_map
 
     strip_specs = [
         pl.BlockSpec(
             (1, FEAT, sg.lanes),
-            strip_map_factory(s),
+            strip_map_factory(s, w),
             memory_space=pltpu.VMEM,
         )
+        for w in range(nw)
         for s in range(len(sg.row_offsets))
     ]
     rp_specs = [
         pl.BlockSpec(
-            (1, 2, sg.lanes), strip_map_factory(s), memory_space=pltpu.VMEM
+            (1, 2, sg.lanes),
+            strip_map_factory(s, w),
+            memory_space=pltpu.VMEM,
         )
+        for w in range(nw)
         for s in range(len(sg.row_offsets))
     ]
     return gcount_spec, strip_specs, rp_specs
@@ -706,13 +808,14 @@ def _specs(sg: SlotGrid):
 
 def _call_density(feat, addr: SlotAddr, sg, params):
     """→ rp_slot [c_rows, 2, lanes] lane-major (rho, EOS p)."""
+    nw = 2 if sg.row_pair else 1
     gcount_spec, strip_specs, _ = _specs(sg)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(sg.c_rows,),
+        grid=(sg.c_rows // nw,),
         in_specs=[gcount_spec] + strip_specs,
         out_specs=pl.BlockSpec(
-            (1, 2, sg.lanes),
+            (nw, 2, sg.lanes),
             lambda i, n, nbrs: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
@@ -733,13 +836,14 @@ def _call_density(feat, addr: SlotAddr, sg, params):
 
 def _call_force(feat, rp, addr: SlotAddr, sg, params):
     """→ f_slot [c_rows, FOUT, lanes] lane-major."""
+    nw = 2 if sg.row_pair else 1
     gcount_spec, strip_specs, rp_specs = _specs(sg)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(sg.c_rows,),
+        grid=(sg.c_rows // nw,),
         in_specs=[gcount_spec] + strip_specs + rp_specs,
         out_specs=pl.BlockSpec(
-            (1, FOUT, sg.lanes),
+            (nw, FOUT, sg.lanes),
             lambda i, n, nbrs: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
@@ -773,10 +877,19 @@ def _gather_rho(rp_slot, addr: SlotAddr, sg: SlotGrid, params):
     return jnp.where(ok, rho, params.rest_density), ok
 
 
+def slot_rows_view(slot):
+    """[c_rows, C, lanes] → [c_rows·lanes, C] feature-minor view (ONE
+    dense transpose): a particle's C components become contiguous, so a
+    per-particle read is one row-gather instead of C strided element-
+    gathers (TPU gathers cost per ROW fetched — measured ~2.9 ms per
+    element-gather pass at 1M vs ~0.12 ms for the 94 MB transpose)."""
+    return jnp.swapaxes(slot, 1, 2).reshape(-1, slot.shape[1])
+
+
 def _gather_f(f_slot, addr: SlotAddr, sg: SlotGrid, d: int, ok):
-    f_flat = f_slot.reshape(-1)
-    base = (addr.row_pos * FOUT) * sg.lanes + addr.pos
-    f = jnp.stack([f_flat[base + c * sg.lanes] for c in range(d)], axis=1)
+    rows = slot_rows_view(f_slot)
+    base = addr.row_pos * sg.lanes + addr.pos   # row 0 = dummy, masked below
+    f = rows[base][:, :d]
     return jnp.where(ok[:, None], f, 0.0)
 
 
@@ -794,6 +907,7 @@ def pallas_rho_p_f(
     c_rows: int | None = None,
     xb_cells: int = 4,
     addr: SlotAddr | None = None,
+    row_pair: bool = False,
 ):
     """Drop-in replacement for neighbors.grid_rho_p_f, Pallas-fused.
 
@@ -802,7 +916,7 @@ def pallas_rho_p_f(
     since it was built (GridSpec.for_scene skin; step.make_advance
     sort_every)."""
     n, d = x.shape
-    sg = slot_grid(grid, c_rows, xb_cells)
+    sg = slot_grid(grid, c_rows, xb_cells, row_pair=row_pair)
     if addr is None:
         addr = build_addr(x, active, grid, sg)
     rows = (
@@ -880,7 +994,8 @@ def pallas_density(x, active, params: SimParams, grid: GridSpec,
 def scatter_rp(addr: SlotAddr, rho, p, sg: SlotGrid):
     """Scatter EXTERNAL per-particle rho/p (e.g. halo-exchanged ghost
     values, decomp.py) into the [c_rows, 2, lanes] rp-slot layout the
-    force kernel streams."""
+    force kernel streams.  (Direct strided scatter: the staged-transpose
+    form measured slower — see scatter_slots.)"""
     ok = addr.valid & (addr.row_pos > 0)
     size = sg.c_rows * 2 * sg.lanes
     base = jnp.where(ok, addr.row_pos * 2 * sg.lanes + addr.pos, size)

@@ -183,6 +183,80 @@ def test_cli_run_smoke(tmp_path):
     assert rec["step"] == 10 and np.isfinite(rec["mean_rho"])
 
 
+def test_cli_run_shards_smoke(tmp_path):
+    """`sph-tpu run --shards N` end-to-end on the 8-virtual-device CPU
+    mesh: spatial decomposition reachable from the product surface
+    (VERDICT r2 missing 1), with metrics/render/checkpoint working."""
+    from sph_tpu import cli
+
+    out = str(tmp_path / "outs")
+    rc = cli.main(
+        [
+            "run",
+            "tutorial2d",
+            "--method",
+            "grid",
+            "--shards",
+            "4",
+            "--frames",
+            "2",
+            "--steps-per-frame",
+            "5",
+            "--out",
+            out,
+            "--render",
+            "--checkpoint-every",
+            "1",
+            "--quiet",
+        ]
+    )
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "frame_00001.png"))
+    assert os.path.exists(os.path.join(out, "ckpt_00001.npz"))
+    with open(os.path.join(out, "metrics.jsonl")) as fh:
+        lines = fh.read().strip().splitlines()
+    assert len(lines) == 2
+    import json
+
+    rec = json.loads(lines[-1])
+    assert rec["step"] == 10 and rec["shards"] == 4
+    assert np.isfinite(rec["mean_rho"]) and rec["n_active"] > 0
+
+
+def test_cli_run_shards_fastpath_smoke(tmp_path):
+    """--shards with the flagship fast path flags (--sort-every 4
+    --resident, method pallas) runs end-to-end under decomposition."""
+    from sph_tpu import cli
+
+    out = str(tmp_path / "outf")
+    import json
+
+    rc = cli.main(
+        [
+            "run",
+            "tutorial2d",
+            "--method",
+            "pallas",
+            "--shards",
+            "2",
+            "--sort-every",
+            "4",
+            "--resident",
+            "--frames",
+            "1",
+            "--steps-per-frame",
+            "8",
+            "--out",
+            out,
+            "--quiet",
+        ]
+    )
+    assert rc == 0
+    with open(os.path.join(out, "metrics.jsonl")) as fh:
+        rec = json.loads(fh.read().strip().splitlines()[-1])
+    assert rec["step"] == 8 and np.isfinite(rec["mean_rho"])
+
+
 def test_checked_step_passes_healthy_state():
     """Debug checking mode (SURVEY.md §5.2): a healthy state steps clean."""
     scene = small_scene(dim=2, seed=90)

@@ -543,3 +543,125 @@ def test_spatial_fast_path_axis1():
     act = np.asarray(a.emit_step) <= int(a.step)
     assert act.sum() == int(state.n_active())
     assert np.isfinite(np.asarray(a.x)[act]).all()
+
+
+# ---------------------------------------------------------------------------
+# Pencil (2-axis) decomposition — ROADMAP round-3 queue 3
+# ---------------------------------------------------------------------------
+
+
+def _square_scene(**params_kw):
+    """A scene spread across BOTH axes with a drifting block, so pencil
+    faces AND corners see traffic."""
+    p = SimParams(boundary_mode="clamp", dt=5e-4, **params_kw)
+    scene = Scene(
+        params=p,
+        lo=(0.0, 0.0),
+        hi=(800.0, 800.0),
+        blocks=(
+            Block(lo=(100.0, 100.0), hi=(500.0, 350.0), velocity=(60.0, 30.0)),
+        ),
+        seed=77,
+    )
+    return calibrate(scene)
+
+
+@pytest.mark.parametrize("method", ["grid", "pallas"])
+def test_pencil_matches_single_device(method):
+    """2×4 pencil mesh == single-device trajectories (1e-4 rel) + exact
+    conservation; two-hop corner ghosts and two-phase migration included
+    (the drifting block crosses interior faces of both axes)."""
+    scene = _square_scene()
+    mesh = decomp.mesh2d(2, 4)
+    state = init(scene)
+    n_act = int(state.n_active())
+    spec = decomp.PencilSpec.for_state(scene, state, 2, 4)
+    loc = decomp.pencil_shard_state(state, scene, spec, mesh)
+    adv = decomp.make_pencil_advance(
+        scene, spec, mesh, method=method, steps_per_dispatch=60
+    )
+    step_ref = jax.jit(make_step(scene, method))
+    ref = state
+    loc, overflow = adv(loc)
+    assert int(overflow) == 0
+    for _ in range(60):
+        ref = step_ref(ref)
+    merged = decomp.spatial_gather_state(loc)
+    act_m = np.asarray(merged.emit_step) <= int(merged.step)
+    assert act_m.sum() == n_act == int(ref.n_active())
+    xm = _sorted_active(np.asarray(merged.x), act_m)
+    xr = _sorted_active(np.asarray(ref.x), np.asarray(ref.active))
+    scale = np.max(np.abs(xr)) + 1e-6
+    assert np.max(np.abs(xm - xr)) / scale < 1e-4
+
+
+def test_pencil_migration_both_axes():
+    """A diagonally-moving block migrates across BOTH cut axes (incl.
+    diagonal two-hop moves); per-pencil populations change while the
+    total is exactly conserved."""
+    scene = _square_scene()
+    fast = scene.replace(
+        blocks=(
+            Block(lo=(150.0, 150.0), hi=(380.0, 300.0),
+                  velocity=(250.0, 180.0)),
+        )
+    )
+    mesh = decomp.mesh2d(2, 4)
+    state = init(fast)
+    n_act = int(state.n_active())
+    spec = decomp.PencilSpec.for_state(fast, state, 2, 4, headroom=6.0)
+    loc = decomp.pencil_shard_state(state, fast, spec, mesh)
+    before = (np.asarray(loc.emit_step) <= int(loc.step)).sum(axis=1)
+    adv = decomp.make_pencil_advance(
+        fast, spec, mesh, method="grid", steps_per_dispatch=150
+    )
+    loc, overflow = adv(loc)
+    assert int(overflow) == 0
+    after = (np.asarray(loc.emit_step) <= int(loc.step)).sum(axis=1)
+    assert not np.array_equal(before, after)
+    assert after.sum() == n_act
+
+
+def test_pencil_3d_smoke():
+    """3D pencil cut along (z, x) with the vertical axis uncut (default
+    axis2 = last), pallas kernels per device, WCSPH leapfrog."""
+    from sph_tpu.step import prime
+
+    p = SimParams(
+        dim=3, gravity=(0.0, -9.81, 0.0), eos="tait",
+        integrator="leapfrog", kernel_norm="proper",
+        boundary_mode="penalty", dt=4e-4,
+    )
+    scene = calibrate(
+        Scene(
+            params=p,
+            lo=(0.0, 0.0, 0.0),
+            hi=(400.0, 200.0, 400.0),
+            blocks=(
+                Block(lo=(60.0, 30.0, 60.0), hi=(340.0, 120.0, 340.0)),
+            ),
+            seed=78,
+        )
+    )
+    mesh = decomp.mesh2d(2, 4)
+    state = prime(scene, init(scene), method="pallas")
+    n_act = int(state.n_active())
+    spec = decomp.PencilSpec.for_state(scene, state, 2, 4, axis1=0)
+    assert spec.axis2 == 2  # vertical (gravity) axis left uncut
+    loc = decomp.pencil_shard_state(state, scene, spec, mesh)
+    adv = decomp.make_pencil_advance(
+        scene, spec, mesh, method="pallas", steps_per_dispatch=8
+    )
+    step_ref = jax.jit(make_step(scene, "pallas"))
+    ref = state
+    loc, overflow = adv(loc)
+    assert int(overflow) == 0
+    for _ in range(8):
+        ref = step_ref(ref)
+    merged = decomp.spatial_gather_state(loc)
+    act_m = np.asarray(merged.emit_step) <= int(merged.step)
+    assert act_m.sum() == n_act
+    xm = _sorted_active(np.asarray(merged.x), act_m)
+    xr = _sorted_active(np.asarray(ref.x), np.asarray(ref.active))
+    scale = np.max(np.abs(xr)) + 1e-6
+    assert np.max(np.abs(xm - xr)) / scale < 1e-4

@@ -315,9 +315,10 @@ def test_slot_resident_force_fields():
 
 
 def test_sort_every_fallback_recovers_exactly(capsys):
-    """When the skin audit fires mid-run, step.run re-runs that dispatch on
-    the per-step-rebuild path from the held input state — the result must
-    equal the plain pallas path bitwise (fast when valid, exact when not)."""
+    """When the skin audit fires mid-run, the audited advance re-runs the
+    violating blocks on the per-step-rebuild path from their held input
+    states (in-dispatch, lax.cond) — the result must equal the plain
+    pallas path bitwise (fast when valid, exact when not)."""
     from sph_tpu.params import Block
     from sph_tpu.step import run
 
@@ -335,3 +336,142 @@ def test_sort_every_fallback_recovers_exactly(capsys):
     s_exact = run(fast, 8, method="pallas", steps_per_dispatch=8)
     assert np.array_equal(np.asarray(s_fast.x), np.asarray(s_exact.x))
     assert np.array_equal(np.asarray(s_fast.v), np.asarray(s_exact.v))
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_row_pair_bitwise(dim):
+    """row_pair programs (2 compacted rows per kernel program) produce
+    BITWISE the single-row results: identical pair blocks and accumulation
+    order per row, only the program->row mapping changes."""
+    n = 220
+    x = random_cloud(n, dim, 0.0, 120.0, seed=41)[0][:, :dim].astype(
+        np.float32
+    )
+    rng = np.random.default_rng(42)
+    v = rng.uniform(-5, 5, (n, dim)).astype(np.float32)
+    active = np.ones(n, bool)
+    active[200:] = False
+    p = SimParams(dim=dim, gravity=(0.0,) * dim, kernel_norm="proper")
+    scene = Scene(params=p, lo=(0.0,) * dim, hi=(120.0,) * dim)
+    grid = neighbors.GridSpec.for_scene(scene, cap=16)
+    xa, va, aa = jnp.asarray(x), jnp.asarray(v), jnp.asarray(active)
+    rho_a, p_a, f_a = pallas_step.pallas_rho_p_f(xa, va, aa, p, grid)
+    rho_b, p_b, f_b = pallas_step.pallas_rho_p_f(
+        xa, va, aa, p, grid, row_pair=True
+    )
+    assert np.array_equal(np.asarray(rho_a), np.asarray(rho_b))
+    assert np.array_equal(np.asarray(p_a), np.asarray(p_b))
+    assert np.array_equal(np.asarray(f_a), np.asarray(f_b))
+
+
+def test_row_pair_resident_bitwise():
+    """The slot-resident advance with row_pair=True matches the default
+    resident advance bitwise (same slot arrays, paired programs)."""
+    scene = small_scene(dim=2, seed=76)
+    state = init(scene)
+    kw = dict(steps_per_dispatch=12, sort_every=4, slot_resident=True)
+    s_a, viol_a = make_advance(scene, "pallas", **kw)(state)
+    s_b, viol_b = make_advance(scene, "pallas", row_pair=True, **kw)(state)
+    assert int(viol_a) == 0 and int(viol_b) == 0
+    assert np.array_equal(np.asarray(s_a.x), np.asarray(s_b.x))
+    assert np.array_equal(np.asarray(s_a.v), np.asarray(s_b.v))
+    assert np.array_equal(np.asarray(s_a.rho), np.asarray(s_b.rho))
+
+
+def test_heal_counts_and_noop_on_calm_scene():
+    """heal=True: a calm scene heals nothing and stays bitwise equal to the
+    unhealed resident path; the jet scene heals every block and equals the
+    per-step-rebuild path bitwise (block-granular exact fallback)."""
+    from sph_tpu.params import Block
+
+    calm = small_scene(dim=2, seed=92)
+    state = init(calm)
+    kw = dict(steps_per_dispatch=12, sort_every=4, slot_resident=True)
+    s_a, viol_a, healed_a = make_advance(calm, "pallas", heal=True, **kw)(state)
+    s_b, viol_b = make_advance(calm, "pallas", **kw)(state)
+    assert int(viol_a) == 0 and int(healed_a) == 0 and int(viol_b) == 0
+    assert np.array_equal(np.asarray(s_a.x), np.asarray(s_b.x))
+    assert np.array_equal(np.asarray(s_a.v), np.asarray(s_b.v))
+
+    jet = calm.replace(
+        blocks=(Block(lo=calm.blocks[0].lo, hi=calm.blocks[0].hi,
+                      velocity=(2000.0, 0.0)),),
+    )
+    state_j = init(jet)
+    s_h, viol_h, healed_h = make_advance(jet, "pallas", heal=True, **kw)(
+        state_j
+    )
+    assert int(viol_h) == 0          # residual is zero: every bad block healed
+    assert int(healed_h) == 3        # 12 steps / sort_every=4
+    s_e = make_advance(jet, "pallas", steps_per_dispatch=12)(state_j)
+    assert np.array_equal(np.asarray(s_h.x), np.asarray(s_e.x))
+    assert np.array_equal(np.asarray(s_h.v), np.asarray(s_e.v))
+
+
+def test_adaptive_cap_policy(capsys):
+    """make_audited_advance(adaptive_cap=True): a calm scene runs the cap-8
+    fast path (no switch, results ≈ cap-16 to fp tolerance); a jet scene
+    heals every block and switches to the default cap, staying exact
+    (bitwise vs the per-step path)."""
+    from sph_tpu.step import make_audited_advance, run
+
+    calm = small_scene(dim=2, seed=94)
+    state = init(calm)
+    adv = make_audited_advance(
+        calm, "pallas", 12, sort_every=4, slot_resident=True,
+        adaptive_cap=True,
+    )
+    s_a = adv(state)
+    err = capsys.readouterr().err
+    assert "switching" not in err  # cap-8 held
+    s_ref, viol = make_advance(
+        calm, "pallas", steps_per_dispatch=12, sort_every=4,
+        slot_resident=True,
+    )(state)
+    assert int(viol) == 0
+    # cap-8 vs cap-16 grids: same pair sets/order, different padded
+    # reduction grouping → tolerance, not bitwise
+    assert np.allclose(np.asarray(s_a.x), np.asarray(s_ref.x),
+                       rtol=1e-5, atol=1e-4)
+
+    from sph_tpu.params import Block
+
+    jet = calm.replace(
+        blocks=(Block(lo=calm.blocks[0].lo, hi=calm.blocks[0].hi,
+                      velocity=(2000.0, 0.0)),),
+    )
+    state_j = init(jet)
+    adv_j = make_audited_advance(
+        jet, "pallas", 12, sort_every=4, slot_resident=True,
+        adaptive_cap=True,
+    )
+    s_j = adv_j(state_j)
+    err = capsys.readouterr().err
+    assert "switching" in err  # every block healed -> outgrown
+    s_e = make_advance(jet, "pallas", steps_per_dispatch=12)(state_j)
+    assert np.array_equal(np.asarray(s_j.x), np.asarray(s_e.x))
+
+
+def test_heal_with_cap8_overflow_grid():
+    """An aggressive cap that overflows at build time triggers healing (not
+    silent pair-dropping): the healed result equals the default-cap
+    per-step path bitwise.  This is the round-3 cap-8 safety contract."""
+    scene = small_scene(dim=2, seed=93)
+    state = init(scene)
+    from sph_tpu.step import default_skin
+
+    skin = default_skin(scene, 4)
+    # 2D rest occupancy on the skinned lattice is ~4.4, so cap=4 reliably
+    # overflows at build time (the 3D cap-8 situation scaled down)
+    g_tiny = neighbors.GridSpec.for_scene(scene, cap=4, skin=skin)
+    sg = pallas_step.slot_grid(g_tiny)
+    addr = pallas_step.build_addr(state.x, state.active, g_tiny, sg)
+    assert int(addr.overflow) > 0
+    s_h, viol, healed = make_advance(
+        scene, "pallas", steps_per_dispatch=8, grid=g_tiny,
+        sort_every=4, slot_resident=True, heal=True,
+    )(state)
+    assert int(viol) == 0 and int(healed) == 2
+    s_e = make_advance(scene, "pallas", steps_per_dispatch=8)(state)
+    assert np.array_equal(np.asarray(s_h.x), np.asarray(s_e.x))
+    assert np.array_equal(np.asarray(s_h.v), np.asarray(s_e.v))
