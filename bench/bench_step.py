@@ -44,6 +44,7 @@ FLOORS = {
     ("dam2d_10k", "grid"): 6.0e5,
     ("dam2d_10k", "pallas"): 2.4e6,
     ("dam2d_10k", "resident4"): 4.4e6,
+    ("dam2d_10k", "auto8"): 5.5e6,           # r3: 8.0e6 measured
     ("dam3d_100k", "grid"): 1.8e5,
     ("dam3d_100k", "pallas"): 2.5e6,
     ("dam3d_100k", "resident4"): 5.1e6,       # r3: 7.34e6 measured
@@ -53,7 +54,9 @@ FLOORS = {
     ("splash3d_1m", "resident4"): 7.2e6,      # r3: 1.03e7 measured
     ("splash3d_1m", "auto8"): 9.8e6,          # r3: 1.41e7 measured
     ("splash3d_1m", "spatial-resident4"): 6.5e6,  # r3: 9.36e6 measured
-    ("emitters3d", "pallas"): 1.0e5,
+    # emitters3d starts empty: ~68 particles active after 100 steps (first
+    # emission only), so this tracks fixed per-step overhead, not pair math
+    ("emitters3d", "pallas"): 1.0e4,
 }
 
 CONFIGS = [
@@ -63,6 +66,7 @@ CONFIGS = [
     ("dam2d_10k", "grid"),
     ("dam2d_10k", "pallas"),
     ("dam2d_10k", "resident4"),
+    ("dam2d_10k", "auto8"),
     ("dam3d_100k", "grid"),
     ("dam3d_100k", "pallas"),
     ("dam3d_100k", "resident4"),

@@ -665,3 +665,42 @@ def test_pencil_3d_smoke():
     xr = _sorted_active(np.asarray(ref.x), np.asarray(ref.active))
     scale = np.max(np.abs(xr)) + 1e-6
     assert np.max(np.abs(xm - xr)) / scale < 1e-4
+
+
+def test_spatial_spec_band_sized_ghosts():
+    """SpatialSpec.for_state sizes ghost/migration buffers from ACTUAL
+    face-band occupancy, not cap_local//2 (the round-2 sizing made the 1M
+    spatial step ~2.75x slower than single-chip for nearly-empty bands)."""
+    scene = _wide_scene()
+    state = init(scene)
+    spec = decomp.SpatialSpec.for_state(scene, state, 8)
+    # never bigger than the round-2 blind sizing (and at production scale
+    # the band is ~2% of a slab — the 1M case measured 540k -> 256 rows)
+    assert spec.cap_ghost <= spec.cap_local // 2 + 128
+    assert spec.cap_mig <= spec.cap_ghost
+    # and it covers the actual worst band with headroom
+    import numpy as np_
+
+    x = np_.asarray(state.x)
+    live = np_.asarray(state.emit_step) != int(decomp.INACTIVE)
+    h = scene.params.h
+    worst = 0
+    for i in range(1, 8):
+        face = spec.slab_lo + i * spec.slab_w
+        worst = max(worst, int(np_.sum(np_.abs(x[live, 0] - face) < h)))
+    assert spec.cap_ghost >= worst
+
+    # 1-shard case: no interior faces -> minimal buffers
+    spec1 = decomp.SpatialSpec.for_state(scene, state, 1)
+    assert spec1.cap_ghost <= 384
+
+
+def test_pencil_spec_sizing():
+    scene = _square_scene()
+    state = init(scene)
+    spec = decomp.PencilSpec.for_state(scene, state, 2, 4)
+    assert spec.axis1 == 0 and spec.axis2 == 1
+    assert spec.cap_local <= state.capacity + 64
+    assert spec.cap_ghost < spec.cap_local
+    with pytest.raises(ValueError):
+        decomp.PencilSpec.for_state(scene, state, 2, 4, axis1=1, axis2=1)
