@@ -87,7 +87,8 @@ def overflow_counts(scene, state, method: str, sort_every: int = 1,
 
 def bench_config(scene, method: str, steps: int, repeats: int = 3,
                  sort_every: int = 1, slot_resident: bool = False,
-                 xsub: int = 1):
+                 xsub: int = 1, auto_rebuild: bool = False,
+                 counters: dict | None = None):
     if method == "pallas":
         # keep in sync with make_advance's platform clamp, or throughput
         # would be inflated by steps/MAX (ADVICE r1)
@@ -99,9 +100,17 @@ def bench_config(scene, method: str, steps: int, repeats: int = 3,
         state = jax.jit(lambda s: prime(scene, s, method=method))(state)
     adv = make_advance(scene, method, steps_per_dispatch=steps,
                        sort_every=sort_every, slot_resident=slot_resident,
-                       xsub=xsub)
+                       xsub=xsub, auto_rebuild=auto_rebuild)
 
     def one(st):
+        if auto_rebuild:
+            st, viol, healed, rebuilds = adv(st)
+            if counters is not None:
+                counters["healed"] = counters.get("healed", 0) + int(healed)
+                counters["rebuilds"] = int(rebuilds)
+            if int(viol):
+                raise RuntimeError(f"{int(viol)} unhealed violations")
+            return st
         if sort_every > 1:
             st, viol = adv(st)
             if int(viol):
@@ -199,17 +208,20 @@ def measure(name: str, method: str, steps: int, sort_every: int = 1,
             "vs_baseline": pstep_s / (SURVEY_NAIVE_PAIR_RATE / n),
         }
     scene = preset(name)
+    auto = method.endswith("auto")
+    counters: dict = {}
     pstep_s, s_per_step, n, overflow = bench_config(
-        scene, method, steps, sort_every=sort_every,
-        slot_resident=slot_resident, xsub=xsub,
+        scene, method if not auto else "pallas", steps,
+        sort_every=sort_every, slot_resident=slot_resident, xsub=xsub,
+        auto_rebuild=auto, counters=counters,
     )
     method_label = method
-    if sort_every > 1:
+    if sort_every > 1 and not auto:
         method_label += (
             f"+resident{sort_every}" if slot_resident
             else f"+reuse{sort_every}"
         )
-    return {
+    res = {
         "config": name,
         "method": method_label,
         "n": n,
@@ -220,6 +232,13 @@ def measure(name: str, method: str, steps: int, sort_every: int = 1,
         # same n on this same chip
         "vs_baseline": pstep_s / (SURVEY_NAIVE_PAIR_RATE / n),
     }
+    if auto:
+        # auto-rebuild: exact-with-audit; healed blocks re-ran per-step,
+        # rebuilds = addr builds in the last dispatch (k_eff = steps/x)
+        res["healed_blocks"] = counters.get("healed", 0)
+        res["rebuilds_last_dispatch"] = counters.get("rebuilds", 0)
+        res["slot_overflow"] = 0  # any overflow block was healed exactly
+    return res
 
 
 def main():
@@ -245,20 +264,28 @@ def main():
     # a driver-friendly budget.  The flagship runs the slot-resident
     # Verlet-skin mode (fastest honest configuration: skin violations and
     # static-cap overflow are both asserted zero).
-    # Flagship (ladder[0] = the headline metric) is the STEADY resident4
-    # mode — honest across the whole run.  The adaptive auto8 entry shows
-    # the cap-8 phase's 1.4e7 with its healed/cap_mode observability; on
-    # the 1M splash that phase ends at the collapse (~step 300, occupancy
-    # ledger in ROADMAP.md), while sparse/2D flows keep it for the whole
-    # run.
+    # Flagship (ladder[0] = the headline metric) is resident4auto — the
+    # production policy run()/CLI use: slot-resident blocks whose
+    # build/scatter/materialize rebuild runs only when the Verlet drift
+    # budget or an emitter activation demands it, with per-block exact
+    # healing.  Its throughput is velocity-dependent (calm phases stretch
+    # the rebuild interval ~5x; violent phases converge to the classic
+    # resident4, also in the ladder) — the healed/rebuild counters in the
+    # entry make the phase visible, and the 1M soak-average is recorded
+    # in ROADMAP.md.  The auto8 entry adds the adaptive cap-8 grid on
+    # top (clean-phase speed; switches itself off when occupancy
+    # outgrows 8).
     ladder = [
-        ("splash3d_1m", "pallas", args.steps, 4, True),
+        ("splash3d_1m", "resident4auto", args.steps, 4, True),
         ("splash3d_1m", "resident4+auto8", args.steps, 4, True),
+        ("splash3d_1m", "pallas", args.steps, 4, True),
         ("splash3d_1m", "pallas", args.steps, 1, False),
         ("splash3d_1m", "spatial-resident4", args.steps, 4, True),
+        ("dam3d_100k", "resident4auto", args.steps, 4, True),
         ("dam3d_100k", "pallas", args.steps, 4, True),
         ("dam3d_100k", "pallas", args.steps, 1, False),
         ("dam3d_100k", "grid", min(args.steps, 20), 1, False),
+        ("dam2d_10k", "resident4auto", args.steps, 4, True),
         ("dam2d_10k", "pallas", args.steps, 4, True),
         ("dam2d_10k", "resident4+auto8", args.steps, 4, True),
         ("dam2d_10k", "pallas", args.steps, 1, False),

@@ -48,10 +48,12 @@ FLOORS = {
     ("dam3d_100k", "grid"): 1.8e5,
     ("dam3d_100k", "pallas"): 2.5e6,
     ("dam3d_100k", "resident4"): 5.1e6,       # r3: 7.34e6 measured
+    ("dam3d_100k", "resident4auto"): 6.5e6,   # r3: 9.32e6 measured
     ("dam3d_100k", "auto8"): 7.5e6,           # r3: 1.09e7 measured
     ("dam3d_100k", "spatial-resident4"): 4.6e6,  # r3: 6.64e6 measured
     ("splash3d_1m", "pallas"): 3.0e6,
     ("splash3d_1m", "resident4"): 7.2e6,      # r3: 1.03e7 measured
+    ("splash3d_1m", "resident4auto"): 1.0e7,  # r3: 1.47e7 measured
     ("splash3d_1m", "auto8"): 9.8e6,          # r3: 1.41e7 measured
     ("splash3d_1m", "spatial-resident4"): 6.5e6,  # r3: 9.36e6 measured
     # emitters3d starts empty: ~68 particles active after 100 steps (first
@@ -70,10 +72,12 @@ CONFIGS = [
     ("dam3d_100k", "grid"),
     ("dam3d_100k", "pallas"),
     ("dam3d_100k", "resident4"),
+    ("dam3d_100k", "resident4auto"),
     ("dam3d_100k", "auto8"),
     ("dam3d_100k", "spatial-resident4"),
     ("splash3d_1m", "pallas"),
     ("splash3d_1m", "resident4"),
+    ("splash3d_1m", "resident4auto"),
     ("splash3d_1m", "auto8"),
     ("splash3d_1m", "spatial-resident4"),
     ("emitters3d", "pallas"),
@@ -165,9 +169,13 @@ def bench_one(name, method, steps, repeats=3):
     kw = {}
     base = method
     if method.startswith("resident"):
-        k = int(method[len("resident"):])
+        tail = method[len("resident"):]
         base = "pallas"
-        kw = dict(sort_every=k, slot_resident=True)
+        if tail.endswith("auto"):
+            kw = dict(sort_every=int(tail[:-4]), slot_resident=True,
+                      auto_rebuild=True)
+        else:
+            kw = dict(sort_every=int(tail), slot_resident=True)
     if base == "pallas":
         # make_advance clamps the dispatch internally; an unclamped
         # `steps` here would inflate throughput by steps/MAX (the
@@ -183,7 +191,8 @@ def bench_one(name, method, steps, repeats=3):
 
     def one(st):
         if kw:
-            st, viol = adv(st)
+            out = adv(st)
+            st, viol = out[0], out[1]
             if int(viol):
                 raise RuntimeError(f"{int(viol)} skin/cap violations")
             return st

@@ -317,6 +317,19 @@ class SlotAddr:
     #   (fixed for the whole reuse window, like the slot assignment itself)
 
 
+# all-array dataclass → registered pytree, so a SlotAddr can ride a
+# lax.scan carry / lax.cond operand (the auto-rebuild resident advance
+# carries the live addressing across block boundaries)
+jax.tree_util.register_dataclass(
+    SlotAddr,
+    data_fields=[
+        "pos", "valid", "row_pos", "gcounts", "n_occ", "nbr_pos",
+        "overflow", "row_code", "center",
+    ],
+    meta_fields=[],
+)
+
+
 def build_addr(x, active, grid: GridSpec, sg: SlotGrid, ci_offset=None) -> SlotAddr:
     n, _ = x.shape
     ci, flat = cell_index(x, active, grid, ci_offset)

@@ -473,11 +473,250 @@ def _make_resident_advance(
     return advance
 
 
+def _make_resident_auto_advance(
+    scene: Scene, grid, sg, sort_every: int, blocks: int, skin: float,
+    rebuild_frac: float = 1.0,
+):
+    """AUTO-REBUILD slot-resident advance (round 3): the state stays in
+    the slot arrays ACROSS block boundaries, and the
+    build_addr + scatter + materialize rebuild (99 ms at 1M — the whole
+    non-kernel budget) runs only when actually needed:
+
+      - the Verlet drift budget is half-spent (max drift² over slots >
+        (rebuild_frac · skin/2)² — rebuild BEFORE the skin/2 validity
+        bound is threatened), or
+      - an emitter activated since the last build (its particle is not in
+        slots yet; the rebuild lands it within ≤ sort_every steps of its
+        schedule, the same latency as the classic resident block).
+
+    The effective rebuild interval is velocity-adaptive: k_eff ≈
+    rebuild_frac·skin / (2·sort_every·dt·v_max) blocks — calm phases
+    stretch to 3-5× sort_every, violent phases rebuild every block
+    (= the classic behavior).  Exactness is unchanged: the per-step audit
+    still checks cumulative drift against skin/2 from the LAST BUILD, and
+    a violating block re-runs exactly per-step-rebuild under lax.cond
+    (heal — always on here), so a tail particle outrunning the budget
+    costs one healed block, never silent physics.
+
+    Returns `advance(state) -> (state, residual_viol(=0), healed,
+    rebuilds)`."""
+    from sph_tpu import pallas_step, physics
+
+    params = scene.params
+    dt = params.dt
+    d = params.dim
+    half2 = (0.5 * skin) ** 2
+    # predictive rebuild bound: rebuild when current drift plus a 1.2×
+    # projection of the NEXT block's drift (from the max slot speed)
+    # would cross rebuild_frac of the skin/2 validity budget — so calm
+    # phases stretch the reuse span and fast phases rebuild on time
+    # instead of healing from budget overruns.  rebuild_frac=0 forces a
+    # rebuild at every moving block (the bitwise-vs-classic test knob).
+    budget = rebuild_frac * 0.5 * skin if rebuild_frac > 0 else 0.0
+    leap = params.integrator == "leapfrog"
+    sp = _SlotPhysics(scene, grid, sg)
+    body_forces = sp.body_forces
+    clamp_slot = sp.clamp_slot
+    gather = sp.gather
+    exact_step = make_step(scene, "pallas")   # heal path, default bare grid
+
+    def enter_slots(s: State):
+        """Particle state → slot residency (build + scatter), the classic
+        block-top sequence."""
+        act0 = s.active
+        movable0 = act0 & (s.kind == 0)
+        addr = pallas_step.build_addr(s.x, act0, grid, sg)
+        zpad = jnp.zeros((s.capacity, 3 - d), jnp.float32)
+        rows = jnp.concatenate(
+            [s.x, zpad, s.v, zpad, movable0[:, None].astype(jnp.float32)],
+            axis=1,
+        )
+        feat = pallas_step.scatter_slots(addr, rows, sg)
+        xs = feat[:, 0:d, :]
+        vs = feat[:, 3 : 3 + d, :]
+        movb = feat[:, 6:7, :] > 0
+        if leap:
+            acc_rows = jnp.concatenate([s.acc, zpad], axis=1)
+            acc_s = pallas_step.scatter_slots(addr, acc_rows, sg)[
+                :, 0:d, :
+            ] * movb.astype(jnp.float32)
+        else:
+            acc_s = jnp.zeros_like(xs)
+        rp = pallas_step.scatter_rp(addr, s.rho, s.p, sg)
+        return dict(
+            addr=addr, xs=xs, vs=vs, acc=acc_s, movb=movb, x0s=xs, rp=rp,
+            shadow=s, build_step=s.step, pend_over=addr.overflow,
+        )
+
+    def materialize(c) -> State:
+        """Slots → particle State at the carry's current step (non-slotted
+        particles keep their shadow values — same fallback semantics as
+        the classic resident block)."""
+        addr, s = c["addr"], c["shadow"]
+        act0 = s.active
+        movable0 = act0 & (s.kind == 0)
+        ok = addr.valid & (addr.row_pos > 0)
+        x_g = gather(c["xs"], d, addr)
+        v_g = gather(c["vs"], d, addr)
+        a_g = gather(c["acc"], d, addr)
+        rho_g = gather(c["rp"], 1, addr)[:, 0]
+        okc = ok[:, None]
+        rho_p = jnp.where(ok & act0, rho_g, s.rho)
+        return State(
+            x=jnp.where(okc, x_g, s.x),
+            v=jnp.where(okc, v_g, s.v),
+            acc=jnp.where(okc & movable0[:, None], a_g, s.acc),
+            rho=rho_p,
+            p=jnp.where(
+                ok & act0, physics.eos_pressure(rho_p, params), s.p
+            ),
+            kind=s.kind,
+            emit_step=s.emit_step,
+            step=s.step,
+        )
+
+    def run_block(c):
+        """sort_every slot-space steps from the carry; returns the updated
+        slot arrays + the block's drift-audit count."""
+        addr, movb = c["addr"], c["movb"]
+        mov = movb.astype(jnp.float32)
+        xs, vs, acc_s = c["xs"], c["vs"], c["acc"]
+        x0s = c["x0s"]
+        step0 = c["shadow"].step
+        # fp32 feat tail: movable flag col + zero spare col
+        tail = jnp.concatenate(
+            [mov, jnp.zeros_like(mov)], axis=1
+        )
+        zrow = jnp.zeros((sg.c_rows, 3 - d, sg.lanes), jnp.float32)
+
+        def mk_feat(xs_, vs_):
+            return jnp.concatenate([xs_, zrow, vs_, zrow, tail], axis=1)
+
+        if params.precision == "bf16":
+            centers = sp.slot_centers(addr)
+
+            def mk_feat(xs_, vs_):  # noqa: F811
+                return jnp.concatenate(
+                    [xs_ - centers, zrow, vs_, zrow,
+                     jnp.zeros((sg.c_rows, 2, sg.lanes), jnp.float32)],
+                    axis=1,
+                ).astype(jnp.bfloat16)
+
+        viol_blk = jnp.int32(0)
+        a_s = acc_s
+        rp = c["rp"]
+        for i in range(sort_every):
+            step_i = step0 + i
+            if leap:
+                vs = vs + (0.5 * dt) * acc_s * mov
+                xs = xs + dt * vs * mov
+                feat = mk_feat(xs, vs)
+                rp = pallas_step._call_density(feat, addr, sg, params)
+                f_s = pallas_step._call_force(feat, rp, addr, sg, params)
+                rho_s = rp[:, 0:1, :]
+                f_tot = body_forces(xs, vs, rho_s, f_s[:, 0:d, :], step_i)
+                a_s = jnp.where(movb, f_tot / jnp.maximum(rho_s, 1e-12), 0.0)
+                vs = vs + (0.5 * dt) * a_s
+                acc_s = a_s
+            else:
+                feat = mk_feat(xs, vs)
+                rp = pallas_step._call_density(feat, addr, sg, params)
+                f_s = pallas_step._call_force(feat, rp, addr, sg, params)
+                rho_s = rp[:, 0:1, :]
+                f_tot = body_forces(xs, vs, rho_s, f_s[:, 0:d, :], step_i)
+                a_s = jnp.where(movb, f_tot / jnp.maximum(rho_s, 1e-12), 0.0)
+                vs = vs + dt * a_s * mov
+                xs = xs + dt * vs * mov
+                acc_s = a_s   # materialized State.acc (Euler ignores it)
+            if params.boundary_mode == "clamp":
+                xs, vs = clamp_slot(xs, vs, movb)
+            dd = xs - x0s
+            drift2 = jnp.sum(dd * dd, axis=1, keepdims=True)
+            viol_blk = viol_blk + jnp.sum(
+                ((drift2 > half2) & movb).astype(jnp.int32)
+            )
+        return xs, vs, acc_s, rp, viol_blk
+
+    def bump_step(s: State, k: int) -> State:
+        return State(
+            x=s.x, v=s.v, acc=s.acc, rho=s.rho, p=s.p, kind=s.kind,
+            emit_step=s.emit_step, step=s.step + k,
+        )
+
+    @jax.jit
+    def advance(state: State):
+        carry0 = enter_slots(state)
+        carry0.update(viol=jnp.int32(0), healed=jnp.int32(0),
+                      rebuilds=jnp.int32(1))
+
+        def block(c, _):
+            s_step = c["shadow"].step
+            emit = c["shadow"].emit_step
+            dd = c["xs"] - c["x0s"]
+            drift_now = jnp.sqrt(jnp.max(jnp.sum(dd * dd, axis=1)))
+            vmax = jnp.sqrt(jnp.max(jnp.sum(c["vs"] * c["vs"], axis=1)))
+            predicted = drift_now + 1.2 * vmax * dt * sort_every
+            activated = jnp.any((emit > c["build_step"]) & (emit <= s_step))
+            need = (predicted > budget) | activated
+
+            def rebuild(c):
+                fresh = enter_slots(materialize(c))
+                return {
+                    **fresh,
+                    "viol": c["viol"],
+                    "healed": c["healed"],
+                    "rebuilds": c["rebuilds"] + 1,
+                }
+
+            c = jax.lax.cond(need, rebuild, lambda c_: c_, c)
+
+            top = (c["xs"], c["vs"], c["acc"], c["rp"])
+            xs, vs, acc_s, rp, viol_blk = run_block(c)
+            viol_blk = viol_blk + c["pend_over"]
+
+            ok_carry = {
+                **c,
+                "xs": xs, "vs": vs, "acc": acc_s, "rp": rp,
+                "shadow": bump_step(c["shadow"], sort_every),
+                "pend_over": jnp.int32(0),
+            }
+
+            def heal(c_top):
+                """Exact per-step re-run of this block from its held slot
+                top, then fresh residency (default bare grid steps —
+                bitwise the classic pallas path)."""
+                c2 = {**c, "xs": c_top[0], "vs": c_top[1],
+                      "acc": c_top[2], "rp": c_top[3]}
+                sm = materialize(c2)
+                for _ in range(sort_every):
+                    sm = exact_step(sm)
+                fresh = enter_slots(sm)
+                return {
+                    **fresh,
+                    "viol": c["viol"],
+                    "healed": c["healed"] + 1,
+                    "rebuilds": c["rebuilds"] + 1,
+                }
+
+            bad = viol_blk > 0
+            out = jax.lax.cond(bad, heal, lambda _t: ok_carry, top)
+            return out, None
+
+        final, _ = jax.lax.scan(block, carry0, length=blocks)
+        return (
+            materialize(final), final["viol"], final["healed"],
+            final["rebuilds"],
+        )
+
+    return advance
+
+
 def make_advance(
     scene: Scene, method: str = "naive", steps_per_dispatch: int = 100,
     grid=None, sort_every: int = 1, skin: float | None = None,
     slot_resident: bool = False, xsub: int = 1, xb_cells: int = 4,
     heal: bool = False, row_pair: bool = False,
+    auto_rebuild: bool = False, rebuild_frac: float = 1.0,
 ):
     """jitted `advance(state) -> state` running S steps in one `lax.scan`.
 
@@ -501,6 +740,8 @@ def make_advance(
         raise ValueError("slot_resident requires sort_every > 1")
     if heal and not slot_resident:
         raise ValueError("heal requires slot_resident=True")
+    if auto_rebuild and not slot_resident:
+        raise ValueError("auto_rebuild requires slot_resident=True")
     if sort_every > 1:
         # Addr reuse with a Verlet skin (SURVEY.md §7 hard-part 2, arXiv
         # 1804.06231 pattern): build the slot addressing every `sort_every`
@@ -544,6 +785,11 @@ def make_advance(
                 f"multiple of sort_every={sort_every}"
             )
         if slot_resident:
+            if auto_rebuild:
+                return _make_resident_auto_advance(
+                    scene, grid, sg, sort_every, blocks, skin,
+                    rebuild_frac=rebuild_frac,
+                )
             return _make_resident_advance(
                 scene, grid, sg, sort_every, blocks, skin, heal=heal
             )
@@ -600,6 +846,7 @@ def make_audited_advance(
     scene: Scene, method: str, steps_per_dispatch: int,
     sort_every: int = 1, slot_resident: bool = False, xsub: int = 1,
     grid=None, adaptive_cap: bool = False, row_pair: bool = False,
+    auto_rebuild: bool = True,
 ):
     """`advance(state) -> state` with the fast path's safety policy built
     in: when the skin/cap audit fires (e.g. a splash-impact speed spike
@@ -628,8 +875,16 @@ def make_audited_advance(
     make_advance."""
     import sys
 
+    auto = auto_rebuild and slot_resident and sort_every > 1
     base_kw = dict(sort_every=sort_every, slot_resident=slot_resident,
-                   xsub=xsub, heal=slot_resident, row_pair=row_pair)
+                   xsub=xsub, heal=slot_resident and not auto,
+                   row_pair=row_pair, auto_rebuild=auto)
+
+    def _unpack(out):
+        # (state, viol) | (state, viol, healed) | (+ rebuilds) — the heal
+        # and auto-rebuild advances report extra counters
+        healed = int(out[2]) if len(out) > 2 else 0
+        return out[0], int(out[1]), healed
     if adaptive_cap and slot_resident and grid is None:
         from sph_tpu import neighbors
 
@@ -647,7 +902,7 @@ def make_audited_advance(
 
             def audited(st: State) -> State:
                 if mode[0] == "cap8":
-                    st2, viol, healed = adv8(st)
+                    st2, viol, healed = _unpack(adv8(st))
                     audited.healed += int(healed)
                     if int(healed) > max(1, blocks // 8):
                         mode[0] = "cap16"
@@ -672,7 +927,7 @@ def make_audited_advance(
                         make_advance(scene, method, steps_per_dispatch,
                                      **base_kw)
                     )
-                st2, viol, healed = adv16[0](st)
+                st2, viol, healed = _unpack(adv16[0](st))
                 audited.healed += int(healed)
                 if int(healed):
                     print(
@@ -697,7 +952,7 @@ def make_audited_advance(
     if slot_resident:
 
         def audited(st: State) -> State:
-            st2, viol, healed = adv(st)
+            st2, viol, healed = _unpack(adv(st))
             audited.healed += int(healed)
             if int(healed):
                 print(

@@ -475,3 +475,106 @@ def test_heal_with_cap8_overflow_grid():
     s_e = make_advance(scene, "pallas", steps_per_dispatch=8)(state)
     assert np.array_equal(np.asarray(s_h.x), np.asarray(s_e.x))
     assert np.array_equal(np.asarray(s_h.v), np.asarray(s_e.v))
+
+
+# ---------------------------------------------------------------------------
+# Auto-rebuild resident advance (round 3)
+# ---------------------------------------------------------------------------
+
+
+def test_auto_rebuild_forced_every_block_bitwise():
+    """rebuild_frac=0 forces a rebuild at every block top — the auto
+    advance then IS the classic resident block (materialize ∘ enter_slots
+    round-trips bitwise), so results must match bitwise."""
+    scene = small_scene(dim=2, seed=95)
+    state = init(scene)
+    kw = dict(steps_per_dispatch=16, sort_every=4, slot_resident=True)
+    s_a, viol_a, healed_a, rebuilds = make_advance(
+        scene, "pallas", auto_rebuild=True, rebuild_frac=0.0, **kw
+    )(state)
+    s_b, viol_b = make_advance(scene, "pallas", **kw)(state)
+    assert int(viol_a) == 0 and int(healed_a) == 0 and int(viol_b) == 0
+    assert int(rebuilds) == 4  # initial + blocks 2..4
+    assert np.array_equal(np.asarray(s_a.x), np.asarray(s_b.x))
+    assert np.array_equal(np.asarray(s_a.v), np.asarray(s_b.v))
+    assert np.array_equal(np.asarray(s_a.rho), np.asarray(s_b.rho))
+    assert int(s_a.step) == 16
+
+
+def test_auto_rebuild_calm_scene_stretches_and_matches():
+    """Default rebuild_frac on a calm scene: fewer rebuilds than blocks,
+    zero violations/heals, and trajectories match the classic resident
+    path to fp tolerance (the reused addressing bins drifted particles
+    by their BUILD positions — the exact Verlet-skin contract)."""
+    scene = small_scene(dim=2, seed=96)
+    state = init(scene)
+    kw = dict(steps_per_dispatch=32, sort_every=4, slot_resident=True)
+    s_a, viol, healed, rebuilds = make_advance(
+        scene, "pallas", auto_rebuild=True, **kw
+    )(state)
+    assert int(viol) == 0 and int(healed) == 0
+    assert int(rebuilds) < 8  # stretched past one rebuild per block
+    s_b, viol_b = make_advance(scene, "pallas", **kw)(state)
+    assert int(viol_b) == 0
+    xa, xb = np.asarray(s_a.x), np.asarray(s_b.x)
+    scale = np.max(np.abs(xb)) + 1e-9
+    assert np.max(np.abs(xa - xb)) / scale < 1e-4
+    # physical sanity: momentum near zero (gravity-free scene is not —
+    # use boundedness instead)
+    assert np.isfinite(xa).all()
+
+
+def test_auto_rebuild_heals_jet_exactly():
+    """A jet that outruns the skin every block: every block heals, and
+    the result is bitwise the per-step-rebuild path."""
+    from sph_tpu.params import Block
+
+    base = small_scene(dim=2, seed=97)
+    jet = base.replace(
+        blocks=(Block(lo=base.blocks[0].lo, hi=base.blocks[0].hi,
+                      velocity=(2000.0, 0.0)),),
+    )
+    state = init(jet)
+    s_a, viol, healed, rebuilds = make_advance(
+        jet, "pallas", steps_per_dispatch=12, sort_every=4,
+        slot_resident=True, auto_rebuild=True,
+    )(state)
+    assert int(viol) == 0 and int(healed) == 3
+    s_e = make_advance(jet, "pallas", steps_per_dispatch=12)(state)
+    assert np.array_equal(np.asarray(s_a.x), np.asarray(s_e.x))
+    assert np.array_equal(np.asarray(s_a.v), np.asarray(s_e.v))
+
+
+def test_auto_rebuild_emitter_activation():
+    """Emitter activations force a rebuild: scheduled particles join the
+    pair physics within sort_every steps of their schedule (same latency
+    contract as the classic resident block)."""
+    from sph_tpu.params import Emitter
+
+    base = small_scene(dim=2, seed=98)
+    scene = base.replace(
+        emitters=(
+            Emitter(pos=(200.0, 300.0), velocity=(0.0, -60.0), width=3,
+                    start_step=5, stop_step=6),
+        ),
+        capacity=int(init(base).capacity) + 64,
+    )
+    state = init(scene)
+    n0 = int(state.n_active())
+    s_a, viol, healed, rebuilds = make_advance(
+        scene, "pallas", steps_per_dispatch=24, sort_every=4,
+        slot_resident=True, auto_rebuild=True,
+    )(state)
+    assert int(viol) == 0
+    assert int(s_a.n_active()) > n0          # emission happened
+    assert int(rebuilds) >= 2                # activation forced a rebuild
+    # classic resident path as the reference
+    s_b, viol_b = make_advance(
+        scene, "pallas", steps_per_dispatch=24, sort_every=4,
+        slot_resident=True,
+    )(state)
+    assert int(s_a.n_active()) == int(s_b.n_active())
+    xa = np.asarray(s_a.x)[np.asarray(s_a.active)]
+    xb = np.asarray(s_b.x)[np.asarray(s_b.active)]
+    scale = np.max(np.abs(xb)) + 1e-9
+    assert np.max(np.abs(np.sort(xa, 0) - np.sort(xb, 0))) / scale < 1e-4
