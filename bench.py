@@ -196,8 +196,12 @@ def measure(name: str, method: str, steps: int, sort_every: int = 1,
         mspec = importlib.util.spec_from_file_location("bench_step", path)
         mod = importlib.util.module_from_spec(mspec)
         mspec.loader.exec_module(mod)
-        k = int(method[len("spatial-resident"):])
-        pstep_s, s_per_step, n = mod.bench_spatial(name, k, steps)
+        tail = method[len("spatial-resident"):]
+        auto_sp = tail.endswith("auto")
+        k = int(tail[:-4] if auto_sp else tail)
+        pstep_s, s_per_step, n = mod.bench_spatial(
+            name, k, steps, auto=auto_sp
+        )
         return {
             "config": name,
             "method": method,
@@ -280,6 +284,7 @@ def main():
         ("splash3d_1m", "resident4+auto8", args.steps, 4, True),
         ("splash3d_1m", "pallas", args.steps, 4, True),
         ("splash3d_1m", "pallas", args.steps, 1, False),
+        ("splash3d_1m", "spatial-resident4auto", args.steps, 4, True),
         ("splash3d_1m", "spatial-resident4", args.steps, 4, True),
         ("dam3d_100k", "resident4auto", args.steps, 4, True),
         ("dam3d_100k", "pallas", args.steps, 4, True),

@@ -51,11 +51,13 @@ FLOORS = {
     ("dam3d_100k", "resident4auto"): 6.5e6,   # r3: 9.32e6 measured
     ("dam3d_100k", "auto8"): 7.5e6,           # r3: 1.09e7 measured
     ("dam3d_100k", "spatial-resident4"): 4.6e6,  # r3: 6.64e6 measured
+    ("dam3d_100k", "spatial-resident4auto"): 5.9e6,  # r3: 8.45e6 measured
     ("splash3d_1m", "pallas"): 3.0e6,
     ("splash3d_1m", "resident4"): 7.2e6,      # r3: 1.03e7 measured
     ("splash3d_1m", "resident4auto"): 1.0e7,  # r3: 1.47e7 measured
     ("splash3d_1m", "auto8"): 9.8e6,          # r3: 1.41e7 measured
     ("splash3d_1m", "spatial-resident4"): 6.5e6,  # r3: 9.36e6 measured
+    ("splash3d_1m", "spatial-resident4auto"): 1.0e7,  # r3: 1.44e7 measured
     # emitters3d starts empty: ~68 particles active after 100 steps (first
     # emission only), so this tracks fixed per-step overhead, not pair math
     ("emitters3d", "pallas"): 1.0e4,
@@ -75,19 +77,22 @@ CONFIGS = [
     ("dam3d_100k", "resident4auto"),
     ("dam3d_100k", "auto8"),
     ("dam3d_100k", "spatial-resident4"),
+    ("dam3d_100k", "spatial-resident4auto"),
     ("splash3d_1m", "pallas"),
     ("splash3d_1m", "resident4"),
     ("splash3d_1m", "resident4auto"),
     ("splash3d_1m", "auto8"),
     ("splash3d_1m", "spatial-resident4"),
+    ("splash3d_1m", "spatial-resident4auto"),
     ("emitters3d", "pallas"),
 ]
 
 
-def bench_spatial(name, k, steps, repeats=3):
+def bench_spatial(name, k, steps, repeats=3, auto=False):
     """Spatial decomposition on a 1-device mesh (the one real chip):
     guards the ring-machinery overhead — a hypothetical n-chip win is
-    capped by it.  Returns (psteps/s, s/step, n)."""
+    capped by it.  `auto` runs the auto-rebuild resident variant (the
+    production default).  Returns (psteps/s, s/step, n)."""
     from sph_tpu import decomp
     from sph_tpu.step import MAX_PALLAS_STEPS_PER_DISPATCH, default_skin
 
@@ -104,11 +109,12 @@ def bench_spatial(name, k, steps, repeats=3):
     loc = decomp.spatial_shard_state(state, scene, spec, mesh)
     adv = decomp.make_spatial_advance(
         scene, spec, mesh, method="pallas", steps_per_dispatch=steps,
-        sort_every=k, slot_resident=True,
+        sort_every=k, slot_resident=True, auto_rebuild=auto,
     )
 
     def one(st):
-        st, worst = adv(st)
+        out = adv(st)
+        st, worst = out[0], out[1]
         if int(worst):
             raise RuntimeError(f"{int(worst)} spatial cap/skin violations")
         return st
@@ -159,8 +165,10 @@ def bench_auto8(name, steps, repeats=3, sort_every=4):
 
 def bench_one(name, method, steps, repeats=3):
     if method.startswith("spatial-resident"):
+        tail = method[len("spatial-resident"):]
+        auto = tail.endswith("auto")
         return bench_spatial(
-            name, int(method[len("spatial-resident"):]), steps
+            name, int(tail[:-4] if auto else tail), steps, auto=auto
         )
     if method == "auto8":
         return bench_auto8(name, steps, repeats)

@@ -1320,6 +1320,588 @@ def _make_spatial_reuse_local(
     return block
 
 
+def _make_spatial_resident_auto(
+    scene: Scene, spec: SpatialSpec, mesh: Mesh, sort_every: int,
+    blocks: int, rebuild_frac: float = 1.0,
+):
+    """AUTO-REBUILD slot residency under spatial decomposition — the
+    decomp form of step._make_resident_auto_advance: the per-slab slot
+    state persists ACROSS block boundaries, and the expensive rebuild
+    (materialize → migrate → band re-selection → build_addr → scatter)
+    runs only when the predictive Verlet-drift check (current max drift +
+    1.2× the max-slot-speed projection of the next block, pmax'd across
+    the mesh so every device rebuilds together) threatens the skin/2
+    budget, or an emitter activated since the last build.
+
+    Validity is the same skin/2 contract as the classic decomp fast path
+    (_make_spatial_reuse_local): while every particle has drifted < skin/2
+    from its BUILD position, (a) the pinned slot addressing bins it
+    correctly (skinned slab grid), (b) the pinned h+skin ghost band stays
+    a superset of the exact h-band, and (c) an unmigrated slab-leaver is
+    still covered by the neighbor slab's ghost band — so migration can be
+    deferred to the next rebuild.  Per-step ghost (x, v) and face (rho, p)
+    exchanges still run every step (values stay exact).
+
+    SPMD discipline: the rebuild predicate is uniform across the mesh
+    (lax.pmax), and every collective runs UNCONDITIONALLY with the same
+    per-block schedule in both phases (migration buffers are zero-masked
+    on keep-blocks) — the lax.cond branches contain only device-local
+    work, so no collective ever sits inside a conditional.
+
+    The returned shard_map body gives `(state, overflow, rebuilds)`;
+    overflow folds every cap audit AND the skin-drift violation count
+    (psum'd), handled by make_audited_spatial_advance's exact re-run."""
+    from sph_tpu import neighbors, pallas_step
+    from sph_tpu.step import _SlotPhysics, default_skin
+
+    params = scene.params
+    if params.precision == "bf16":
+        raise ValueError(
+            "auto-rebuild decomp does not support precision='bf16' (same "
+            "slab-local cell-center frame limit as the resident block)"
+        )
+    dt = params.dt
+    d = params.dim
+    n_sh = spec.n_shards
+    ax = spec.axis
+    h = params.h
+    skin = default_skin(scene, sort_every)
+    h_eff = h + skin
+    half2 = (0.5 * skin) ** 2
+    budget = rebuild_frac * 0.5 * skin if rebuild_frac > 0 else 0.0
+    leap = params.integrator == "leapfrog"
+
+    base = neighbors.GridSpec.for_scene(scene)
+    grid = neighbors.GridSpec.for_slab(
+        scene, spec.slab_w, ax, cap=base.cap, skin=skin
+    )
+    sg = pallas_step.slot_grid(grid)
+    sp = _SlotPhysics(scene, grid, sg)
+    lanes = sg.lanes
+    g_cap = spec.cap_ghost
+    nl = spec.cap_local
+
+    right = [(i, (i + 1) % n_sh) for i in range(n_sh)]
+    left = [(i, (i - 1) % n_sh) for i in range(n_sh)]
+    s_full = neighbors.GridSpec.for_scene(scene, skin=skin).shape[ax]
+
+    zg = jnp.zeros((g_cap, 3 - d), jnp.float32)
+    zrow = jnp.zeros((sg.c_rows, 3 - d, sg.lanes), jnp.float32)
+
+    def scanned(st: State):
+        st = State(
+            step=st.step,
+            **{
+                f.name: getattr(st, f.name)[0]
+                for f in dataclasses.fields(st)
+                if f.name != "step"
+            },
+        )
+        me = jax.lax.axis_index(AXIS)
+        my_lo = spec.slab_lo + me.astype(jnp.float32) * spec.slab_w
+        my_hi = my_lo + spec.slab_w
+        is_first = me == 0
+        is_last = me == n_sh - 1
+        k_dev = jnp.floor(
+            (my_lo - h_eff - grid.cell - grid.lo[ax]) / grid.cell
+        ).astype(jnp.int32)
+        k_dev = jnp.clip(k_dev, 0, s_full - grid.shape[ax])
+        ci_off = jnp.zeros((d,), jnp.int32).at[ax].set(1) * k_dev
+
+        # ---- shadow = particle-space arrays, valid as of the last build
+        def masks(sh, at_step):
+            act = sh["emit"] <= at_step
+            return act, act & (sh["kind"] == 0)
+
+        def drift_shadow(sh, at_step):
+            """Leapfrog block-top pre-drift in particle space (the rebuild
+            path's counterpart of the in-slot drift)."""
+            if not leap:
+                return sh
+            _, movable = masks(sh, at_step)
+            mov = movable[:, None].astype(jnp.float32)
+            v = sh["v"] + (0.5 * dt) * sh["acc"] * mov
+            x = sh["x"] + dt * v * mov
+            return {**sh, "x": x, "v": v}
+
+        def band_pack(sh, at_step):
+            """Fresh h+skin face-band selection + (x, v) payloads."""
+            act, _ = masks(sh, at_step)
+            x = sh["x"]
+            near_lo = act & (x[:, ax] < my_lo + h_eff) & ~is_first
+            near_hi = act & (x[:, ax] >= my_hi - h_eff) & ~is_last
+            idx_lo, val_lo, ov1 = _pack_idx(near_lo, g_cap)
+            idx_hi, val_hi, ov2 = _pack_idx(near_hi, g_cap)
+            pay = _pack_payload(x, sh["v"], d)
+            return (idx_lo, val_lo, _gather_rows(pay, idx_lo),
+                    idx_hi, val_hi, _gather_rows(pay, idx_hi), ov1 + ov2)
+
+        def materialize(c):
+            """Slots → shadow at the carry's current step (non-slotted
+            particles keep shadow values — same semantics as the
+            single-chip auto advance)."""
+            addr, sh = c["addr"], c["shadow"]
+            act0, movable0 = masks(sh, c["build_step"])
+            ok_loc = (addr.valid & (addr.row_pos > 0))[:nl]
+            okc = ok_loc[:, None]
+
+            def gat(slot, ncomp):
+                rows = pallas_step.slot_rows_view(slot)
+                b = addr.row_pos[:nl] * lanes + addr.pos[:nl]
+                return rows[b][:, :ncomp]
+
+            x = jnp.where(okc, gat(c["xs"], d), sh["x"])
+            v = jnp.where(okc, gat(c["vs"], d), sh["v"])
+            acc = jnp.where(
+                okc & movable0[:, None], gat(c["acc"], d), sh["acc"]
+            )
+            rho_g = gat(c["rp"], 1)[:, 0]
+            rho = jnp.where(ok_loc & act0, rho_g, sh["rho"])
+            p_ = jnp.where(
+                ok_loc & act0, physics.eos_pressure(rho, params), sh["p"]
+            )
+            return {**sh, "x": x, "v": v, "acc": acc, "rho": rho, "p": p_}
+
+        def exit_shadow(c):
+            """Materialize + park leavers + pack migration buffers (local
+            only — the exchange itself is unconditional)."""
+            sh = materialize(c)
+            act0, _ = masks(sh, c["build_step"])
+            x = sh["x"]
+            go_left = act0 & (x[:, ax] < my_lo) & ~is_first
+            go_right = act0 & (x[:, ax] >= my_hi) & ~is_last
+            leaver = go_left | go_right
+            mig = _pack_mig(x, sh["v"], sh["acc"], sh["kind"], sh["emit"], d)
+            m_lo, mval_lo, ov3 = _pack(go_left, mig, spec.cap_mig)
+            m_hi, mval_hi, ov4 = _pack(go_right, mig, spec.cap_mig)
+            park = jnp.full((d,), -1e6, x.dtype)
+            sh = {
+                **sh,
+                "x": jnp.where(leaver[:, None], park[None, :], x),
+                "v": jnp.where(leaver[:, None], 0.0, sh["v"]),
+                "acc": jnp.where(leaver[:, None], 0.0, sh["acc"]),
+                "emit": jnp.where(leaver, INACTIVE, sh["emit"]),
+            }
+            return sh, m_lo, mval_lo, m_hi, mval_hi, ov3 + ov4
+
+        def mig_exchange(sh, m_lo, mval_lo, m_hi, mval_hi, token):
+            """Unconditional migration ring exchange + free-slot insertion
+            (zero-masked buffers on keep-blocks make it a no-op)."""
+            m_from_right = jax.lax.ppermute(
+                _chained(
+                    jnp.concatenate(
+                        [m_lo, mval_lo[:, None].astype(jnp.float32)], 1
+                    ),
+                    token,
+                ),
+                AXIS, left,
+            )
+            m_from_left = jax.lax.ppermute(
+                _chained(
+                    jnp.concatenate(
+                        [m_hi, mval_hi[:, None].astype(jnp.float32)], 1
+                    ),
+                    m_from_right,
+                ),
+                AXIS, right,
+            )
+            mr_valid = (m_from_right[:, F_MIG] > 0) & ~is_last
+            ml_valid = (m_from_left[:, F_MIG] > 0) & ~is_first
+            incoming = jnp.concatenate([m_from_left, m_from_right], axis=0)
+            inc_valid = jnp.concatenate([ml_valid, mr_valid], axis=0)
+            free = sh["emit"] == INACTIVE
+            free_idx = jnp.nonzero(
+                free, size=2 * spec.cap_mig, fill_value=nl
+            )[0]
+            rank = jnp.cumsum(inc_valid.astype(jnp.int32)) - 1
+            take = free_idx[jnp.clip(rank, 0, 2 * spec.cap_mig - 1)]
+            slot = jnp.where(inc_valid, take, nl)
+            ins_over = jnp.sum(
+                (inc_valid & (take >= nl)).astype(jnp.int32)
+            )
+            sh = {
+                **sh,
+                "x": sh["x"].at[slot, :].set(incoming[:, 0:d], mode="drop"),
+                "v": sh["v"].at[slot, :].set(
+                    incoming[:, 3 : 3 + d], mode="drop"
+                ),
+                "acc": sh["acc"].at[slot, :].set(
+                    incoming[:, 6 : 6 + d], mode="drop"
+                ),
+                "kind": sh["kind"].at[slot].set(
+                    incoming[:, 9].astype(jnp.int32), mode="drop"
+                ),
+                "emit": sh["emit"].at[slot].set(
+                    jax.lax.bitcast_convert_type(incoming[:, 10], jnp.int32),
+                    mode="drop",
+                ),
+            }
+            return sh, ins_over, m_from_left
+
+        def build_residency(sh, g_left, g_right, at_step):
+            """Local: slot addressing + feature scatter over locals +
+            received ghost payloads (the rebuild branch of phase C)."""
+            act0, movable0 = masks(sh, at_step)
+            gl_valid = (g_left[:, F_GHOST] > 0) & ~is_first
+            gr_valid = (g_right[:, F_GHOST] > 0) & ~is_last
+            far3 = jnp.full((g_cap, d), 1e18, jnp.float32)
+            glx = jnp.where(gl_valid[:, None], g_left[:, 0:d], far3)
+            glv = jnp.where(gl_valid[:, None], g_left[:, 3 : 3 + d], 0.0)
+            grx = jnp.where(gr_valid[:, None], g_right[:, 0:d], far3)
+            grv = jnp.where(gr_valid[:, None], g_right[:, 3 : 3 + d], 0.0)
+            cx = jnp.concatenate([sh["x"], glx, grx], axis=0)
+            cv = jnp.concatenate([sh["v"], glv, grv], axis=0)
+            c_act = jnp.concatenate([act0, gl_valid, gr_valid], axis=0)
+            addr = pallas_step.build_addr(cx, c_act, grid, sg, ci_off)
+            nc = cx.shape[0]
+            zc = jnp.zeros((nc, 3 - d), jnp.float32)
+            movflag = jnp.concatenate(
+                [movable0, jnp.zeros((2 * g_cap,), bool)], axis=0
+            )
+            rows7 = jnp.concatenate(
+                [cx, zc, cv, zc, movflag[:, None].astype(jnp.float32)],
+                axis=1,
+            )
+            feat32 = pallas_step.scatter_slots(addr, rows7, sg)
+            xs = feat32[:, 0:d, :]
+            vs = feat32[:, 3 : 3 + d, :]
+            movb = feat32[:, 6:7, :] > 0
+            if leap:
+                acc_rows = jnp.concatenate(
+                    [sh["acc"], jnp.zeros((2 * g_cap, d), jnp.float32)],
+                    axis=0,
+                )
+                acc_rows = jnp.concatenate([acc_rows, zc], axis=1)
+                acc_s = pallas_step.scatter_slots(addr, acc_rows, sg)[
+                    :, 0:d, :
+                ] * movb.astype(jnp.float32)
+            else:
+                acc_s = jnp.zeros_like(xs)
+            return addr, xs, vs, acc_s, movb
+
+        def make_pins(addr, idx_lo, val_lo, idx_hi, val_hi):
+            """Block-window-pinned slot indices: ghost scatter targets and
+            face gather bases (identical construction to
+            _make_spatial_reuse_local, packaged for the scan carry)."""
+            ok_all = addr.valid & (addr.row_pos > 0)
+            okg = ok_all[nl:]
+            g_row = addr.row_pos[nl:]
+            g_pos = addr.pos[nl:]
+
+            def ghost_idx(c_cols):
+                b = jnp.where(
+                    okg,
+                    (g_row * c_cols) * lanes + g_pos,
+                    sg.c_rows * c_cols * lanes,  # out of range -> dropped
+                )
+                return b[:, None] + (
+                    jnp.arange(c_cols, dtype=jnp.int32) * lanes
+                )[None, :]
+
+            def face_sel(idx_face):
+                safe = jnp.minimum(idx_face, nl - 1)
+                okf = (idx_face < nl) & ok_all[safe]
+                return safe, okf
+
+            safe_lo, okf_lo = face_sel(idx_lo)
+            safe_hi, okf_hi = face_sel(idx_hi)
+
+            def face_base(safe, okf, c_cols):
+                return jnp.where(
+                    okf,
+                    (addr.row_pos[safe] * c_cols) * lanes + addr.pos[safe],
+                    sg.c_rows * c_cols * lanes - 1,  # in-range, masked out
+                )
+
+            return dict(
+                idx_lo=idx_lo, idx_hi=idx_hi,
+                okf_lo=okf_lo, okf_hi=okf_hi,
+                send_lo=val_lo & okf_lo, send_hi=val_hi & okf_hi,
+                gidx_d=ghost_idx(d), gidx_2=ghost_idx(2),
+                base_lo_d=face_base(safe_lo, okf_lo, d),
+                base_hi_d=face_base(safe_hi, okf_hi, d),
+                base_lo_2=face_base(safe_lo, okf_lo, 2),
+                base_hi_2=face_base(safe_hi, okf_hi, 2),
+            )
+
+        def mkbuf(xs, vs, base, okf):
+            xsf = xs.reshape(-1)
+            vsf = vs.reshape(-1)
+            xx = jnp.stack([xsf[base + c * lanes] for c in range(d)], 1)
+            vv = jnp.stack([vsf[base + c * lanes] for c in range(d)], 1)
+            return jnp.concatenate(
+                [
+                    jnp.where(okf[:, None], xx, 1e18), zg,
+                    jnp.where(okf[:, None], vv, 0.0), zg,
+                ],
+                axis=1,
+            )
+
+        def set_ghosts(xs, vs, pins, g_left, g_right):
+            inc_x = jnp.concatenate([g_left[:, 0:d], g_right[:, 0:d]], 0)
+            inc_v = jnp.concatenate(
+                [g_left[:, 3 : 3 + d], g_right[:, 3 : 3 + d]], 0
+            )
+            xs = (
+                xs.reshape(-1)
+                .at[pins["gidx_d"]].set(inc_x, mode="drop")
+                .reshape(xs.shape)
+            )
+            vs = (
+                vs.reshape(-1)
+                .at[pins["gidx_d"]].set(inc_v, mode="drop")
+                .reshape(vs.shape)
+            )
+            return xs, vs
+
+        def ghost_exchange(buf_lo, flag_lo, buf_hi, flag_hi, token):
+            g_from_right = jax.lax.ppermute(
+                _chained(
+                    jnp.concatenate(
+                        [buf_lo, flag_lo[:, None].astype(jnp.float32)], 1
+                    ),
+                    token,
+                ),
+                AXIS, left,
+            )
+            g_from_left = jax.lax.ppermute(
+                _chained(
+                    jnp.concatenate(
+                        [buf_hi, flag_hi[:, None].astype(jnp.float32)], 1
+                    ),
+                    g_from_right,
+                ),
+                AXIS, right,
+            )
+            return g_from_left, g_from_right
+
+        # ---- dispatch top: enter residency from UNDRIFTED positions (the
+        # first moving block immediately drifts in slot space, or the
+        # rebuild branch round-trips bitwise — either way no double drift)
+        sh0 = dict(
+            x=st.x, v=st.v, acc=st.acc, rho=st.rho, p=st.p,
+            kind=st.kind, emit=st.emit_step,
+        )
+        step_t = st.step
+        idx_lo0, val_lo0, buf_lo0, idx_hi0, val_hi0, buf_hi0, ovb0 = (
+            band_pack(sh0, step_t)
+        )
+        g_l0, g_r0 = ghost_exchange(buf_lo0, val_lo0, buf_hi0, val_hi0, None)
+        addr0, xs0, vs0, acc0, movb0 = build_residency(sh0, g_l0, g_r0, step_t)
+        pins0 = make_pins(addr0, idx_lo0, val_lo0, idx_hi0, val_hi0)
+        rho_c0 = jnp.concatenate(
+            [sh0["rho"], jnp.ones((2 * g_cap,), jnp.float32)]
+        )
+        p_c0 = jnp.concatenate([sh0["p"], jnp.zeros((2 * g_cap,), jnp.float32)])
+        rp0 = pallas_step.scatter_rp(addr0, rho_c0, p_c0, sg)
+        carry0 = dict(
+            addr=addr0, xs=xs0, vs=vs0, acc=acc0, rp=rp0, movb=movb0,
+            pins=pins0, x0s=xs0, shadow=sh0, build_step=step_t, step=step_t,
+            over=addr0.overflow + ovb0, viol=jnp.int32(0),
+            rebuilds=jnp.int32(1),
+            # ordering token: a tiny slice keeps the data dependence on the
+            # last collective without growing the scan carry (shape must be
+            # stable across blocks)
+            tok=g_l0[0, :1],
+        )
+
+        def block(c, _):
+            step0 = c["step"]
+            # --- uniform rebuild decision (one pmax across the mesh) ---
+            dd = c["xs"] - c["x0s"]
+            drift_now = jnp.sqrt(jnp.max(jnp.sum(dd * dd, axis=1)))
+            vmax = jnp.sqrt(jnp.max(jnp.sum(c["vs"] * c["vs"], axis=1)))
+            predicted = drift_now + 1.2 * vmax * dt * sort_every
+            activated = jnp.any(
+                (c["shadow"]["emit"] > c["build_step"])
+                & (c["shadow"]["emit"] <= step0)
+            )
+            sig = jax.lax.pmax(
+                _chained(
+                    jnp.stack([predicted, activated.astype(jnp.float32)]),
+                    c["tok"],
+                ),
+                AXIS,
+            )
+            need = (sig[0] > budget) | (sig[1] > 0)
+
+            # --- phase A (local cond): exit + leaver packing ---
+            def a_yes(c_):
+                return exit_shadow(c_)
+
+            def a_no(c_):
+                zmig = jnp.zeros((spec.cap_mig, F_MIG), jnp.float32)
+                zval = jnp.zeros((spec.cap_mig,), bool)
+                return c_["shadow"], zmig, zval, zmig, zval, jnp.int32(0)
+
+            shA, m_lo, mval_lo, m_hi, mval_hi, ovm = jax.lax.cond(
+                need, a_yes, a_no, c
+            )
+            shA, ins_over, tok = mig_exchange(
+                shA, m_lo, mval_lo, m_hi, mval_hi, sig
+            )
+
+            # --- phase B (local cond): band + ghost payload source ---
+            def b_fresh(sh):
+                shD = drift_shadow(sh, step0)
+                (idx_lo, val_lo, buf_lo, idx_hi, val_hi, buf_hi,
+                 ovb) = band_pack(shD, step0)
+                return (shD, idx_lo, val_lo, buf_lo, idx_hi, val_hi,
+                        buf_hi, ovb, c["xs"], c["vs"])
+
+            def b_keep(sh):
+                pins = c["pins"]
+                if leap:
+                    movs = c["movb"].astype(jnp.float32)
+                    vs2 = c["vs"] + (0.5 * dt) * c["acc"] * movs
+                    xs2 = c["xs"] + dt * vs2 * movs
+                else:
+                    xs2, vs2 = c["xs"], c["vs"]
+                return (
+                    sh, pins["idx_lo"], pins["send_lo"],
+                    mkbuf(xs2, vs2, pins["base_lo_d"], pins["okf_lo"]),
+                    pins["idx_hi"], pins["send_hi"],
+                    mkbuf(xs2, vs2, pins["base_hi_d"], pins["okf_hi"]),
+                    jnp.int32(0), xs2, vs2,
+                )
+
+            (shB, idx_lo, flag_lo, buf_lo, idx_hi, flag_hi, buf_hi, ovb,
+             xs2, vs2) = jax.lax.cond(need, b_fresh, b_keep, shA)
+            g_left, g_right = ghost_exchange(
+                buf_lo, flag_lo, buf_hi, flag_hi, tok
+            )
+
+            # --- phase C (local cond): build vs ghost-slot update ---
+            def c_build(op):
+                sh, gl, gr = op
+                addr, xs3, vs3, acc3, movb3 = build_residency(
+                    sh, gl, gr, step0
+                )
+                pins = make_pins(addr, idx_lo, flag_lo, idx_hi, flag_hi)
+                # rp stays carried: it is overwritten by step 0's density
+                # kernel before any consumer reads it (materialize only
+                # runs after a full block)
+                return dict(
+                    addr=addr, xs=xs3, vs=vs3, acc=acc3, movb=movb3,
+                    pins=pins, x0s=xs3, rp=c["rp"], build_step=step0,
+                    pend=addr.overflow,
+                )
+
+            def c_keep(op):
+                _, gl, gr = op
+                xs3, vs3 = set_ghosts(xs2, vs2, c["pins"], gl, gr)
+                return dict(
+                    addr=c["addr"], xs=xs3, vs=vs3, acc=c["acc"],
+                    movb=c["movb"], pins=c["pins"], x0s=c["x0s"],
+                    rp=c["rp"], build_step=c["build_step"],
+                    pend=jnp.int32(0),
+                )
+
+            sl = jax.lax.cond(need, c_build, c_keep, (shB, g_left, g_right))
+
+            # --- sort_every slot-space steps (same inner loop as the
+            # classic resident block; step 0's drift/ghost-set happened in
+            # phases B/C) ---
+            addr, movb, pins = sl["addr"], sl["movb"], sl["pins"]
+            movs = movb.astype(jnp.float32)
+            xs, vs, acc_s, rp = sl["xs"], sl["vs"], sl["acc"], sl["rp"]
+            x0s = sl["x0s"]
+            viol = c["viol"]
+            tok2 = g_left
+
+            def mk_feat(xs_, vs_):
+                return jnp.concatenate([xs_, zrow, vs_, zrow, movs], axis=1)
+
+            for i in range(sort_every):
+                step_i = step0 + i
+                if i > 0:
+                    if leap:
+                        vs = vs + (0.5 * dt) * acc_s * movs
+                        xs = xs + dt * vs * movs
+                    b_lo = mkbuf(xs, vs, pins["base_lo_d"], pins["okf_lo"])
+                    b_hi = mkbuf(xs, vs, pins["base_hi_d"], pins["okf_hi"])
+                    g_left, g_right = ghost_exchange(
+                        b_lo, pins["send_lo"], b_hi, pins["send_hi"], tok2
+                    )
+                    xs, vs = set_ghosts(xs, vs, pins, g_left, g_right)
+                feat = mk_feat(xs, vs)
+                rp = pallas_step._call_density(feat, addr, sg, params)
+                rpf = rp.reshape(-1)
+
+                def rp_face(base, okf):
+                    return jnp.stack(
+                        [
+                            jnp.where(okf, rpf[base], params.rest_density),
+                            jnp.where(okf, rpf[base + lanes], 0.0),
+                        ],
+                        axis=1,
+                    )
+
+                rp_lo = rp_face(pins["base_lo_2"], pins["okf_lo"])
+                rp_hi = rp_face(pins["base_hi_2"], pins["okf_hi"])
+                rp_from_right = jax.lax.ppermute(
+                    _chained(rp_lo, g_left), AXIS, left
+                )
+                rp_from_left = jax.lax.ppermute(
+                    _chained(rp_hi, rp_from_right), AXIS, right
+                )
+                inc_rp = jnp.concatenate([rp_from_left, rp_from_right], 0)
+                rp = (
+                    rp.reshape(-1)
+                    .at[pins["gidx_2"]].set(inc_rp, mode="drop")
+                    .reshape(rp.shape)
+                )
+                f_s = pallas_step._call_force(feat, rp, addr, sg, params)
+                rho_s = rp[:, 0:1, :]
+                f_tot = sp.body_forces(xs, vs, rho_s, f_s[:, 0:d, :], step_i)
+                a_s = jnp.where(movb, f_tot / jnp.maximum(rho_s, 1e-12), 0.0)
+                if leap:
+                    vs = vs + (0.5 * dt) * a_s
+                    acc_s = a_s
+                else:
+                    vs = vs + dt * a_s * movs
+                    xs = xs + dt * vs * movs
+                    acc_s = a_s
+                if params.boundary_mode == "clamp":
+                    xs, vs = sp.clamp_slot(xs, vs, movb)
+                ddx = xs - x0s
+                drift2 = jnp.sum(ddx * ddx, axis=1, keepdims=True)
+                viol = viol + jnp.sum(
+                    ((drift2 > half2) & movb).astype(jnp.int32)
+                )
+                tok2 = rp_from_left
+
+            c_out = dict(
+                addr=addr, xs=xs, vs=vs, acc=acc_s, rp=rp, movb=movb,
+                pins=pins, x0s=x0s, shadow=shB,
+                build_step=sl["build_step"], step=step0 + sort_every,
+                over=c["over"] + ovm + ins_over + ovb + sl["pend"],
+                viol=viol,
+                rebuilds=c["rebuilds"] + need.astype(jnp.int32),
+                tok=tok2[0, :1],
+            )
+            return c_out, None
+
+        final, _ = jax.lax.scan(block, carry0, length=blocks)
+
+        # ---- dispatch end: exit residency + final migration ----
+        shF, m_lo, mval_lo, m_hi, mval_hi, ovmF = exit_shadow(final)
+        shF, ins_overF, _ = mig_exchange(
+            shF, m_lo, mval_lo, m_hi, mval_hi, final["tok"]
+        )
+        overflow = jax.lax.psum(
+            final["over"] + final["viol"] + ovmF + ins_overF, AXIS
+        )
+        out = State(
+            x=shF["x"][None], v=shF["v"][None], acc=shF["acc"][None],
+            rho=shF["rho"][None], p=shF["p"][None], kind=shF["kind"][None],
+            emit_step=shF["emit"][None], step=final["step"],
+        )
+        return out, overflow, final["rebuilds"]
+
+    return scanned
+
+
 def _spatial_specs():
     part = P(AXIS)
     return State(
@@ -1357,6 +1939,8 @@ def make_spatial_advance(
     steps_per_dispatch: int = 50,
     sort_every: int = 1,
     slot_resident: bool = False,
+    auto_rebuild: bool = False,
+    rebuild_frac: float = 1.0,
 ):
     """jitted advance: `steps_per_dispatch` sharded steps in one lax.scan.
 
@@ -1366,6 +1950,11 @@ def make_spatial_advance(
     additionally keeps the block's state IN the slot arrays (elementwise
     integration; only pinned ghost payloads and face rho/p cross particle
     space per step) — the decomp form of the single-chip flagship mode.
+    auto_rebuild (slot_resident only) keeps the residency ACROSS block
+    boundaries, rebuilding (and migrating) only when the mesh-wide
+    predictive drift check or an emitter activation demands it
+    (_make_spatial_resident_auto); returns (state, worst_overflow,
+    rebuilds) instead.
 
     Returns (state, worst_overflow): worst_overflow > 0 means a ghost/
     migration/local buffer cap dropped particles — or, on the fast path,
@@ -1373,6 +1962,28 @@ def make_spatial_advance(
     physics is then unreliable (watchdog hook, SURVEY.md §5.2-5.3)."""
     if slot_resident and sort_every <= 1:
         raise ValueError("slot_resident requires sort_every > 1")
+    if auto_rebuild and not slot_resident:
+        raise ValueError("auto_rebuild requires slot_resident=True")
+    if auto_rebuild:
+        if method != "pallas":
+            raise ValueError("auto_rebuild requires method='pallas'")
+        if steps_per_dispatch % sort_every:
+            raise ValueError(
+                f"steps_per_dispatch={steps_per_dispatch} must be a "
+                f"multiple of sort_every={sort_every}"
+            )
+        scanned = _make_spatial_resident_auto(
+            scene, spec, mesh, sort_every,
+            steps_per_dispatch // sort_every, rebuild_frac=rebuild_frac,
+        )
+        spec_in = _spatial_specs()
+        return jax.jit(
+            jax.shard_map(
+                scanned, mesh=mesh, in_specs=(spec_in,),
+                out_specs=(spec_in, P(), P()),
+                check_vma=False,
+            )
+        )
     if sort_every > 1:
         if method != "pallas":
             raise ValueError("sort_every > 1 requires method='pallas'")
@@ -1939,6 +2550,7 @@ def make_audited_spatial_advance(
     steps_per_dispatch: int = 100,
     sort_every: int = 1,
     slot_resident: bool = False,
+    auto_rebuild: bool = True,
 ):
     """`advance(loc_state) -> loc_state` with the single-chip audited-
     fallback policy extended across the mesh (VERDICT r2 missing 2): when
@@ -1946,17 +2558,24 @@ def make_audited_spatial_advance(
     held input on the per-step-rebuild spatial path — fast when the skin
     bound holds, exact when not.  If even the per-step path overflows a
     static buffer, raises SpatialCapOverflow (the spec must be resized —
-    a recompile-grade event, surfaced rather than silently degraded)."""
+    a recompile-grade event, surfaced rather than silently degraded).
+
+    auto_rebuild (default, slot_resident fast path only): the residency
+    persists across blocks with the mesh-wide predictive rebuild policy
+    (same production default as the single-chip make_audited_advance)."""
     import sys
 
+    auto = auto_rebuild and slot_resident and sort_every > 1
     adv = make_spatial_advance(
         scene, spec, mesh, method, steps_per_dispatch,
         sort_every=sort_every, slot_resident=slot_resident,
+        auto_rebuild=auto,
     )
     exact = []  # per-step spatial fallback, compiled on first use
 
     def audited(loc: State) -> State:
-        out, worst = adv(loc)
+        res = adv(loc)            # (state, worst[, rebuilds]) — auto adds one
+        out, worst = res[0], res[1]
         if int(worst) == 0:
             return out
         if sort_every > 1:

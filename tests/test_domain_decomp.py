@@ -704,3 +704,184 @@ def test_pencil_spec_sizing():
     assert spec.cap_ghost < spec.cap_local
     with pytest.raises(ValueError):
         decomp.PencilSpec.for_state(scene, state, 2, 4, axis1=1, axis2=1)
+
+
+# ---------------------------------------------------------------------------
+# Auto-rebuild slot residency under decomposition (round 3)
+# ---------------------------------------------------------------------------
+
+
+def test_spatial_auto_forced_bitwise_vs_resident():
+    """rebuild_frac=0 forces a rebuild at every moving block — the auto
+    advance then composes exactly the classic resident sequence
+    (materialize ∘ enter round-trips bitwise; migration moves from block
+    end to the next block top, with identical free-list state between),
+    so results must match bitwise."""
+    scene = _wide_scene(integrator="leapfrog", eos="tait")
+    mesh = decomp.mesh1d(8)
+    state = init(scene)
+    spec = decomp.SpatialSpec.for_scene(scene, 8, state.capacity)
+    from sph_tpu.step import prime
+
+    state = prime(scene, state, method="pallas")
+    loc0 = decomp.spatial_shard_state(state, scene, spec, mesh)
+    kw = dict(method="pallas", steps_per_dispatch=12, sort_every=4)
+    a, ov_a = decomp.make_spatial_advance(
+        scene, spec, mesh, slot_resident=True, **kw
+    )(loc0)
+    b, ov_b, rebuilds = decomp.make_spatial_advance(
+        scene, spec, mesh, slot_resident=True, auto_rebuild=True,
+        rebuild_frac=0.0, **kw
+    )(loc0)
+    assert int(ov_a) == 0 and int(ov_b) == 0
+    assert int(rebuilds) == 4  # dispatch-top enter + every (moving) block
+    assert np.array_equal(np.asarray(a.x), np.asarray(b.x))
+    assert np.array_equal(np.asarray(a.rho), np.asarray(b.rho))
+    assert np.array_equal(np.asarray(a.emit_step), np.asarray(b.emit_step))
+
+
+def test_spatial_auto_stretches_and_matches():
+    """Default rebuild_frac on the wide pool: fewer rebuilds than blocks,
+    zero audit hits, exact conservation, and trajectories within the
+    Verlet-skin tolerance of the classic resident path."""
+    scene = _wide_scene(integrator="leapfrog", eos="tait")
+    mesh = decomp.mesh1d(8)
+    state = init(scene)
+    n_act = int(state.n_active())
+    spec = decomp.SpatialSpec.for_scene(scene, 8, state.capacity)
+    from sph_tpu.step import prime
+
+    state = prime(scene, state, method="pallas")
+    loc0 = decomp.spatial_shard_state(state, scene, spec, mesh)
+    kw = dict(method="pallas", steps_per_dispatch=32, sort_every=4)
+    a, ov_a = decomp.make_spatial_advance(
+        scene, spec, mesh, slot_resident=True, **kw
+    )(loc0)
+    b, ov_b, rebuilds = decomp.make_spatial_advance(
+        scene, spec, mesh, slot_resident=True, auto_rebuild=True, **kw
+    )(loc0)
+    assert int(ov_a) == 0 and int(ov_b) == 0
+    assert int(rebuilds) < 8  # stretched past one rebuild per block
+    m_a = decomp.spatial_gather_state(a)
+    m_b = decomp.spatial_gather_state(b)
+    act_a = np.asarray(m_a.emit_step) <= int(m_a.step)
+    act_b = np.asarray(m_b.emit_step) <= int(m_b.step)
+    assert act_a.sum() == act_b.sum() == n_act
+    xa = _sorted_active(np.asarray(m_a.x), act_a)
+    xb = _sorted_active(np.asarray(m_b.x), act_b)
+    scale = np.max(np.abs(xa)) + 1e-6
+    assert np.max(np.abs(xb - xa)) / scale < 1e-4
+
+
+def test_spatial_auto_migration_conserves():
+    """A 250 px/s block crossing slab faces under auto-rebuild: migration
+    is deferred to rebuild points (covered by the h+skin ghost band while
+    drift < skin/2), happens when needed, and conserves the active set
+    exactly with zero audit hits."""
+    p = SimParams(boundary_mode="clamp", dt=5e-4)
+    scene = calibrate(
+        Scene(
+            params=p,
+            lo=(0.0, 0.0),
+            hi=(1600.0, 300.0),
+            blocks=(
+                Block(
+                    lo=(150.0, 20.0),
+                    hi=(380.0, 150.0),
+                    velocity=(250.0, 0.0),
+                ),
+            ),
+            seed=63,
+        )
+    )
+    mesh = decomp.mesh1d(8)
+    state = init(scene)
+    n_act = int(state.n_active())
+    spec = decomp.SpatialSpec.for_scene(
+        scene, 8, state.capacity, balance=8.0
+    )
+    loc = decomp.spatial_shard_state(state, scene, spec, mesh)
+    before = np.asarray(
+        (np.asarray(loc.emit_step) <= int(loc.step)).sum(axis=1)
+    )
+    adv = decomp.make_spatial_advance(
+        scene, spec, mesh, method="pallas", steps_per_dispatch=148,
+        sort_every=4, slot_resident=True, auto_rebuild=True,
+    )
+    loc, overflow, rebuilds = adv(loc)
+    assert int(overflow) == 0
+    assert 1 < int(rebuilds) <= 148 // 4 + 1
+    after = (np.asarray(loc.emit_step) <= int(loc.step)).sum(axis=1)
+    assert not np.array_equal(before, after)   # migration happened
+    assert after.sum() == n_act                # nothing lost in flight
+
+
+def test_spatial_auto_emitters():
+    """Emitter activations force a rebuild across the mesh: the activation
+    COUNT matches the schedule exactly after the dispatch (≤ sort_every
+    steps of latency, the documented fast-path semantics)."""
+    from sph_tpu.params import Emitter
+
+    p = SimParams(boundary_mode="clamp", dt=5e-4)
+    scene = calibrate(
+        Scene(
+            params=p,
+            lo=(0.0, 0.0),
+            hi=(1600.0, 300.0),
+            blocks=(
+                Block(
+                    lo=(100.0, 20.0), hi=(400.0, 120.0), velocity=(60.0, 0.0)
+                ),
+            ),
+            emitters=(
+                Emitter(
+                    pos=(800.0, 250.0), velocity=(200.0, -150.0), width=2
+                ),
+            ),
+            capacity=2048,
+            seed=67,
+        )
+    )
+    mesh = decomp.mesh1d(8)
+    state = init(scene)
+    spec = decomp.SpatialSpec.for_scene(
+        scene, 8, state.capacity, balance=8.0
+    )
+    loc = decomp.spatial_shard_state(state, scene, spec, mesh)
+    adv = decomp.make_spatial_advance(
+        scene, spec, mesh, method="pallas", steps_per_dispatch=148,
+        sort_every=4, slot_resident=True, auto_rebuild=True,
+    )
+    loc, overflow, rebuilds = adv(loc)
+    assert int(overflow) == 0
+    merged = decomp.spatial_gather_state(loc)
+    step_now = int(merged.step)
+    act = np.asarray(merged.emit_step) <= step_now
+    emit = np.asarray(merged.emit_step)
+    scheduled = (emit != decomp.INACTIVE) & (emit <= step_now)
+    assert act.sum() == scheduled.sum() > int(state.n_active())
+    x = np.asarray(merged.x)[act]
+    assert np.isfinite(x).all()
+
+
+def test_audited_spatial_auto_default():
+    """make_audited_spatial_advance defaults to the auto-rebuild resident
+    path and returns a plain State (the counters stay internal)."""
+    scene = _wide_scene(integrator="leapfrog", eos="tait")
+    mesh = decomp.mesh1d(8)
+    state = init(scene)
+    spec = decomp.SpatialSpec.for_scene(scene, 8, state.capacity)
+    from sph_tpu.step import prime
+
+    state = prime(scene, state, method="pallas")
+    loc0 = decomp.spatial_shard_state(state, scene, spec, mesh)
+    adv = decomp.make_audited_spatial_advance(
+        scene, spec, mesh, steps_per_dispatch=16, sort_every=4,
+        slot_resident=True,
+    )
+    out = adv(loc0)
+    assert int(out.step) == int(state.step) + 16
+    merged = decomp.spatial_gather_state(out)
+    act = np.asarray(merged.emit_step) <= int(merged.step)
+    assert act.sum() == int(state.n_active())
+    assert np.isfinite(np.asarray(merged.x)[act]).all()
