@@ -44,7 +44,7 @@ FLOORS = {
     ("dam2d_10k", "grid"): 6.0e5,
     ("dam2d_10k", "pallas"): 2.4e6,
     ("dam2d_10k", "resident4"): 4.4e6,
-    ("dam2d_10k", "auto8"): 5.5e6,           # r3: 8.0e6 measured
+    ("dam2d_10k", "auto8"): 4.7e6,  # r3: 6.76e6 (occupancy-fit narrow skin)
     ("dam3d_100k", "grid"): 1.8e5,
     ("dam3d_100k", "pallas"): 2.5e6,
     ("dam3d_100k", "resident4"): 5.1e6,       # r3: 7.34e6 measured

@@ -207,7 +207,26 @@ def _load_scene(name_or_path: str):
     return preset(name_or_path)
 
 
+def _resolve_method(args) -> None:
+    """`--method auto` (the default) = the production flagship: pallas +
+    4-step Verlet-skin reuse + slot-resident blocks with auto-rebuild
+    (make_audited_advance's policy — exact fallback on every audit).
+    Explicit --sort-every/--resident flags are respected; --debug keeps
+    the per-step checked path, where the reuse knobs are ignored anyway.
+    The naive/grid methods remain the oracle/portable paths (the grid
+    path is gather-bound and slower past ~10k — VERDICT r2)."""
+    if args.method != "auto":
+        return
+    args.method = "pallas"
+    if getattr(args, "debug", False):
+        return
+    if args.sort_every == 1 and not args.resident:
+        args.sort_every = 4
+        args.resident = True
+
+
 def cmd_run(args) -> int:
+    _resolve_method(args)
     scene = _load_scene(args.preset)
     if args.resume:
         state, scene = diagnostics.load_checkpoint(args.resume)
@@ -384,6 +403,8 @@ def cmd_record(args) -> int:
     headless form of BASELINE config 5)."""
     import numpy as np
 
+    _resolve_method(args)
+
     scene = _load_scene(args.preset)
     state = init(scene)
     if scene.params.integrator == "leapfrog":
@@ -434,8 +455,11 @@ def main(argv=None) -> int:
     runp = sub.add_parser("run", help="run a preset scene")
     runp.add_argument("preset",
                       help=f"preset name {preset_names()} or a scene .json")
-    runp.add_argument("--method", default="grid",
-                      choices=["naive", "grid", "pallas"])
+    runp.add_argument("--method", default="auto",
+                      choices=["auto", "naive", "grid", "pallas"],
+                      help="auto (default) = the pallas flagship "
+                           "(sort-every 4 + resident w/ auto-rebuild); "
+                           "naive/grid = oracle/portable paths")
     runp.add_argument("--frames", type=int, default=60)
     runp.add_argument("--steps-per-frame", type=int, default=100)
     runp.add_argument("--out", default="out")
@@ -481,8 +505,10 @@ def main(argv=None) -> int:
     recp = sub.add_parser("record", help="record an animated PNG")
     recp.add_argument("preset",
                       help=f"preset name {preset_names()} or a scene .json")
-    recp.add_argument("--method", default="grid",
-                      choices=["naive", "grid", "pallas"])
+    recp.add_argument("--method", default="auto",
+                      choices=["auto", "naive", "grid", "pallas"],
+                      help="auto (default) = the pallas flagship "
+                           "(sort-every 4 + resident w/ auto-rebuild)")
     recp.add_argument("--frames", type=int, default=100)
     recp.add_argument("--steps-per-frame", type=int, default=50)
     recp.add_argument("--out", default="out.apng")

@@ -890,18 +890,82 @@ def make_audited_advance(
 
         base_grid = neighbors.GridSpec.for_scene(scene)
         if base_grid.cap > 8:
-            skin = default_skin(scene, sort_every)
-            grid8 = neighbors.GridSpec.for_scene(scene, cap=8, skin=skin)
-            # cap-8 prefers xb=8: same [64, W] op height as cap-16/xb-4
-            # with 0.83× the candidate width (measured fastest)
-            adv8 = make_advance(scene, method, steps_per_dispatch,
-                                grid=grid8, xb_cells=8, **base_kw)
+            # OCCUPANCY-AWARE skin for the cap-8 lattice: kernel cost is
+            # quantized by the slot cap, so shrinking the skin shifts the
+            # cell-occupancy distribution down without touching per-pair
+            # math — the price is rebuild rate (drift budget skin/2),
+            # which the auto-rebuild advance adapts to.  Measured
+            # (bench/probe_r3f.py): at 1M-3D skin(k) is clean at init and
+            # narrower skins only add rebuilds (43.4 → 79 ms/step), but
+            # at 10k-2D skin(k)'s wider cells overflow 8 at init (27
+            # cells) while skin(k/2) is clean — without this check the
+            # 2D auto8 path healed 25/25 blocks and fell straight back
+            # to cap-16.  So: probe the CURRENT state on first dispatch
+            # and take the WIDEST candidate skin whose occupancy fits.
+            skin_full = default_skin(scene, sort_every)
+            cand = [skin_full / div for div in (1, 2, 4)]
+            occ_fit = []  # (skin, jitted state -> cells_over_8), lazy
+
+            def _fits(st: State, s: float) -> bool:
+                g = neighbors.GridSpec.for_scene(scene, cap=8, skin=s)
+
+                @jax.jit
+                def over8(state: State):
+                    _, flat = neighbors.cell_index(
+                        state.x, state.active, g
+                    )
+                    counts = jnp.bincount(flat, length=g.n_rows)[
+                        : g.n_cells
+                    ]
+                    return jnp.sum(counts > 8)
+
+                return int(over8(st)) == 0
+
+            adv8_box = []  # compiled on first dispatch (grid chosen then)
             adv16 = []  # compiled on first switch
             blocks = max(steps_per_dispatch // sort_every, 1)
             mode = ["cap8"]
 
+            def _adv8_for(st: State):
+                if adv8_box:
+                    return adv8_box[0]
+                pick = next((s for s in cand if _fits(st, s)), None)
+                if pick is None:
+                    # dense from the start (e.g. resumed settled state):
+                    # no candidate lattice fits — skip cap-8 entirely
+                    mode[0] = "cap16"
+                    audited.mode = f"cap{base_grid.cap}"
+                    print(
+                        f"sph_tpu: occupancy exceeds 8 on every cap-8 "
+                        f"candidate lattice at step {int(st.step)} — "
+                        f"running the cap-{base_grid.cap} fast path",
+                        file=sys.stderr,
+                    )
+                    return None
+                grid8 = neighbors.GridSpec.for_scene(
+                    scene, cap=8, skin=pick
+                )
+                if pick != skin_full:
+                    print(
+                        f"sph_tpu: cap-8 lattice skin narrowed "
+                        f"{skin_full:.3g} → {pick:.3g} (occupancy-fit; "
+                        f"rebuild rate adapts)",
+                        file=sys.stderr,
+                    )
+                # cap-8 prefers xb=8: same [64, W] op height as
+                # cap-16/xb-4 with 0.83× the candidate width (measured
+                # fastest)
+                adv8_box.append(
+                    make_advance(scene, method, steps_per_dispatch,
+                                 grid=grid8, xb_cells=8, **base_kw)
+                )
+                return adv8_box[0]
+
             def audited(st: State) -> State:
                 if mode[0] == "cap8":
+                    adv8 = _adv8_for(st)
+                    if adv8 is None:
+                        return audited(st)
                     st2, viol, healed = _unpack(adv8(st))
                     audited.healed += int(healed)
                     if int(healed) > max(1, blocks // 8):

@@ -183,6 +183,34 @@ def test_cli_run_smoke(tmp_path):
     assert rec["step"] == 10 and np.isfinite(rec["mean_rho"])
 
 
+def test_cli_run_auto_default(tmp_path):
+    """The CLI's default --method (auto) resolves to the pallas flagship
+    (sort-every 4 + resident + auto-rebuild) and runs end-to-end."""
+    from sph_tpu import cli
+
+    out = str(tmp_path / "outa")
+    rc = cli.main(
+        [
+            "run",
+            "tutorial2d",
+            "--frames",
+            "1",
+            "--steps-per-frame",
+            "8",
+            "--out",
+            out,
+            "--quiet",
+        ]
+    )
+    assert rc == 0
+    import json
+
+    with open(os.path.join(out, "metrics.jsonl")) as fh:
+        rec = json.loads(fh.read().strip().splitlines()[-1])
+    assert rec["step"] == 8 and np.isfinite(rec["mean_rho"])
+    assert rec["cap_dropped"] == 0
+
+
 def test_cli_run_shards_smoke(tmp_path):
     """`sph-tpu run --shards N` end-to-end on the 8-virtual-device CPU
     mesh: spatial decomposition reachable from the product surface

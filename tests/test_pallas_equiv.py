@@ -452,6 +452,52 @@ def test_adaptive_cap_policy(capsys):
     assert np.array_equal(np.asarray(s_j.x), np.asarray(s_e.x))
 
 
+def test_adaptive_cap_skin_narrows_to_fit(capsys):
+    """Occupancy-aware cap-8 lattice: a 9-particle cluster that lands in
+    ONE cell of the skin(4) lattice but straddles a cell boundary of the
+    skin(2) lattice makes the adaptive policy narrow the skin instead of
+    burning every block on heals and switching to cap-16 (the measured
+    dam2d_10k failure — bench/probe_r3f.py)."""
+    import dataclasses
+
+    from sph_tpu.step import default_skin, make_audited_advance
+
+    scene = small_scene(dim=2, seed=94)
+    state = init(scene)
+    s4 = default_skin(scene, 4)
+    g4 = neighbors.GridSpec.for_scene(scene, cap=8, skin=s4)
+    g2 = neighbors.GridSpec.for_scene(scene, cap=8, skin=s4 / 2)
+    c4, c2 = g4.cell, g2.cell
+    # each lattice starts a cell at its own lo (one-cell margin below
+    # scene.lo); pick a narrow-lattice boundary b2 strictly inside a
+    # wide-lattice cell so the 9-cluster straddles narrow, not wide
+    lo4, lo2 = float(g4.lo[0]), float(g2.lo[0])
+    b2 = lo2 + 3 * c2
+    k4 = int(np.floor((b2 - lo4) / c4))
+    cell4_lo, cell4_hi = lo4 + k4 * c4, lo4 + (k4 + 1) * c4
+    assert cell4_lo + 0.5 < b2 < cell4_hi - 0.5, (b2, cell4_lo, cell4_hi)
+    xs = np.asarray(state.x).copy()
+    kinds = np.asarray(state.kind).copy()
+    y = float(g4.lo[1]) + 350.0  # far corner, away from the fluid block
+    for i in range(9):
+        xs[i] = (b2 - 0.4 + 0.1 * i, y)  # 5 below b2, 4 at/above
+        kinds[i] = 1  # static boundary: immobile, no dynamics to heal
+    state = dataclasses.replace(
+        state, x=jnp.asarray(xs), kind=jnp.asarray(kinds)
+    )
+    adv = make_audited_advance(
+        scene, "pallas", 12, sort_every=4, slot_resident=True,
+        adaptive_cap=True,
+    )
+    out = adv(state)
+    err = capsys.readouterr().err
+    assert "narrowed" in err
+    assert "switching" not in err
+    assert adv.mode == "cap8"
+    assert int(out.step) == 12
+    assert np.isfinite(np.asarray(out.x)).all()
+
+
 def test_heal_with_cap8_overflow_grid():
     """An aggressive cap that overflows at build time triggers healing (not
     silent pair-dropping): the healed result equals the default-cap
