@@ -47,14 +47,14 @@ FLOORS = {
     ("dam2d_10k", "auto8"): 4.7e6,  # r3: 6.76e6 (occupancy-fit narrow skin)
     ("dam3d_100k", "grid"): 1.8e5,
     ("dam3d_100k", "pallas"): 2.5e6,
-    ("dam3d_100k", "resident4"): 5.1e6,       # r3: 7.34e6 measured
+    ("dam3d_100k", "resident4"): 5.2e6,       # r3: 7.53e6 measured
     ("dam3d_100k", "resident4auto"): 6.5e6,   # r3: 9.32e6 measured
     ("dam3d_100k", "auto8"): 7.5e6,           # r3: 1.09e7 measured
     ("dam3d_100k", "spatial-resident4"): 4.6e6,  # r3: 6.64e6 measured
     ("dam3d_100k", "spatial-resident4auto"): 5.9e6,  # r3: 8.45e6 measured
     ("splash3d_1m", "pallas"): 3.0e6,
-    ("splash3d_1m", "resident4"): 7.2e6,      # r3: 1.03e7 measured
-    ("splash3d_1m", "resident4auto"): 1.0e7,  # r3: 1.47e7 measured
+    ("splash3d_1m", "resident4"): 7.5e6,      # r3: 1.10e7 (no acc scatter)
+    ("splash3d_1m", "resident4auto"): 1.05e7,  # r3: 1.51e7 measured
     ("splash3d_1m", "auto8"): 9.8e6,          # r3: 1.41e7 measured
     ("splash3d_1m", "spatial-resident4"): 6.5e6,  # r3: 9.36e6 measured
     ("splash3d_1m", "spatial-resident4auto"): 1.0e7,  # r3: 1.44e7 measured

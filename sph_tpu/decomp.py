@@ -907,16 +907,11 @@ def _make_spatial_reuse_local(
             # requirement (b) is implied; the classic loop's pre-drift
             # reference is merely more conservative (fires at v > c0).
             xs0 = xs
+            # no acc scatter: step 0's kick+drift ran in particle space
+            # above, so the first kick that reads acc_s is i=1's — by
+            # then acc_s is i=0's force result (the scattered value was
+            # dead compute)
             acc_s = jnp.zeros_like(xs)
-            if leap:
-                acc_rows = jnp.concatenate(
-                    [acc, jnp.zeros((2 * g_cap, d), jnp.float32)], axis=0
-                )
-                acc_rows = jnp.concatenate([acc_rows, zc], axis=1)
-                acc_s = (
-                    pallas_step.scatter_slots(addr, acc_rows, sg)[:, 0:d, :]
-                    * movs
-                )
 
             ok_all = addr.valid & (addr.row_pos > 0)
             # ghost slot scatter indices into the [c_rows, C, lanes] arrays
@@ -1442,7 +1437,10 @@ def _make_spatial_resident_auto(
             single-chip auto advance)."""
             addr, sh = c["addr"], c["shadow"]
             act0, movable0 = masks(sh, c["build_step"])
-            ok_loc = (addr.valid & (addr.row_pos > 0))[:nl]
+            # until a block has run (`live`), the slots hold the pre-kick
+            # v and acc/rp placeholders — the shadow (exactly current at
+            # that point) is the source of truth
+            ok_loc = (addr.valid & (addr.row_pos > 0))[:nl] & c["live"]
             okc = ok_loc[:, None]
 
             def gat(slot, ncomp):
@@ -1566,17 +1564,13 @@ def _make_spatial_resident_auto(
             xs = feat32[:, 0:d, :]
             vs = feat32[:, 3 : 3 + d, :]
             movb = feat32[:, 6:7, :] > 0
-            if leap:
-                acc_rows = jnp.concatenate(
-                    [sh["acc"], jnp.zeros((2 * g_cap, d), jnp.float32)],
-                    axis=0,
-                )
-                acc_rows = jnp.concatenate([acc_rows, zc], axis=1)
-                acc_s = pallas_step.scatter_slots(addr, acc_rows, sg)[
-                    :, 0:d, :
-                ] * movb.astype(jnp.float32)
-            else:
-                acc_s = jnp.zeros_like(xs)
+            # no acc scatter (measured ~55 ms at 1M): on the rebuild path
+            # step 0's kick+drift ran in particle space (drift_shadow) so
+            # the first acc_s reader is i=1's kick — post-force by then —
+            # and at the dispatch top the half-kick is pre-applied to the
+            # scattered v instead (see scanned()); materialize falls back
+            # to the shadow acc until a block has run (`live`)
+            acc_s = jnp.zeros_like(xs)
             return addr, xs, vs, acc_s, movb
 
         def make_pins(addr, idx_lo, val_lo, idx_hi, val_hi):
@@ -1683,22 +1677,30 @@ def _make_spatial_resident_auto(
             kind=st.kind, emit=st.emit_step,
         )
         step_t = st.step
+        # leapfrog: pre-apply block 0's half-kick in particle space to the
+        # SCATTERED v (identical elementwise arithmetic to the old in-slot
+        # kick from a scattered acc, which this deletes); the carried
+        # shadow keeps the raw synchronized v — materialize falls back to
+        # it until a block has run (`live`).  rho/p are likewise not
+        # scattered: step 0's density kernel overwrites rp before any
+        # consumer reads it.
+        if leap:
+            movf0 = masks(sh0, step_t)[1][:, None].astype(jnp.float32)
+            sh0s = {**sh0, "v": sh0["v"] + (0.5 * dt) * sh0["acc"] * movf0}
+        else:
+            sh0s = sh0
         idx_lo0, val_lo0, buf_lo0, idx_hi0, val_hi0, buf_hi0, ovb0 = (
-            band_pack(sh0, step_t)
+            band_pack(sh0s, step_t)
         )
         g_l0, g_r0 = ghost_exchange(buf_lo0, val_lo0, buf_hi0, val_hi0, None)
-        addr0, xs0, vs0, acc0, movb0 = build_residency(sh0, g_l0, g_r0, step_t)
+        addr0, xs0, vs0, acc0, movb0 = build_residency(sh0s, g_l0, g_r0, step_t)
         pins0 = make_pins(addr0, idx_lo0, val_lo0, idx_hi0, val_hi0)
-        rho_c0 = jnp.concatenate(
-            [sh0["rho"], jnp.ones((2 * g_cap,), jnp.float32)]
-        )
-        p_c0 = jnp.concatenate([sh0["p"], jnp.zeros((2 * g_cap,), jnp.float32)])
-        rp0 = pallas_step.scatter_rp(addr0, rho_c0, p_c0, sg)
+        rp0 = jnp.zeros((sg.c_rows, 2, sg.lanes), jnp.float32)
         carry0 = dict(
             addr=addr0, xs=xs0, vs=vs0, acc=acc0, rp=rp0, movb=movb0,
             pins=pins0, x0s=xs0, shadow=sh0, build_step=step_t, step=step_t,
             over=addr0.overflow + ovb0, viol=jnp.int32(0),
-            rebuilds=jnp.int32(1),
+            rebuilds=jnp.int32(1), live=jnp.bool_(False),
             # ordering token: a tiny slice keeps the data dependence on the
             # last collective without growing the scan carry (shape must be
             # stable across blocks)
@@ -1878,6 +1880,7 @@ def _make_spatial_resident_auto(
                 over=c["over"] + ovm + ins_over + ovb + sl["pend"],
                 viol=viol,
                 rebuilds=c["rebuilds"] + need.astype(jnp.int32),
+                live=jnp.bool_(True),  # slot v/acc/rp real from now on
                 tok=tok2[0, :1],
             )
             return c_out, None

@@ -368,11 +368,17 @@ def _make_resident_advance(
             # folds in with the skin-drift violations)
             viol_blk = addr.overflow
             zpad = jnp.zeros((s.capacity, 3 - d), jnp.float32)
+            # leapfrog: the block-top HALF-KICK is pre-applied in particle
+            # space (identical elementwise arithmetic, just before the
+            # scatter instead of after), which deletes the whole 3-col acc
+            # scatter — its only consumer was this kick.  Measured ~55 ms
+            # per rebuild at 1M (bench log in ROADMAP round-3).
+            movf = movable0[:, None].astype(jnp.float32)
+            v_in = s.v + (0.5 * dt) * s.acc * movf if leap else s.v
             rows = jnp.concatenate(
-                [s.x, zpad, s.v, zpad,
-                 movable0[:, None].astype(jnp.float32)],
+                [s.x, zpad, v_in, zpad, movf],
                 axis=1,
-            )  # 7 cols: x3 | v3 | movable
+            )  # 7 cols: x3 | v_half3 | movable
             feat = pallas_step.scatter_slots(addr, rows, sg)
             xs = feat[:, 0:d, :]
             vs = feat[:, 3 : 3 + d, :]
@@ -382,20 +388,14 @@ def _make_resident_advance(
             # kernels see a per-step view rebuilt from xs/vs (bf16 mode: a
             # cell-relative bf16 view; the fp32 state never leaves fp32)
             mk_feat = sp.mk_feat_builder(addr, feat)
-            if leap:
-                acc_rows = jnp.concatenate([s.acc, zpad], axis=1)
-                acc_s = pallas_step.scatter_slots(addr, acc_rows, sg)[
-                    :, 0:d, :
-                ]
-                # dummy slots hold the 1e18 init in col 0; zero them so the
-                # masked kick math never multiplies 0 by a huge number
-                acc_s = acc_s * mov
+            acc_s = None  # post-force only; the i=0 kick already happened
             a_s = jnp.zeros_like(xs)
             rp = None
             for i in range(sort_every):
                 step_i = s.step + i
                 if leap:
-                    vs = vs + (0.5 * dt) * acc_s * mov
+                    if i > 0:
+                        vs = vs + (0.5 * dt) * acc_s * mov
                     xs = xs + dt * vs * mov
                     feat = mk_feat(xs, vs)
                     rp = pallas_step._call_density(feat, addr, sg, params)
@@ -522,40 +522,47 @@ def _make_resident_auto_advance(
 
     def enter_slots(s: State):
         """Particle state → slot residency (build + scatter), the classic
-        block-top sequence."""
+        block-top sequence.  The leapfrog half-kick is pre-applied in
+        particle space (bitwise-equal elementwise arithmetic), and acc/
+        rho/p are NOT scattered: the first block's kick is already done,
+        the first density pass overwrites rp before any consumer reads
+        it, and materialize falls back to the shadow for both until a
+        block has run (`live` flag) — deleting two of the three scatter
+        passes per rebuild (measured ~55 + ~46 ms at 1M)."""
         act0 = s.active
         movable0 = act0 & (s.kind == 0)
         addr = pallas_step.build_addr(s.x, act0, grid, sg)
         zpad = jnp.zeros((s.capacity, 3 - d), jnp.float32)
+        movf = movable0[:, None].astype(jnp.float32)
+        v_in = s.v + (0.5 * dt) * s.acc * movf if leap else s.v
         rows = jnp.concatenate(
-            [s.x, zpad, s.v, zpad, movable0[:, None].astype(jnp.float32)],
+            [s.x, zpad, v_in, zpad, movf],
             axis=1,
         )
         feat = pallas_step.scatter_slots(addr, rows, sg)
         xs = feat[:, 0:d, :]
         vs = feat[:, 3 : 3 + d, :]
         movb = feat[:, 6:7, :] > 0
-        if leap:
-            acc_rows = jnp.concatenate([s.acc, zpad], axis=1)
-            acc_s = pallas_step.scatter_slots(addr, acc_rows, sg)[
-                :, 0:d, :
-            ] * movb.astype(jnp.float32)
-        else:
-            acc_s = jnp.zeros_like(xs)
-        rp = pallas_step.scatter_rp(addr, s.rho, s.p, sg)
+        acc_s = jnp.zeros_like(xs)  # i=0's kick is pre-applied: +0 no-op
+        rp = jnp.zeros((sg.c_rows, 2, sg.lanes), jnp.float32)
         return dict(
             addr=addr, xs=xs, vs=vs, acc=acc_s, movb=movb, x0s=xs, rp=rp,
             shadow=s, build_step=s.step, pend_over=addr.overflow,
+            live=jnp.bool_(False),
         )
 
     def materialize(c) -> State:
         """Slots → particle State at the carry's current step (non-slotted
         particles keep their shadow values — same fallback semantics as
-        the classic resident block)."""
+        the classic resident block).  Until a block has run (`live`),
+        slot acc/rho/p are placeholders (enter_slots skips those
+        scatters) and the shadow — exactly current at that point — is
+        the source of truth."""
         addr, s = c["addr"], c["shadow"]
+        live = c["live"]
         act0 = s.active
         movable0 = act0 & (s.kind == 0)
-        ok = addr.valid & (addr.row_pos > 0)
+        ok = (addr.valid & (addr.row_pos > 0)) & live
         x_g = gather(c["xs"], d, addr)
         v_g = gather(c["vs"], d, addr)
         a_g = gather(c["acc"], d, addr)
@@ -679,6 +686,7 @@ def _make_resident_auto_advance(
                 "xs": xs, "vs": vs, "acc": acc_s, "rp": rp,
                 "shadow": bump_step(c["shadow"], sort_every),
                 "pend_over": jnp.int32(0),
+                "live": jnp.bool_(True),  # slot acc/rp real from now on
             }
 
             def heal(c_top):
