@@ -58,6 +58,7 @@ def main():
         return loc, adv
 
     loc, adv = build(state)
+    healed_total = 0
     print(f"spatial soak: n={n}, {n_steps} steps, shards={shards}",
           flush=True)
     loc = adv(loc)  # warm compile outside the timed loop
@@ -71,6 +72,7 @@ def main():
         except decomp.SpatialCapOverflow as e:
             recoveries += 1
             print(f"elastic recovery at step {done}: {e}", flush=True)
+            healed_total += adv.healed
             loc, adv = build(decomp.spatial_gather_state(loc))
             loc = adv(loc)
         jax.block_until_ready(loc.x)
@@ -99,7 +101,7 @@ def main():
         f"SPATIAL SOAK RESULT: {timed} timed steps in {wall:.1f}s → "
         f"{n * timed / wall:.3e} particle-steps/s soak-average "
         f"({wall / timed * 1e3:.1f} ms/step); recoveries={recoveries} "
-        f"finite={ok}",
+        f"healed_blocks={healed_total + adv.healed} finite={ok}",
         flush=True,
     )
     assert ok

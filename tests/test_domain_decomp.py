@@ -729,11 +729,11 @@ def test_spatial_auto_forced_bitwise_vs_resident():
     a, ov_a = decomp.make_spatial_advance(
         scene, spec, mesh, slot_resident=True, **kw
     )(loc0)
-    b, ov_b, rebuilds = decomp.make_spatial_advance(
+    b, ov_b, rebuilds, healed = decomp.make_spatial_advance(
         scene, spec, mesh, slot_resident=True, auto_rebuild=True,
         rebuild_frac=0.0, **kw
     )(loc0)
-    assert int(ov_a) == 0 and int(ov_b) == 0
+    assert int(ov_a) == 0 and int(ov_b) == 0 and int(healed) == 0
     assert int(rebuilds) == 4  # dispatch-top enter + every (moving) block
     assert np.array_equal(np.asarray(a.x), np.asarray(b.x))
     assert np.array_equal(np.asarray(a.rho), np.asarray(b.rho))
@@ -757,10 +757,10 @@ def test_spatial_auto_stretches_and_matches():
     a, ov_a = decomp.make_spatial_advance(
         scene, spec, mesh, slot_resident=True, **kw
     )(loc0)
-    b, ov_b, rebuilds = decomp.make_spatial_advance(
+    b, ov_b, rebuilds, healed = decomp.make_spatial_advance(
         scene, spec, mesh, slot_resident=True, auto_rebuild=True, **kw
     )(loc0)
-    assert int(ov_a) == 0 and int(ov_b) == 0
+    assert int(ov_a) == 0 and int(ov_b) == 0 and int(healed) == 0
     assert int(rebuilds) < 8  # stretched past one rebuild per block
     m_a = decomp.spatial_gather_state(a)
     m_b = decomp.spatial_gather_state(b)
@@ -808,8 +808,8 @@ def test_spatial_auto_migration_conserves():
         scene, spec, mesh, method="pallas", steps_per_dispatch=148,
         sort_every=4, slot_resident=True, auto_rebuild=True,
     )
-    loc, overflow, rebuilds = adv(loc)
-    assert int(overflow) == 0
+    loc, overflow, rebuilds, healed = adv(loc)
+    assert int(overflow) == 0 and int(healed) == 0
     assert 1 < int(rebuilds) <= 148 // 4 + 1
     after = (np.asarray(loc.emit_step) <= int(loc.step)).sum(axis=1)
     assert not np.array_equal(before, after)   # migration happened
@@ -852,7 +852,7 @@ def test_spatial_auto_emitters():
         scene, spec, mesh, method="pallas", steps_per_dispatch=148,
         sort_every=4, slot_resident=True, auto_rebuild=True,
     )
-    loc, overflow, rebuilds = adv(loc)
+    loc, overflow, rebuilds, healed = adv(loc)
     assert int(overflow) == 0
     merged = decomp.spatial_gather_state(loc)
     step_now = int(merged.step)
@@ -862,6 +862,44 @@ def test_spatial_auto_emitters():
     assert act.sum() == scheduled.sum() > int(state.n_active())
     x = np.asarray(merged.x)[act]
     assert np.isfinite(x).all()
+
+
+def test_spatial_auto_heals_in_dispatch():
+    """A jet outrunning the skin budget heals EVERY block in-dispatch on
+    the per-step spatial path (the one conditional with collectives
+    inside — guarded by a psum'd, hence mesh-uniform, predicate).  With
+    every block healing, the dispatch degrades bitwise to the per-step
+    spatial advance; overflow stays 0 and the healed counter reports."""
+    scene = _wide_scene(integrator="leapfrog", eos="tait")
+    scene = scene.replace(
+        blocks=(
+            Block(
+                lo=(100.0, 20.0), hi=(500.0, 200.0),
+                velocity=(2000.0, 0.0),
+            ),
+        ),
+    )
+    mesh = decomp.mesh1d(8)
+    state = init(scene)
+    from sph_tpu.step import prime
+
+    state = prime(scene, state, method="pallas")
+    spec = decomp.SpatialSpec.for_scene(scene, 8, state.capacity)
+    loc0 = decomp.spatial_shard_state(state, scene, spec, mesh)
+    kw = dict(steps_per_dispatch=12)
+    ref, ov_ref = decomp.make_spatial_advance(
+        scene, spec, mesh, method="pallas", **kw
+    )(loc0)
+    out, ov, rebuilds, healed = decomp.make_spatial_advance(
+        scene, spec, mesh, method="pallas", sort_every=4,
+        slot_resident=True, auto_rebuild=True, **kw
+    )(loc0)
+    assert int(ov) == 0 and int(ov_ref) == 0
+    assert int(healed) == 3  # every block outran skin/2 and healed
+    assert np.array_equal(np.asarray(out.x), np.asarray(ref.x))
+    assert np.array_equal(np.asarray(out.v), np.asarray(ref.v))
+    assert np.array_equal(np.asarray(out.rho), np.asarray(ref.rho))
+    assert np.array_equal(np.asarray(out.emit_step), np.asarray(ref.emit_step))
 
 
 def test_audited_spatial_auto_default():
