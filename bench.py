@@ -31,7 +31,48 @@ import numpy as np
 
 from sph_tpu.platform import ensure_backend
 
-ensure_backend()  # stale JAX_PLATFORMS env (axon→tpu rename) — see platform.py
+
+def _backend_or_die() -> None:
+    """ensure_backend(), but never hang the driver on a dead TPU tunnel.
+
+    The axon PJRT plugin's device enumeration BLOCKS indefinitely when
+    its loopback relay is down (observed round 3: jax.devices() stuck
+    >40 min with ~0 CPU; the process sleeps in the plugin's reconnect
+    loop).  Probe in a subprocess with a timeout and retry a few times
+    so a transient outage heals, then fail loudly — a clean nonzero exit
+    beats an infinite hang for anything scripting this bench."""
+    import os
+    import subprocess
+
+    probe = ("from sph_tpu.platform import ensure_backend; "
+             "print(ensure_backend())")
+    for attempt in range(3):
+        try:
+            subprocess.run(
+                [sys.executable, "-c", probe], timeout=600, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+            break
+        except subprocess.TimeoutExpired:
+            print(
+                f"bench: backend probe hung 600 s (attempt {attempt + 1}"
+                f"/3) — TPU tunnel down?  retrying",
+                file=sys.stderr, flush=True,
+            )
+        except subprocess.CalledProcessError as e:
+            print(f"bench: backend probe failed ({e}); proceeding — "
+                  f"ensure_backend will surface the real error",
+                  file=sys.stderr, flush=True)
+            break
+    else:
+        print("bench: TPU backend unreachable after 3 probes — aborting",
+              file=sys.stderr, flush=True)
+        raise SystemExit(3)
+    ensure_backend()
+
+
+_backend_or_die()  # stale JAX_PLATFORMS env (axon→tpu rename) — platform.py
 
 from sph_tpu.params import preset
 from sph_tpu.state import init

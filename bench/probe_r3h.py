@@ -46,7 +46,7 @@ from sph_tpu import diagnostics, neighbors, pallas_step
 from sph_tpu.params import preset
 from sph_tpu.state import init
 from sph_tpu.step import (
-    _SlotPhysics, default_skin, make_audited_advance, prime,
+    _SlotPhysics, default_skin, make_advance, make_audited_advance, prime,
 )
 
 SORT_EVERY = 4
@@ -254,6 +254,35 @@ def main():
         print(
             f"theta={theta:.2f}: rebuilds={rebuilds}/{probe_blocks} "
             f"heals={heals}/{probe_blocks} clean={clean}",
+            flush=True,
+        )
+
+    print("== part 3: production auto advance from SETTLED, velocity vs "
+          "reactive predictor (timed)", flush=True)
+    steps = probe_blocks * SORT_EVERY
+    for tag, kw in (
+        ("velocity (today)", {}),
+        ("reactive th=0.70", dict(reactive_theta=0.70)),
+        ("reactive th=0.85", dict(reactive_theta=0.85)),
+    ):
+        adv = make_advance(
+            scene, "pallas", steps_per_dispatch=steps, sort_every=SORT_EVERY,
+            slot_resident=True, auto_rebuild=True, **kw
+        )
+        s2, viol, healed, rebuilds = adv(st)
+        float(jnp.sum(s2.x))
+        best, h_last, r_last = float("inf"), 0, 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            s2, viol, healed, rebuilds = adv(s2)
+            float(jnp.sum(s2.x))
+            best = min(best, time.perf_counter() - t0)
+            h_last, r_last = int(healed), int(rebuilds)
+        n = int(s2.n_active())
+        print(
+            f"{tag:20s} {best/steps*1e3:8.2f} ms/step  "
+            f"{n*steps/best:.3e} p-steps/s  healed={h_last} "
+            f"rebuilds={r_last}/{steps//SORT_EVERY}",
             flush=True,
         )
 

@@ -1318,6 +1318,7 @@ def _make_spatial_reuse_local(
 def _make_spatial_resident_auto(
     scene: Scene, spec: SpatialSpec, mesh: Mesh, sort_every: int,
     blocks: int, rebuild_frac: float = 1.0,
+    reactive_theta: float | None = None,
 ):
     """AUTO-REBUILD slot residency under spatial decomposition — the
     decomp form of step._make_resident_auto_advance: the per-slab slot
@@ -1747,20 +1748,29 @@ def _make_spatial_resident_auto(
             # --- uniform rebuild decision (one pmax across the mesh) ---
             dd = c["xs"] - c["x0s"]
             drift_now = jnp.sqrt(jnp.max(jnp.sum(dd * dd, axis=1)))
-            vmax = jnp.sqrt(jnp.max(jnp.sum(c["vs"] * c["vs"], axis=1)))
-            predicted = drift_now + 1.2 * vmax * dt * sort_every
+            if reactive_theta is not None:
+                # reactive policy (see step._make_resident_auto_advance):
+                # rebuild on MEASURED drift only; the in-dispatch heal is
+                # the backstop when a block still overruns skin/2
+                metric, thresh = drift_now, reactive_theta * 0.5 * skin
+            else:
+                vmax = jnp.sqrt(
+                    jnp.max(jnp.sum(c["vs"] * c["vs"], axis=1))
+                )
+                metric = drift_now + 1.2 * vmax * dt * sort_every
+                thresh = budget
             activated = jnp.any(
                 (c["shadow"]["emit"] > c["build_step"])
                 & (c["shadow"]["emit"] <= step0)
             )
             sig = jax.lax.pmax(
                 _chained(
-                    jnp.stack([predicted, activated.astype(jnp.float32)]),
+                    jnp.stack([metric, activated.astype(jnp.float32)]),
                     c["tok"],
                 ),
                 AXIS,
             )
-            need = (sig[0] > budget) | (sig[1] > 0)
+            need = (sig[0] > thresh) | (sig[1] > 0)
 
             # --- phase A (local cond): exit + leaver packing ---
             def a_yes(c_):
@@ -2024,6 +2034,7 @@ def make_spatial_advance(
     slot_resident: bool = False,
     auto_rebuild: bool = False,
     rebuild_frac: float = 1.0,
+    reactive_theta: float | None = None,
 ):
     """jitted advance: `steps_per_dispatch` sharded steps in one lax.scan.
 
@@ -2061,6 +2072,7 @@ def make_spatial_advance(
         scanned = _make_spatial_resident_auto(
             scene, spec, mesh, sort_every,
             steps_per_dispatch // sort_every, rebuild_frac=rebuild_frac,
+            reactive_theta=reactive_theta,
         )
         spec_in = _spatial_specs()
         return jax.jit(
@@ -2637,6 +2649,7 @@ def make_audited_spatial_advance(
     sort_every: int = 1,
     slot_resident: bool = False,
     auto_rebuild: bool = True,
+    reactive_theta: float | None = None,
 ):
     """`advance(loc_state) -> loc_state` with the single-chip audited-
     fallback policy extended across the mesh (VERDICT r2 missing 2): when
@@ -2656,6 +2669,7 @@ def make_audited_spatial_advance(
         scene, spec, mesh, method, steps_per_dispatch,
         sort_every=sort_every, slot_resident=slot_resident,
         auto_rebuild=auto,
+        reactive_theta=reactive_theta if auto else None,
     )
     exact = []  # per-step spatial fallback, compiled on first use
 

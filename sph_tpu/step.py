@@ -475,7 +475,7 @@ def _make_resident_advance(
 
 def _make_resident_auto_advance(
     scene: Scene, grid, sg, sort_every: int, blocks: int, skin: float,
-    rebuild_frac: float = 1.0,
+    rebuild_frac: float = 1.0, reactive_theta: float | None = None,
 ):
     """AUTO-REBUILD slot-resident advance (round 3): the state stays in
     the slot arrays ACROSS block boundaries, and the
@@ -497,6 +497,19 @@ def _make_resident_auto_advance(
     a violating block re-runs exactly per-step-rebuild under lax.cond
     (heal — always on here), so a tail particle outrunning the budget
     costs one healed block, never silent physics.
+
+    reactive_theta: REACTIVE rebuild policy — rebuild when MEASURED max
+    drift crosses `reactive_theta * skin/2`, with NO velocity
+    projection; the heal is the exactness backstop when a block still
+    overruns the full budget.  Rationale (bench/probe_r3h.py): at
+    settle the velocity projection alone (1.2 * max|v| * dt * k ≈ 0.71
+    at the 1M preset, vs budget 0.72) trips EVERY block on acoustic
+    oscillation of a fast minority whose actual drift stays bounded by
+    the oscillation amplitude — no projection from instantaneous (or
+    even per-block-displacement) data can distinguish an oscillator
+    from ballistic transport within one block, so the only way to
+    stretch the rebuild interval there is to trust the in-block audit.
+    Wins iff heals stay rarer than ~(rebuild_cost/heal_cost) per block.
 
     Returns `advance(state) -> (state, residual_viol(=0), healed,
     rebuilds)`."""
@@ -661,10 +674,15 @@ def _make_resident_auto_advance(
             emit = c["shadow"].emit_step
             dd = c["xs"] - c["x0s"]
             drift_now = jnp.sqrt(jnp.max(jnp.sum(dd * dd, axis=1)))
-            vmax = jnp.sqrt(jnp.max(jnp.sum(c["vs"] * c["vs"], axis=1)))
-            predicted = drift_now + 1.2 * vmax * dt * sort_every
             activated = jnp.any((emit > c["build_step"]) & (emit <= s_step))
-            need = (predicted > budget) | activated
+            if reactive_theta is not None:
+                need = (drift_now > reactive_theta * 0.5 * skin) | activated
+            else:
+                vmax = jnp.sqrt(
+                    jnp.max(jnp.sum(c["vs"] * c["vs"], axis=1))
+                )
+                predicted = drift_now + 1.2 * vmax * dt * sort_every
+                need = (predicted > budget) | activated
 
             def rebuild(c):
                 fresh = enter_slots(materialize(c))
@@ -725,6 +743,7 @@ def make_advance(
     slot_resident: bool = False, xsub: int = 1, xb_cells: int = 4,
     heal: bool = False, row_pair: bool = False,
     auto_rebuild: bool = False, rebuild_frac: float = 1.0,
+    reactive_theta: float | None = None,
 ):
     """jitted `advance(state) -> state` running S steps in one `lax.scan`.
 
@@ -797,6 +816,7 @@ def make_advance(
                 return _make_resident_auto_advance(
                     scene, grid, sg, sort_every, blocks, skin,
                     rebuild_frac=rebuild_frac,
+                    reactive_theta=reactive_theta,
                 )
             return _make_resident_advance(
                 scene, grid, sg, sort_every, blocks, skin, heal=heal
@@ -854,7 +874,7 @@ def make_audited_advance(
     scene: Scene, method: str, steps_per_dispatch: int,
     sort_every: int = 1, slot_resident: bool = False, xsub: int = 1,
     grid=None, adaptive_cap: bool = False, row_pair: bool = False,
-    auto_rebuild: bool = True,
+    auto_rebuild: bool = True, reactive_theta: float | None = None,
 ):
     """`advance(state) -> state` with the fast path's safety policy built
     in: when the skin/cap audit fires (e.g. a splash-impact speed spike
@@ -886,7 +906,8 @@ def make_audited_advance(
     auto = auto_rebuild and slot_resident and sort_every > 1
     base_kw = dict(sort_every=sort_every, slot_resident=slot_resident,
                    xsub=xsub, heal=slot_resident and not auto,
-                   row_pair=row_pair, auto_rebuild=auto)
+                   row_pair=row_pair, auto_rebuild=auto,
+                   reactive_theta=reactive_theta if auto else None)
 
     def _unpack(out):
         # (state, viol) | (state, viol, healed) | (+ rebuilds) — the heal

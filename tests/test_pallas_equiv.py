@@ -624,3 +624,68 @@ def test_auto_rebuild_emitter_activation():
     xb = np.asarray(s_b.x)[np.asarray(s_b.active)]
     scale = np.max(np.abs(xb)) + 1e-9
     assert np.max(np.abs(np.sort(xa, 0) - np.sort(xb, 0))) / scale < 1e-4
+
+
+def test_auto_reactive_theta0_bitwise():
+    """reactive_theta=0 rebuilds at every block whose residency has any
+    measured drift — from a scene at rest that is every block after the
+    first, exactly the velocity predictor's rebuild_frac=0 schedule — so
+    results must match the classic resident block bitwise."""
+    scene = small_scene(dim=2, seed=95)
+    state = init(scene)
+    kw = dict(steps_per_dispatch=16, sort_every=4, slot_resident=True)
+    s_a, viol_a, healed_a, rebuilds = make_advance(
+        scene, "pallas", auto_rebuild=True, reactive_theta=0.0, **kw
+    )(state)
+    s_b, viol_b = make_advance(scene, "pallas", **kw)(state)
+    assert int(viol_a) == 0 and int(healed_a) == 0 and int(viol_b) == 0
+    assert int(rebuilds) == 4  # initial + blocks 2..4
+    assert np.array_equal(np.asarray(s_a.x), np.asarray(s_b.x))
+    assert np.array_equal(np.asarray(s_a.v), np.asarray(s_b.v))
+    assert np.array_equal(np.asarray(s_a.rho), np.asarray(s_b.rho))
+
+
+def test_auto_reactive_calm_scene_stretches_and_matches():
+    """Reactive policy on a calm scene: strictly fewer rebuilds than the
+    velocity predictor (no projection term), zero violations/heals, and
+    trajectories match the classic resident path to fp tolerance."""
+    scene = small_scene(dim=2, seed=96)
+    state = init(scene)
+    kw = dict(steps_per_dispatch=32, sort_every=4, slot_resident=True)
+    s_a, viol, healed, rebuilds_r = make_advance(
+        scene, "pallas", auto_rebuild=True, reactive_theta=0.7, **kw
+    )(state)
+    assert int(viol) == 0 and int(healed) == 0
+    _, _, _, rebuilds_v = make_advance(
+        scene, "pallas", auto_rebuild=True, **kw
+    )(state)
+    assert int(rebuilds_r) <= int(rebuilds_v)
+    assert int(rebuilds_r) < 8
+    s_b, viol_b = make_advance(scene, "pallas", **kw)(state)
+    assert int(viol_b) == 0
+    xa, xb = np.asarray(s_a.x), np.asarray(s_b.x)
+    scale = np.max(np.abs(xb)) + 1e-9
+    assert np.max(np.abs(xa - xb)) / scale < 1e-4
+
+
+def test_auto_reactive_jet_heals_exactly():
+    """Reactive policy never rebuilds pre-emptively, so a jet outrunning
+    the skin heals EVERY block — and the result is bitwise the
+    per-step-rebuild path (the audit+heal backstop carries the exactness
+    contract alone)."""
+    from sph_tpu.params import Block
+
+    base = small_scene(dim=2, seed=97)
+    jet = base.replace(
+        blocks=(Block(lo=base.blocks[0].lo, hi=base.blocks[0].hi,
+                      velocity=(2000.0, 0.0)),),
+    )
+    state = init(jet)
+    s_a, viol, healed, rebuilds = make_advance(
+        jet, "pallas", steps_per_dispatch=12, sort_every=4,
+        slot_resident=True, auto_rebuild=True, reactive_theta=0.7,
+    )(state)
+    assert int(viol) == 0 and int(healed) == 3
+    s_e = make_advance(jet, "pallas", steps_per_dispatch=12)(state)
+    assert np.array_equal(np.asarray(s_a.x), np.asarray(s_e.x))
+    assert np.array_equal(np.asarray(s_a.v), np.asarray(s_e.v))
