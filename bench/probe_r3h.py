@@ -155,6 +155,20 @@ def make_resident_tools(scene, grid, sg):
         )
 
     @jax.jit
+    def member_counts(c, half):
+        """(outside-bin count, RELAXED violations = outside & drift>half):
+        the membership-relaxed audit's view of the same state."""
+        from sph_tpu.step import _slot_bin_refs, _slot_inside_bin
+
+        dd = c["xs"] - c["x0s"]
+        drift2 = jnp.sum(dd * dd, axis=1, keepdims=True)
+        inside = _slot_inside_bin(
+            c["xs"], _slot_bin_refs(c["addr"], sg), grid
+        )
+        out = ~inside & c["movb"]
+        return jnp.sum(out), jnp.sum(out & (drift2 > half ** 2))
+
+    @jax.jit
     def rematerialize(c, s):
         """Slots -> particle State (active particles all slotted at the
         settled state; shadow fallback for the rest)."""
@@ -180,7 +194,7 @@ def make_resident_tools(scene, grid, sg):
             kind=s.kind, emit_step=s.emit_step, step=c["step"],
         )
 
-    return enter, run_block, viol_counts, rematerialize
+    return enter, run_block, viol_counts, member_counts, rematerialize
 
 
 def main():
@@ -203,8 +217,8 @@ def main():
           f"|v| quantiles (active) 50/90/99/99.9%: "
           f"{np.percentile(vq[act], [50, 90, 99, 99.9])}", flush=True)
 
-    enter, run_block, viol_counts, remat = make_resident_tools(
-        scene, grid, sg
+    enter, run_block, viol_counts, member_counts, remat = (
+        make_resident_tools(scene, grid, sg)
     )
 
     print(f"== part 1: no-rebuild drift dynamics ({probe_blocks} blocks "
@@ -213,16 +227,20 @@ def main():
     for b in range(probe_blocks):
         c, stats, drift2, movb = run_block(c)
         nv, n80 = viol_counts(drift2, movb, half, 0.8)
+        nout, nrelax = member_counts(c, half)
         print(
             f"block {b + 1:3d}: dmax={float(stats['dmax']):6.3f} "
             f"fast-set dmax={float(stats['fdmax']):6.3f} "
             f"blk-disp={float(stats['bdisp']):6.3f} "
             f"viol(> {half:.2f})={int(nv):7d} "
-            f">80%budget={int(n80):7d}",
+            f">80%budget={int(n80):7d} "
+            f"outside-bin={int(nout):7d} "
+            f"RELAXED-viol={int(nrelax):7d}",
             flush=True,
         )
-        if int(nv) > 200_000:
-            print("  (bulk violation — stopping part 1)", flush=True)
+        if int(nrelax) > 200_000:
+            print("  (bulk membership violation — stopping part 1)",
+                  flush=True)
             break
 
     print("== part 2: reactive-theta policy (rebuild at measured "
@@ -257,13 +275,15 @@ def main():
             flush=True,
         )
 
-    print("== part 3: production auto advance from SETTLED, velocity vs "
-          "reactive predictor (timed)", flush=True)
+    print("== part 3: production auto advance from SETTLED — strict "
+          "velocity vs reactive vs membership-relaxed (timed)", flush=True)
     steps = probe_blocks * SORT_EVERY
     for tag, kw in (
-        ("velocity (today)", {}),
-        ("reactive th=0.70", dict(reactive_theta=0.70)),
-        ("reactive th=0.85", dict(reactive_theta=0.85)),
+        ("velocity strict (r3)", dict(membership_audit=False)),
+        ("reactive 0.70 strict", dict(reactive_theta=0.70,
+                                      membership_audit=False)),
+        ("membership (default)", {}),
+        ("membership+th=0.85", dict(reactive_theta=0.85)),
     ):
         adv = make_advance(
             scene, "pallas", steps_per_dispatch=steps, sort_every=SORT_EVERY,

@@ -33,15 +33,17 @@ from sph_tpu.step import make_audited_advance, prime
 
 def main():
     n_steps = int(_sys.argv[1]) if len(_sys.argv) > 1 else 5000
+    theta = float(_sys.argv[2]) if len(_sys.argv) > 2 else None
     scene = preset("splash3d_1m")
     state = init(scene)
     state = jax.jit(lambda s: prime(scene, s, method="pallas"))(state)
     adv = make_audited_advance(
         scene, "pallas", 100, sort_every=4, slot_resident=True,
-        adaptive_cap=True,
+        adaptive_cap=True, reactive_theta=theta,
     )
     n = int(state.n_active())
-    print(f"soak: n={n}, {n_steps} steps, adaptive flagship", flush=True)
+    print(f"soak: n={n}, {n_steps} steps, adaptive flagship "
+          f"(reactive_theta={theta})", flush=True)
     t_all = 0.0
     healed_prev = 0
     # warm compile outside the timed loop

@@ -181,6 +181,74 @@ def default_skin(scene: Scene, sort_every: int) -> float:
     return 2.0 * sort_every * scene.params.dt * scene.params.sound_speed
 
 
+# --- Membership-relaxed Verlet audit -------------------------------------
+#
+# The classic reuse audit requires every particle within skin/2 of its
+# BUILD position.  That is sufficient but not necessary: with cells of
+# edge (h + skin), a pair with |xi − xj| < h is captured by the ±1-cell
+# candidate window whenever EACH endpoint satisfies (a) it still bins
+# into its build cell, OR (b) it is within skin/2 of its build position.
+# Proof per axis (floor bins; clip is monotone so clipped bins only get
+# closer):
+#   (a,a): xi ∈ bin_i, xj ∈ bin_j, |xi−xj| < h < cell  ⇒ bins ≤ 1 apart.
+#   (a,b): |xi − x0j| ≤ |xi−xj| + skin/2 < h + skin/2 < cell, xi ∈ bin_i
+#          and x0j ∈ bin_j                              ⇒ bins ≤ 1 apart.
+#   (b,b): |x0i − x0j| < h + skin = cell (the classic Verlet argument).
+# So a drift violation is REAL only when the particle has ALSO left its
+# build cell — acoustic oscillation at settle (drift crosses skin/2 while
+# the particle never leaves its cell) stops tripping rebuilds/heals, with
+# zero change to the physics contract (bench/probe_r3h.py measurements).
+# Restricted to xsub == 1 (slot-cell margins differ; xsub is a measured
+# dead end and default-off) — callers fall back to the strict audit.
+
+
+def _slot_bin_refs(addr, sg):
+    """Per-axis BUILD-cell indices of every slot, broadcastable against a
+    [c_rows, lanes] plane.  Row 0 (dummy) and pad rows carry the safe
+    interior code from build_addr; their slots are masked by `movb`
+    wherever these refs are consumed."""
+    code = addr.row_code.astype(jnp.int32)            # [c_rows]
+    refs = []
+    if sg.dim == 3:
+        refs.append((code // sg.h1 - 1)[:, None])     # axis 0 (z): rows
+    refs.append(((code % sg.h1 if sg.dim == 3 else code) - 1)[:, None])
+    refs.append(
+        (jnp.arange(sg.lanes, dtype=jnp.int32) // sg.cap - sg.xc)[None, :]
+    )                                                 # last axis (x): lanes
+    return refs
+
+
+def _slot_inside_bin(xs, refs, grid):
+    """[c_rows, 1, lanes] bool: the slot's CURRENT position still bins into
+    the cell the addressing assigned at build (same floor+clip arithmetic
+    as neighbors.cell_index, so 'inside' is exactly 'a rebuild would bin
+    it identically')."""
+    ins = None
+    for a in range(xs.shape[1]):
+        ci = jnp.clip(
+            jnp.floor(
+                (xs[:, a, :] - grid.lo[a]) / grid.cell
+            ).astype(jnp.int32),
+            0,
+            grid.shape[a] - 1,
+        )
+        eq = ci == refs[a]
+        ins = eq if ins is None else ins & eq
+    return ins[:, None, :]
+
+
+def _slot_bin_margin(xs, refs, grid):
+    """[c_rows, 1, lanes] float: distance to the nearest face of the slot's
+    BUILD cell (negative once outside) — the membership side of the auto
+    rebuild predicate (predict a bin EXIT, not mere drift)."""
+    m = None
+    for a in range(xs.shape[1]):
+        lo_c = refs[a].astype(jnp.float32) * grid.cell + grid.lo[a]
+        ma = jnp.minimum(xs[:, a, :] - lo_c, lo_c + grid.cell - xs[:, a, :])
+        m = ma if m is None else jnp.minimum(m, ma)
+    return m[:, None, :]
+
+
 class _SlotPhysics:
     """Elementwise physics in [c_rows, d, lanes] SLOT space — the exact
     per-element arithmetic of physics.gravity_force / wall_penalty_force /
@@ -306,7 +374,7 @@ class _SlotPhysics:
 
 def _make_resident_advance(
     scene: Scene, grid, sg, sort_every: int, blocks: int, skin: float,
-    heal: bool = False,
+    heal: bool = False, membership_audit: bool = True,
 ):
     """Slot-resident block advance: the particle state LIVES in the slot
     arrays for `sort_every` steps — integration is elementwise in slot
@@ -345,6 +413,7 @@ def _make_resident_advance(
     dt = params.dt
     d = params.dim
     half2 = (0.5 * skin) ** 2
+    use_mem = membership_audit and sg.xsub == 1
     leap = params.integrator == "leapfrog"
     sp = _SlotPhysics(scene, grid, sg)
     body_forces = sp.body_forces
@@ -426,9 +495,14 @@ def _make_resident_advance(
                     xs, vs = clamp_slot(xs, vs, movb)
                 dd = xs - x0
                 drift2 = jnp.sum(dd * dd, axis=1, keepdims=True)
-                viol_blk = viol_blk + jnp.sum(
-                    ((drift2 > half2) & movb).astype(jnp.int32)
-                )
+                bad_i = (drift2 > half2) & movb
+                if use_mem:
+                    # membership-relaxed: drift past skin/2 is only a real
+                    # violation once the particle ALSO left its build cell
+                    bad_i = bad_i & ~_slot_inside_bin(
+                        xs, _slot_bin_refs(addr, sg), grid
+                    )
+                viol_blk = viol_blk + jnp.sum(bad_i.astype(jnp.int32))
 
             # one set of element-gathers per BLOCK materializes the State
             ok = addr.valid & (addr.row_pos > 0)
@@ -476,6 +550,7 @@ def _make_resident_advance(
 def _make_resident_auto_advance(
     scene: Scene, grid, sg, sort_every: int, blocks: int, skin: float,
     rebuild_frac: float = 1.0, reactive_theta: float | None = None,
+    membership_audit: bool = True,
 ):
     """AUTO-REBUILD slot-resident advance (round 3): the state stays in
     the slot arrays ACROSS block boundaries, and the
@@ -511,6 +586,16 @@ def _make_resident_auto_advance(
     stretch the rebuild interval there is to trust the in-block audit.
     Wins iff heals stay rarer than ~(rebuild_cost/heal_cost) per block.
 
+    membership_audit (default True): the membership-relaxed audit and
+    its per-slot AND rebuild predicate (see the module-level notes above
+    _slot_bin_refs) — a drift violation is only real, and a rebuild only
+    needed, when a particle ALSO leaves (is predicted to leave) its
+    build cell.  This is what actually defuses the settle-phase
+    oscillators that reactive_theta was aimed at: they keep drift >
+    skin/2 but never exit their cells, so neither the audit nor the
+    predicate fires, with physics provably unchanged.  False restores
+    the strict round-3 drift-only forms (A/B measurement knob).
+
     Returns `advance(state) -> (state, residual_viol(=0), healed,
     rebuilds)`."""
     from sph_tpu import pallas_step, physics
@@ -519,12 +604,18 @@ def _make_resident_auto_advance(
     dt = params.dt
     d = params.dim
     half2 = (0.5 * skin) ** 2
+    use_mem = membership_audit and sg.xsub == 1
     # predictive rebuild bound: rebuild when current drift plus a 1.2×
     # projection of the NEXT block's drift (from the max slot speed)
     # would cross rebuild_frac of the skin/2 validity budget — so calm
     # phases stretch the reuse span and fast phases rebuild on time
     # instead of healing from budget overruns.  rebuild_frac=0 forces a
     # rebuild at every moving block (the bitwise-vs-classic test knob).
+    # Under the membership-relaxed audit the predicate sharpens to a
+    # per-slot AND: rebuild only when some slot is BOTH about to exit its
+    # build cell (margin < projected move) AND about to exceed the drift
+    # budget — a settle-phase oscillator fails the first or second clause
+    # and stops forcing a rebuild every block (bench/probe_r3h.py).
     budget = rebuild_frac * 0.5 * skin if rebuild_frac > 0 else 0.0
     leap = params.integrator == "leapfrog"
     sp = _SlotPhysics(scene, grid, sg)
@@ -652,9 +743,12 @@ def _make_resident_auto_advance(
                 xs, vs = clamp_slot(xs, vs, movb)
             dd = xs - x0s
             drift2 = jnp.sum(dd * dd, axis=1, keepdims=True)
-            viol_blk = viol_blk + jnp.sum(
-                ((drift2 > half2) & movb).astype(jnp.int32)
-            )
+            bad_i = (drift2 > half2) & movb
+            if use_mem:
+                bad_i = bad_i & ~_slot_inside_bin(
+                    xs, _slot_bin_refs(addr, sg), grid
+                )
+            viol_blk = viol_blk + jnp.sum(bad_i.astype(jnp.int32))
         return xs, vs, acc_s, rp, viol_blk
 
     def bump_step(s: State, k: int) -> State:
@@ -673,10 +767,27 @@ def _make_resident_auto_advance(
             s_step = c["shadow"].step
             emit = c["shadow"].emit_step
             dd = c["xs"] - c["x0s"]
-            drift_now = jnp.sqrt(jnp.max(jnp.sum(dd * dd, axis=1)))
+            dd2 = jnp.sum(dd * dd, axis=1, keepdims=True)
+            drift_now = jnp.sqrt(jnp.max(dd2))
             activated = jnp.any((emit > c["build_step"]) & (emit <= s_step))
             if reactive_theta is not None:
                 need = (drift_now > reactive_theta * 0.5 * skin) | activated
+            elif use_mem and rebuild_frac > 0:
+                # per-slot AND predicate (see budget note above): a slot is
+                # risky only if the next block's 1.2×-projected move can
+                # BOTH take it out of its build cell AND past the budget
+                speed = jnp.sqrt(
+                    jnp.sum(c["vs"] * c["vs"], axis=1, keepdims=True)
+                )
+                move = (1.2 * dt * sort_every) * speed
+                refs = _slot_bin_refs(c["addr"], sg)
+                margin = _slot_bin_margin(c["xs"], refs, grid)
+                risky = (
+                    c["movb"]
+                    & (margin < move)
+                    & (jnp.sqrt(dd2) + move > budget)
+                )
+                need = jnp.any(risky) | activated
             else:
                 vmax = jnp.sqrt(
                     jnp.max(jnp.sum(c["vs"] * c["vs"], axis=1))
@@ -743,7 +854,7 @@ def make_advance(
     slot_resident: bool = False, xsub: int = 1, xb_cells: int = 4,
     heal: bool = False, row_pair: bool = False,
     auto_rebuild: bool = False, rebuild_frac: float = 1.0,
-    reactive_theta: float | None = None,
+    reactive_theta: float | None = None, membership_audit: bool = True,
 ):
     """jitted `advance(state) -> state` running S steps in one `lax.scan`.
 
@@ -817,15 +928,18 @@ def make_advance(
                     scene, grid, sg, sort_every, blocks, skin,
                     rebuild_frac=rebuild_frac,
                     reactive_theta=reactive_theta,
+                    membership_audit=membership_audit,
                 )
             return _make_resident_advance(
-                scene, grid, sg, sort_every, blocks, skin, heal=heal
+                scene, grid, sg, sort_every, blocks, skin, heal=heal,
+                membership_audit=membership_audit,
             )
         if heal:
             raise ValueError("heal requires slot_resident=True")
         step_a = make_step(scene, "pallas", grid=grid, with_addr=True,
                            row_pair=row_pair)
         half2 = (0.5 * skin) ** 2
+        use_mem = membership_audit and grid.xsub == 1
 
         @jax.jit
         def advance_reuse(state: State):
@@ -837,13 +951,20 @@ def make_advance(
                 # both mean silently-degraded physics, and a mid-run
                 # compression spike would escape a final-state-only audit
                 viol = viol + addr.overflow
+                if use_mem:
+                    _, flat0 = neighbors.cell_index(x0, act0, grid)
                 for _ in range(sort_every):
                     s = step_a(s, addr)
                     d = s.x - x0
                     drift2 = jnp.sum(d * d, axis=1)
-                    viol = viol + jnp.sum(
-                        ((drift2 > half2) & act0).astype(jnp.int32)
-                    )
+                    bad_i = (drift2 > half2) & act0
+                    if use_mem:
+                        # membership-relaxed audit (see _slot_inside_bin):
+                        # drift past skin/2 only degrades physics once the
+                        # particle also bins outside its BUILD cell
+                        _, flat_i = neighbors.cell_index(s.x, act0, grid)
+                        bad_i = bad_i & (flat_i != flat0)
+                    viol = viol + jnp.sum(bad_i.astype(jnp.int32))
                 return (s, viol), None
 
             (out, viol), _ = jax.lax.scan(
@@ -875,6 +996,7 @@ def make_audited_advance(
     sort_every: int = 1, slot_resident: bool = False, xsub: int = 1,
     grid=None, adaptive_cap: bool = False, row_pair: bool = False,
     auto_rebuild: bool = True, reactive_theta: float | None = None,
+    membership_audit: bool = True,
 ):
     """`advance(state) -> state` with the fast path's safety policy built
     in: when the skin/cap audit fires (e.g. a splash-impact speed spike
@@ -907,7 +1029,8 @@ def make_audited_advance(
     base_kw = dict(sort_every=sort_every, slot_resident=slot_resident,
                    xsub=xsub, heal=slot_resident and not auto,
                    row_pair=row_pair, auto_rebuild=auto,
-                   reactive_theta=reactive_theta if auto else None)
+                   reactive_theta=reactive_theta if auto else None,
+                   membership_audit=membership_audit)
 
     def _unpack(out):
         # (state, viol) | (state, viol, healed) | (+ rebuilds) — the heal

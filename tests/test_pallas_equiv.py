@@ -209,14 +209,50 @@ def test_sort_every_matches_per_step_rebuild():
 
 
 def test_sort_every_reports_skin_violations():
-    """An absurdly small skin makes the drift bound unsatisfiable; the
-    advance must report it rather than silently compute wrong physics."""
-    scene = small_scene(dim=2, seed=71)
-    state = init(scene)
+    """A jet fast enough to leave its build cells inside the reuse window
+    (with a skin too small to cover it) makes the reuse bound genuinely
+    unsatisfiable — the advance must report it rather than silently
+    compute wrong physics.  (A small skin ALONE no longer reports: the
+    membership-relaxed audit recognizes that drifted particles still
+    inside their build cells keep the pair physics exact — see
+    test_membership_relaxed_audit_is_exact.)"""
+    from sph_tpu.params import Block
+
+    base = small_scene(dim=2, seed=71)
+    jet = base.replace(
+        blocks=(Block(lo=base.blocks[0].lo, hi=base.blocks[0].hi,
+                      velocity=(2500.0, 0.0)),),
+    )
+    state = init(jet)
     _, viol = make_advance(
-        scene, "pallas", steps_per_dispatch=12, sort_every=12, skin=1e-4
+        jet, "pallas", steps_per_dispatch=12, sort_every=12, skin=1e-4
     )(state)
     assert int(viol) > 0
+
+
+def test_membership_relaxed_audit_is_exact():
+    """Drift past skin/2 with every particle still INSIDE its build cell:
+    the relaxed audit reports zero violations AND the reused addressing
+    really is exact — the trajectory matches the per-step-rebuild path to
+    fp tolerance (the ±1-cell window captures every r < h pair as long as
+    each endpoint is in its own bin OR within skin/2 of its build
+    position; see step.py's membership-audit notes).  The strict audit
+    (membership_audit=False) flags the same run, demonstrating the
+    relaxation is the only difference."""
+    scene = small_scene(dim=2, seed=71)
+    state = init(scene)
+    kw = dict(steps_per_dispatch=12, sort_every=12, skin=1e-4)
+    out, viol = make_advance(scene, "pallas", **kw)(state)
+    assert int(viol) == 0
+    _, viol_strict = make_advance(
+        scene, "pallas", membership_audit=False, **kw
+    )(state)
+    assert int(viol_strict) > 0  # drift alone trips the old audit
+    ref = make_advance(scene, "pallas", steps_per_dispatch=12)(state)
+    xr, xo = np.asarray(ref.x), np.asarray(out.x)
+    act = np.asarray(ref.active)
+    scale = np.max(np.abs(xr[act])) + 1e-6
+    assert np.max(np.abs(xo[act] - xr[act])) / scale < 1e-5
 
 
 def test_sort_every_conserves_momentum():
@@ -646,9 +682,11 @@ def test_auto_reactive_theta0_bitwise():
 
 
 def test_auto_reactive_calm_scene_stretches_and_matches():
-    """Reactive policy on a calm scene: strictly fewer rebuilds than the
+    """Reactive policy on a calm scene: no more rebuilds than the STRICT
     velocity predictor (no projection term), zero violations/heals, and
-    trajectories match the classic resident path to fp tolerance."""
+    trajectories match the classic resident path to fp tolerance.  The
+    membership-relaxed default predicate is sharper than both (it also
+    requires a predicted bin EXIT), so it is the ≤ floor of the three."""
     scene = small_scene(dim=2, seed=96)
     state = init(scene)
     kw = dict(steps_per_dispatch=32, sort_every=4, slot_resident=True)
@@ -657,9 +695,14 @@ def test_auto_reactive_calm_scene_stretches_and_matches():
     )(state)
     assert int(viol) == 0 and int(healed) == 0
     _, _, _, rebuilds_v = make_advance(
+        scene, "pallas", auto_rebuild=True, membership_audit=False, **kw
+    )(state)
+    _, viol_m, healed_m, rebuilds_m = make_advance(
         scene, "pallas", auto_rebuild=True, **kw
     )(state)
     assert int(rebuilds_r) <= int(rebuilds_v)
+    assert int(rebuilds_m) <= int(rebuilds_r)
+    assert int(viol_m) == 0 and int(healed_m) == 0
     assert int(rebuilds_r) < 8
     s_b, viol_b = make_advance(scene, "pallas", **kw)(state)
     assert int(viol_b) == 0
