@@ -337,6 +337,9 @@ def main():
         ("dam2d_10k", "pallas", args.steps, 1, False),
         ("dam2d_10k", "grid", args.steps, 1, False),
         ("emitters3d", "pallas", args.steps, 1, False),
+        # at n~136 the pallas path is pure dispatch overhead; the naive
+        # row records the method the engine would actually pick there
+        ("emitters3d", "naive", max(args.steps, 200), 1, False),
         ("tutorial2d", "naive", max(args.steps, 200), 1, False),
     ]
     if args.config != "auto":
