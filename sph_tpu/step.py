@@ -550,7 +550,7 @@ def _make_resident_advance(
 def _make_resident_auto_advance(
     scene: Scene, grid, sg, sort_every: int, blocks: int, skin: float,
     rebuild_frac: float = 1.0, reactive_theta: float | None = None,
-    membership_audit: bool = True,
+    membership_audit: bool = True, repair_k: int = 0,
 ):
     """AUTO-REBUILD slot-resident advance (round 3): the state stays in
     the slot arrays ACROSS block boundaries, and the
@@ -596,8 +596,25 @@ def _make_resident_auto_advance(
     predicate fires, with physics provably unchanged.  False restores
     the strict round-3 drift-only forms (A/B measurement knob).
 
+    repair_k (> 0, requires membership_audit + xsub == 1 + fp32):
+    MINORITY SLOT REPAIR — when the predicate fires on at most repair_k
+    risky particles (a fast minority outrunning the budget while the
+    bulk stays valid), re-home JUST THOSE into free slots of the cells
+    their CURRENT positions bin into, inside the existing addressing —
+    old slots are re-sentineled, their x0 resets to the new position,
+    and addr.pos/row_pos/gcounts are patched — instead of paying the
+    full build_addr + scatter + materialize rebuild (~99 ms at 1M).
+    Repair is PURE RE-ADDRESSING: the particle state it materializes is
+    bitwise unchanged (tested); subsequent kernel sums differ from a
+    fresh rebuild only in within-cell summation order, exactly like the
+    heal path already does.  Falls back to the full rebuild whenever it
+    cannot re-home exactly: an emitter activated, more than repair_k
+    risky particles, a target row not in the compacted set, or a target
+    cell with no free slot.  Default 0 (off) until measured on TPU.
+
     Returns `advance(state) -> (state, residual_viol(=0), healed,
-    rebuilds)`."""
+    rebuilds)`, plus a trailing `repaired_blocks` counter when
+    repair_k > 0."""
     from sph_tpu import pallas_step, physics
 
     params = scene.params
@@ -618,6 +635,18 @@ def _make_resident_auto_advance(
     # and stops forcing a rebuild every block (bench/probe_r3h.py).
     budget = rebuild_frac * 0.5 * skin if rebuild_frac > 0 else 0.0
     leap = params.integrator == "leapfrog"
+    if repair_k:
+        if not use_mem:
+            raise ValueError(
+                "repair_k requires membership_audit=True and xsub == 1"
+            )
+        if params.precision == "bf16":
+            raise ValueError("repair_k does not support precision='bf16'")
+        if reactive_theta is not None or rebuild_frac <= 0:
+            raise ValueError(
+                "repair_k composes with the membership predicate only "
+                "(reactive_theta=None, rebuild_frac > 0)"
+            )
     sp = _SlotPhysics(scene, grid, sg)
     body_forces = sp.body_forces
     clamp_slot = sp.clamp_slot
@@ -757,11 +786,186 @@ def _make_resident_auto_advance(
             emit_step=s.emit_step, step=s.step + k,
         )
 
+    # ---- minority slot repair (repair_k > 0) -----------------------------
+    # Planned in PARTICLE space — no per-slot particle-id tracking needed:
+    # the shadow holds every particle's BUILD position (x0) and `addr`
+    # holds its slot, so the risky set, its target cells, and free-lane
+    # assignments all come from gathers + [K]-sized index math.
+    n_codes = sg.h0 * sg.h1
+    usable_rows = sg.c_rows - 1
+    BIGI = jnp.int32(2**30)
+
+    def _plan_repair(c):
+        from sph_tpu import neighbors
+
+        addr, s = c["addr"], c["shadow"]
+        cap_n = s.capacity
+        act0 = s.active
+        movable0 = act0 & (s.kind == 0)
+        ok = addr.valid & (addr.row_pos > 0)
+        x_now = gather(c["xs"], d, addr)                       # [N, d]
+        v_now = gather(c["vs"], d, addr)
+        speed_p = jnp.sqrt(jnp.sum(v_now * v_now, axis=1))
+        move_p = (1.2 * dt * sort_every) * speed_p
+        dd = x_now - s.x                                       # x0 == shadow.x
+        drift_p = jnp.sqrt(jnp.sum(dd * dd, axis=1))
+        ci0, _ = neighbors.cell_index(s.x, act0, grid)         # build bins
+        lo = jnp.asarray(grid.lo, jnp.float32)
+        lo_c = lo[None, :] + ci0.astype(jnp.float32) * grid.cell
+        margin_p = jnp.min(
+            jnp.minimum(x_now - lo_c, lo_c + grid.cell - x_now), axis=1
+        )
+        risky = (
+            movable0 & ok
+            & (margin_p < move_p)
+            & (drift_p + move_p > budget)
+        )
+        n_risky = jnp.sum(risky.astype(jnp.int32))
+        pids = jnp.nonzero(risky, size=repair_k, fill_value=cap_n)[0]
+        vm = pids < cap_n
+        pid_s = jnp.minimum(pids, cap_n - 1)
+        x_m = x_now[pid_s]
+        old_row = addr.row_pos[pid_s]
+        old_pos = addr.pos[pid_s]
+
+        # target cell of each mover = the bin of its CURRENT position
+        ci_m, _ = neighbors.cell_index(x_m, vm, grid)
+        if d == 3:
+            code_m = (ci_m[:, 0] + 1) * sg.h1 + (ci_m[:, 1] + 1)
+        else:
+            code_m = ci_m[:, 0] + 1
+        hx_m = ci_m[:, -1] + sg.xc
+
+        # code → compacted row (the build's row_inv, rebuilt from addr)
+        iu = jnp.arange(usable_rows, dtype=jnp.int32)
+        in_range = iu < addr.n_occ[0]
+        targets = jnp.where(in_range, addr.row_code[1:], n_codes)
+        row_inv = (
+            jnp.zeros((n_codes + 1,), jnp.int32)
+            .at[targets]
+            .set(jnp.where(in_range, 1 + iu, 0))
+        )
+        new_row = row_inv[jnp.clip(code_m, 0, n_codes)]
+
+        # free lanes AFTER evicting the movers (so a same-cell re-home can
+        # reuse its own lane); j-th mover into a cell takes its j-th free
+        occ = (c["xs"][:, 0, :] < 1e17).reshape(-1)
+        occ = occ.at[
+            jnp.where(vm, old_row * sg.lanes + old_pos, BIGI)
+        ].set(False, mode="drop")
+        occ3 = occ.reshape(sg.c_rows * sg.h2, sg.cap)
+        cumfree = jnp.cumsum((~occ3).astype(jnp.int32), axis=1)
+        cellkey = new_row * sg.h2 + hx_m
+        key = jnp.where(vm, cellkey, BIGI)
+        order = jnp.argsort(key)
+        ksort = key[order]
+        first = jnp.searchsorted(ksort, ksort, side="left")
+        rank = (
+            jnp.zeros((repair_k,), jnp.int32)
+            .at[order]
+            .set(jnp.arange(repair_k, dtype=jnp.int32)
+                 - first.astype(jnp.int32))
+        )
+        rowsel = jnp.clip(cellkey, 0, sg.c_rows * sg.h2 - 1)
+        occ_row = occ3[rowsel]                                 # [K, cap]
+        cf_row = cumfree[rowsel]
+        onehot = (~occ_row) & (cf_row == (rank + 1)[:, None])
+        placeable = jnp.any(onehot, axis=1)
+        lane_in = jnp.argmax(onehot, axis=1).astype(jnp.int32)
+        new_pos = hx_m * sg.cap + lane_in
+
+        can = (
+            (n_risky <= repair_k)
+            & (n_risky > 0)
+            & ~jnp.any(vm & ((new_row == 0) | ~placeable))
+        )
+        return dict(
+            can=can, pids=pids, vm=vm, x_m=x_m,
+            old_row=old_row, old_pos=old_pos,
+            new_row=new_row, new_pos=new_pos,
+        )
+
+    def _apply_repair(c, plan):
+        import dataclasses as _dc
+
+        addr = c["addr"]
+        vm = plan["vm"]
+        old_row, old_pos = plan["old_row"], plan["old_pos"]
+        new_row, new_pos = plan["new_row"], plan["new_pos"]
+
+        def flat(row, col, pos, ncols):
+            return jnp.where(
+                vm, (row * ncols + col) * sg.lanes + pos, BIGI
+            )
+
+        def move(arr, new_vals, old_vals):
+            """Per-axis slot move: sentinel the old slots FIRST so a
+            same-cell re-home landing on its own lane keeps the value."""
+            ncols = arr.shape[1]
+            flat_a = arr.reshape(-1)
+            for a in range(ncols):
+                flat_a = flat_a.at[flat(old_row, a, old_pos, ncols)].set(
+                    old_vals[a], mode="drop"
+                )
+            for a in range(ncols):
+                flat_a = flat_a.at[flat(new_row, a, new_pos, ncols)].set(
+                    new_vals[a], mode="drop"
+                )
+            return flat_a.reshape(arr.shape)
+
+        def take(arr, row, pos):
+            ncols = arr.shape[1]
+            flat_a = arr.reshape(-1)
+            return [
+                flat_a[jnp.where(vm, (row * ncols + a) * sg.lanes + pos, 0)]
+                for a in range(ncols)
+            ]
+
+        x_cols = [plan["x_m"][:, a] for a in range(d)]
+        v_cols = take(c["vs"], old_row, old_pos)
+        a_cols = take(c["acc"], old_row, old_pos)
+        rp_cols = take(c["rp"], old_row, old_pos)
+        far = jnp.full((repair_k,), 1e18, jnp.float32)
+        zero = jnp.zeros((repair_k,), jnp.float32)
+
+        xs = move(c["xs"], x_cols, [far] * d)
+        vs = move(c["vs"], v_cols, [zero] * d)
+        acc = move(c["acc"], a_cols, [zero] * d)
+        x0s = move(c["x0s"], x_cols, [far] * d)
+        rp = move(c["rp"], rp_cols, [zero, zero])
+        movb = move(
+            c["movb"],
+            [jnp.ones((repair_k,), bool)],
+            [jnp.zeros((repair_k,), bool)],
+        )
+
+        lane_w = pallas_step.LANE
+        gfl = addr.gcounts.reshape(-1)
+        gfl = gfl.at[
+            jnp.where(vm, old_row * sg.n_groups + old_pos // lane_w, BIGI)
+        ].add(-1, mode="drop")
+        gfl = gfl.at[
+            jnp.where(vm, new_row * sg.n_groups + new_pos // lane_w, BIGI)
+        ].add(1, mode="drop")
+        sidx = jnp.where(vm, plan["pids"], BIGI)
+        addr2 = _dc.replace(
+            addr,
+            pos=addr.pos.at[sidx].set(new_pos, mode="drop"),
+            row_pos=addr.row_pos.at[sidx].set(new_row, mode="drop"),
+            gcounts=gfl.reshape(addr.gcounts.shape),
+        )
+        return {
+            **c, "addr": addr2, "xs": xs, "vs": vs, "acc": acc,
+            "x0s": x0s, "rp": rp, "movb": movb,
+        }
+
     @jax.jit
     def advance(state: State):
         carry0 = enter_slots(state)
         carry0.update(viol=jnp.int32(0), healed=jnp.int32(0),
                       rebuilds=jnp.int32(1))
+        if repair_k:
+            carry0.update(repairs=jnp.int32(0))
 
         def block(c, _):
             s_step = c["shadow"].step
@@ -795,16 +999,36 @@ def _make_resident_auto_advance(
                 predicted = drift_now + 1.2 * vmax * dt * sort_every
                 need = (predicted > budget) | activated
 
+            def counters(c_, healed=0, rebuilds=0, repairs=0):
+                out = {
+                    "viol": c_["viol"],
+                    "healed": c_["healed"] + healed,
+                    "rebuilds": c_["rebuilds"] + rebuilds,
+                }
+                if repair_k:
+                    out["repairs"] = c_["repairs"] + repairs
+                return out
+
             def rebuild(c):
                 fresh = enter_slots(materialize(c))
-                return {
-                    **fresh,
-                    "viol": c["viol"],
-                    "healed": c["healed"],
-                    "rebuilds": c["rebuilds"] + 1,
-                }
+                return {**fresh, **counters(c, rebuilds=1)}
 
-            c = jax.lax.cond(need, rebuild, lambda c_: c_, c)
+            if repair_k:
+                def fix(c_):
+                    plan = _plan_repair(c_)
+
+                    def do_repair(cp):
+                        c2 = _apply_repair(cp[0], cp[1])
+                        return {**c2, **counters(cp[0], repairs=1)}
+
+                    return jax.lax.cond(
+                        plan["can"] & ~activated, do_repair,
+                        lambda cp: rebuild(cp[0]), (c_, plan),
+                    )
+
+                c = jax.lax.cond(need, fix, lambda c_: c_, c)
+            else:
+                c = jax.lax.cond(need, rebuild, lambda c_: c_, c)
 
             top = (c["xs"], c["vs"], c["acc"], c["rp"])
             xs, vs, acc_s, rp, viol_blk = run_block(c)
@@ -828,22 +1052,20 @@ def _make_resident_auto_advance(
                 for _ in range(sort_every):
                     sm = exact_step(sm)
                 fresh = enter_slots(sm)
-                return {
-                    **fresh,
-                    "viol": c["viol"],
-                    "healed": c["healed"] + 1,
-                    "rebuilds": c["rebuilds"] + 1,
-                }
+                return {**fresh, **counters(c, healed=1, rebuilds=1)}
 
             bad = viol_blk > 0
             out = jax.lax.cond(bad, heal, lambda _t: ok_carry, top)
             return out, None
 
         final, _ = jax.lax.scan(block, carry0, length=blocks)
-        return (
+        outs = (
             materialize(final), final["viol"], final["healed"],
             final["rebuilds"],
         )
+        if repair_k:
+            outs = outs + (final["repairs"],)
+        return outs
 
     return advance
 
@@ -855,6 +1077,7 @@ def make_advance(
     heal: bool = False, row_pair: bool = False,
     auto_rebuild: bool = False, rebuild_frac: float = 1.0,
     reactive_theta: float | None = None, membership_audit: bool = True,
+    repair_k: int = 0,
 ):
     """jitted `advance(state) -> state` running S steps in one `lax.scan`.
 
@@ -929,6 +1152,7 @@ def make_advance(
                     rebuild_frac=rebuild_frac,
                     reactive_theta=reactive_theta,
                     membership_audit=membership_audit,
+                    repair_k=repair_k,
                 )
             return _make_resident_advance(
                 scene, grid, sg, sort_every, blocks, skin, heal=heal,
@@ -996,7 +1220,7 @@ def make_audited_advance(
     sort_every: int = 1, slot_resident: bool = False, xsub: int = 1,
     grid=None, adaptive_cap: bool = False, row_pair: bool = False,
     auto_rebuild: bool = True, reactive_theta: float | None = None,
-    membership_audit: bool = True,
+    membership_audit: bool = True, repair_k: int = 0,
 ):
     """`advance(state) -> state` with the fast path's safety policy built
     in: when the skin/cap audit fires (e.g. a splash-impact speed spike
@@ -1030,7 +1254,8 @@ def make_audited_advance(
                    xsub=xsub, heal=slot_resident and not auto,
                    row_pair=row_pair, auto_rebuild=auto,
                    reactive_theta=reactive_theta if auto else None,
-                   membership_audit=membership_audit)
+                   membership_audit=membership_audit,
+                   repair_k=repair_k if auto else 0)
 
     def _unpack(out):
         # (state, viol) | (state, viol, healed) | (+ rebuilds) — the heal

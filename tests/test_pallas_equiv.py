@@ -732,3 +732,142 @@ def test_auto_reactive_jet_heals_exactly():
     s_e = make_advance(jet, "pallas", steps_per_dispatch=12)(state)
     assert np.array_equal(np.asarray(s_a.x), np.asarray(s_e.x))
     assert np.array_equal(np.asarray(s_a.v), np.asarray(s_e.v))
+
+
+# ---------------------------------------------------------------------------
+# Minority slot repair (round-3 late; step.py repair_k)
+# ---------------------------------------------------------------------------
+
+
+def _dart_scene(seed, target=False):
+    """Calm dam + a small fast dart: a risky MINORITY (the repair target).
+    target=True aims the dart INTO the dam so repaired movers interact."""
+    from sph_tpu.params import Block
+
+    base = small_scene(dim=2, seed=seed)
+    b0 = base.blocks[0]
+    dart = (
+        Block(lo=(80.0, 40.0), hi=(90.0, 50.0), velocity=(-450.0, 0.0))
+        if target
+        else Block(lo=(250.0, 250.0), hi=(262.0, 262.0),
+                   velocity=(420.0, 0.0))
+    )
+    return base.replace(
+        blocks=(Block(lo=b0.lo, hi=(b0.lo[0] + 60, b0.lo[1] + 100)), dart)
+    )
+
+
+def test_repair_noop_on_calm_scene_bitwise():
+    """repair_k on a calm scene: nothing risky, so the advance is bitwise
+    the plain auto advance (repair is pure extra machinery until it
+    actually triggers)."""
+    scene = small_scene(dim=2, seed=96)
+    state = init(scene)
+    kw = dict(steps_per_dispatch=16, sort_every=4, slot_resident=True,
+              auto_rebuild=True)
+    a = make_advance(scene, "pallas", **kw)(state)
+    r = make_advance(scene, "pallas", repair_k=64, **kw)(state)
+    assert int(r[4]) == 0
+    assert int(r[3]) == int(a[3])
+    assert np.array_equal(np.asarray(a[0].x), np.asarray(r[0].x))
+    assert np.array_equal(np.asarray(a[0].v), np.asarray(r[0].v))
+
+
+def test_repair_fast_dart_replaces_rebuilds_exactly():
+    """A small fast dart trips the predicate while the bulk stays valid:
+    the repair re-homes just the dart (repairs > 0, strictly fewer full
+    rebuilds than the rebuild-only policy) and the trajectory matches the
+    per-step-rebuild path."""
+    scene = _dart_scene(97)
+    state = init(scene)
+    kw = dict(steps_per_dispatch=32, sort_every=4, slot_resident=True,
+              auto_rebuild=True)
+    a = make_advance(scene, "pallas", **kw)(state)
+    r = make_advance(scene, "pallas", repair_k=256, **kw)(state)
+    assert int(r[1]) == 0
+    assert int(r[4]) >= 1                       # repairs fired
+    assert int(r[3]) < int(a[3])                # replacing full rebuilds
+    e = make_advance(scene, "pallas", steps_per_dispatch=32)(state)
+    xr, xe = np.asarray(r[0].x), np.asarray(e.x)
+    act = np.asarray(r[0].active)
+    scale = np.max(np.abs(xe[act])) + 1e-9
+    assert np.max(np.abs(xr[act] - xe[act])) / scale < 1e-4
+
+
+def test_repair_into_dam_heals_and_stays_exact():
+    """Dart aimed INTO the dam: repairs fire en route, the impact block
+    still heals exactly (the audit backstop composes with repair), and
+    the result tracks the per-step path."""
+    scene = _dart_scene(99, target=True)
+    state = init(scene)
+    kw = dict(steps_per_dispatch=32, sort_every=4, slot_resident=True,
+              auto_rebuild=True)
+    r = make_advance(scene, "pallas", repair_k=256, **kw)(state)
+    assert int(r[1]) == 0 and int(r[4]) >= 1
+    e = make_advance(scene, "pallas", steps_per_dispatch=32)(state)
+    xr, xe = np.asarray(r[0].x), np.asarray(e.x)
+    act = np.asarray(r[0].active)
+    scale = np.max(np.abs(xe[act])) + 1e-9
+    assert np.max(np.abs(xr[act] - xe[act])) / scale < 1e-4
+
+
+def test_repair_overflow_falls_back_to_rebuild_bitwise():
+    """More risky particles than repair_k (a whole jet): every fix falls
+    back to the full rebuild, so the advance is bitwise the plain auto
+    advance — including its heals."""
+    from sph_tpu.params import Block
+
+    base = small_scene(dim=2, seed=97)
+    jet = base.replace(
+        blocks=(Block(lo=base.blocks[0].lo, hi=base.blocks[0].hi,
+                      velocity=(2000.0, 0.0)),),
+    )
+    state = init(jet)
+    kw = dict(steps_per_dispatch=12, sort_every=4, slot_resident=True,
+              auto_rebuild=True)
+    a = make_advance(jet, "pallas", **kw)(state)
+    r = make_advance(jet, "pallas", repair_k=4, **kw)(state)
+    assert int(r[4]) == 0 and int(r[2]) == int(a[2])
+    assert np.array_equal(np.asarray(a[0].x), np.asarray(r[0].x))
+
+
+def test_repair_emitter_activation_rebuilds_bitwise():
+    """Emitter activations bypass repair (new particles need a real
+    build): bitwise the plain auto advance."""
+    from sph_tpu.params import Emitter
+
+    base = small_scene(dim=2, seed=98)
+    scene = base.replace(
+        emitters=(Emitter(pos=(200.0, 300.0), velocity=(0.0, -60.0),
+                          width=3, start_step=5, stop_step=6),),
+        capacity=int(init(base).capacity) + 64,
+    )
+    state = init(scene)
+    kw = dict(steps_per_dispatch=24, sort_every=4, slot_resident=True,
+              auto_rebuild=True)
+    a = make_advance(scene, "pallas", **kw)(state)
+    r = make_advance(scene, "pallas", repair_k=64, **kw)(state)
+    assert int(a[0].n_active()) == int(r[0].n_active())
+    assert np.array_equal(np.asarray(a[0].x), np.asarray(r[0].x))
+
+
+def test_repair_full_cells_fall_back_exactly():
+    """cap-4 grid: the dense dam's cells have no free lanes, so a dart
+    re-homing INTO the dam cannot place and the fix falls back to the
+    full rebuild — physics stays exact against the same-grid auto path."""
+    from sph_tpu import neighbors
+    from sph_tpu.step import default_skin
+
+    scene = _dart_scene(99, target=True)
+    state = init(scene)
+    skin = default_skin(scene, 4)
+    g4 = neighbors.GridSpec.for_scene(scene, cap=4, skin=skin)
+    kw = dict(steps_per_dispatch=32, sort_every=4, slot_resident=True,
+              auto_rebuild=True, grid=g4)
+    a = make_advance(scene, "pallas", **kw)(state)
+    r = make_advance(scene, "pallas", repair_k=256, **kw)(state)
+    act = np.asarray(r[0].active)
+    xa, xr = np.asarray(a[0].x), np.asarray(r[0].x)
+    scale = np.max(np.abs(xa[act])) + 1e-9
+    assert np.max(np.abs(xr[act] - xa[act])) / scale < 1e-4
+    assert int(r[2]) >= 1 or int(r[3]) >= 2     # healed or re-built
