@@ -218,32 +218,35 @@ def _slot_bin_refs(addr, sg):
     return refs
 
 
-def _slot_inside_bin(xs, refs, grid):
+def _slot_inside_bin(xs, refs, grid, ci_offset=None):
     """[c_rows, 1, lanes] bool: the slot's CURRENT position still bins into
     the cell the addressing assigned at build (same floor+clip arithmetic
     as neighbors.cell_index, so 'inside' is exactly 'a rebuild would bin
-    it identically')."""
+    it identically').  `ci_offset` ([D] int32) is the slab-local index
+    shift of a decomposition grid (decomp.py) — refs are LOCAL indices."""
     ins = None
     for a in range(xs.shape[1]):
-        ci = jnp.clip(
-            jnp.floor(
-                (xs[:, a, :] - grid.lo[a]) / grid.cell
-            ).astype(jnp.int32),
-            0,
-            grid.shape[a] - 1,
-        )
+        ci = jnp.floor(
+            (xs[:, a, :] - grid.lo[a]) / grid.cell
+        ).astype(jnp.int32)
+        if ci_offset is not None:
+            ci = ci - ci_offset[a]
+        ci = jnp.clip(ci, 0, grid.shape[a] - 1)
         eq = ci == refs[a]
         ins = eq if ins is None else ins & eq
     return ins[:, None, :]
 
 
-def _slot_bin_margin(xs, refs, grid):
+def _slot_bin_margin(xs, refs, grid, ci_offset=None):
     """[c_rows, 1, lanes] float: distance to the nearest face of the slot's
     BUILD cell (negative once outside) — the membership side of the auto
     rebuild predicate (predict a bin EXIT, not mere drift)."""
     m = None
     for a in range(xs.shape[1]):
-        lo_c = refs[a].astype(jnp.float32) * grid.cell + grid.lo[a]
+        ref = refs[a]
+        if ci_offset is not None:
+            ref = ref + ci_offset[a]
+        lo_c = ref.astype(jnp.float32) * grid.cell + grid.lo[a]
         ma = jnp.minimum(xs[:, a, :] - lo_c, lo_c + grid.cell - xs[:, a, :])
         m = ma if m is None else jnp.minimum(m, ma)
     return m[:, None, :]

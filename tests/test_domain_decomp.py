@@ -947,10 +947,50 @@ def test_spatial_auto_reactive_stretches_and_matches():
         scene, spec, mesh, auto_rebuild=True, reactive_theta=0.7, **kw
     )(loc0)
     _, ov_v, rebuilds_v, healed_v = decomp.make_spatial_advance(
-        scene, spec, mesh, auto_rebuild=True, **kw
+        scene, spec, mesh, auto_rebuild=True, membership_audit=False,
+        **kw
     )(loc0)
     assert int(ov_a) == 0 and int(ov_b) == 0 and int(healed) == 0
     assert int(rebuilds_r) <= int(rebuilds_v)
+    m_a = decomp.spatial_gather_state(a)
+    m_b = decomp.spatial_gather_state(b)
+    act_a = np.asarray(m_a.emit_step) <= int(m_a.step)
+    act_b = np.asarray(m_b.emit_step) <= int(m_b.step)
+    assert act_a.sum() == act_b.sum() == n_act
+    xa = _sorted_active(np.asarray(m_a.x), act_a)
+    xb = _sorted_active(np.asarray(m_b.x), act_b)
+    scale = np.max(np.abs(xa)) + 1e-6
+    assert np.max(np.abs(xb - xa)) / scale < 1e-4
+
+
+def test_spatial_membership_policy_stretches_and_matches():
+    """Membership-relaxed audit + per-slot AND predicate under
+    decomposition (2·h_eff ghost band, leaver strictness): no more
+    rebuilds than the strict velocity predictor, zero audit hits / heals
+    on the calm pool, exact conservation, and trajectories within the
+    Verlet-skin tolerance of the classic resident path."""
+    scene = _wide_scene(integrator="leapfrog", eos="tait")
+    mesh = decomp.mesh1d(8)
+    state = init(scene)
+    n_act = int(state.n_active())
+    spec = decomp.SpatialSpec.for_scene(scene, 8, state.capacity)
+    from sph_tpu.step import prime
+
+    state = prime(scene, state, method="pallas")
+    loc0 = decomp.spatial_shard_state(state, scene, spec, mesh)
+    kw = dict(method="pallas", steps_per_dispatch=32, sort_every=4,
+              slot_resident=True)
+    a, ov_a = decomp.make_spatial_advance(scene, spec, mesh, **kw)(loc0)
+    b, ov_b, rebuilds_m, healed = decomp.make_spatial_advance(
+        scene, spec, mesh, auto_rebuild=True, **kw
+    )(loc0)
+    _, ov_s, rebuilds_s, healed_s = decomp.make_spatial_advance(
+        scene, spec, mesh, auto_rebuild=True, membership_audit=False,
+        **kw
+    )(loc0)
+    assert int(ov_a) == 0 and int(ov_b) == 0 and int(ov_s) == 0
+    assert int(healed) == 0 and int(healed_s) == 0
+    assert int(rebuilds_m) <= int(rebuilds_s)
     m_a = decomp.spatial_gather_state(a)
     m_b = decomp.spatial_gather_state(b)
     act_a = np.asarray(m_a.emit_step) <= int(m_a.step)
