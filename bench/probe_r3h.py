@@ -284,25 +284,30 @@ def main():
                                       membership_audit=False)),
         ("membership (default)", {}),
         ("membership+th=0.85", dict(reactive_theta=0.85)),
+        ("membership+rep2048", dict(repair_k=2048)),
+        ("membership+rep8192", dict(repair_k=8192)),
     ):
         adv = make_advance(
             scene, "pallas", steps_per_dispatch=steps, sort_every=SORT_EVERY,
             slot_resident=True, auto_rebuild=True, **kw
         )
-        s2, viol, healed, rebuilds = adv(st)
+        out = adv(st)
+        s2, viol, healed, rebuilds = out[:4]
         float(jnp.sum(s2.x))
-        best, h_last, r_last = float("inf"), 0, 0
+        best, h_last, r_last, p_last = float("inf"), 0, 0, 0
         for _ in range(2):
             t0 = time.perf_counter()
-            s2, viol, healed, rebuilds = adv(s2)
+            out = adv(s2)
+            s2, viol, healed, rebuilds = out[:4]
             float(jnp.sum(s2.x))
             best = min(best, time.perf_counter() - t0)
             h_last, r_last = int(healed), int(rebuilds)
+            p_last = int(out[4]) if len(out) > 4 else 0
         n = int(s2.n_active())
         print(
             f"{tag:20s} {best/steps*1e3:8.2f} ms/step  "
             f"{n*steps/best:.3e} p-steps/s  healed={h_last} "
-            f"rebuilds={r_last}/{steps//SORT_EVERY}",
+            f"rebuilds={r_last}/{steps//SORT_EVERY} repaired={p_last}",
             flush=True,
         )
 

@@ -37,3 +37,40 @@ def ensure_backend() -> str:
         except Exception:  # noqa: BLE001 — nothing initialized yet is fine
             pass
         return jax.devices()[0].platform
+
+
+def ensure_backend_or_cpu(timeout_s: float = 180.0) -> str:
+    """:func:`ensure_backend`, but never hang on a dead TPU tunnel.
+
+    The axon PJRT plugin's device enumeration BLOCKS indefinitely while its
+    loopback relay is down (observed round 3: ``jax.devices()`` stuck >40 min,
+    ~0 CPU, plugin threads parked in a reconnect loop) — so anything that must
+    stay responsive (the driver's ``__graft_entry__.entry()`` compile check,
+    ad-hoc scripts) probes device enumeration in a SUBPROCESS with a timeout
+    first and falls back to the CPU backend when the probe hangs or dies.
+    Must run before any jax operation touches a device in this process."""
+    import os
+    import subprocess
+    import sys
+
+    probe = ("from sph_tpu.platform import ensure_backend; "
+             "print(ensure_backend())")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        subprocess.run(
+            [sys.executable, "-c", probe], timeout=timeout_s, check=True,
+            cwd=root, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        import jax
+
+        # Force CPU BEFORE any device touch — the env-var route does not
+        # reliably stick on this machine (CLAUDE.md), the config one does.
+        jax.config.update("jax_platforms", "cpu")
+        try:
+            import jax.extend as jex
+
+            jex.backend.clear_backends()
+        except Exception:  # noqa: BLE001 — nothing initialized yet is fine
+            pass
+    return ensure_backend()
