@@ -35,36 +35,28 @@ from sph_tpu.platform import ensure_backend
 def _backend_or_die() -> None:
     """ensure_backend(), but never hang the driver on a dead TPU tunnel.
 
-    The axon PJRT plugin's device enumeration BLOCKS indefinitely when
-    its loopback relay is down (observed round 3: jax.devices() stuck
-    >40 min with ~0 CPU; the process sleeps in the plugin's reconnect
-    loop).  Probe in a subprocess with a timeout and retry a few times
-    so a transient outage heals, then fail loudly — a clean nonzero exit
-    beats an infinite hang for anything scripting this bench."""
-    import os
-    import subprocess
+    Uses the shared subprocess probe (sph_tpu.platform.probe_backend —
+    device enumeration blocks FOREVER during a tunnel outage) with retries
+    so a transient outage heals, then fails loudly — a clean nonzero exit
+    beats an infinite hang for anything scripting this bench.  Unlike the
+    driver entry's CPU fallback, a bench must DIE on an outage: silently
+    benchmarking the CPU would record a garbage number."""
+    from sph_tpu.platform import probe_backend
 
-    probe = ("from sph_tpu.platform import ensure_backend; "
-             "print(ensure_backend())")
     for attempt in range(3):
-        try:
-            subprocess.run(
-                [sys.executable, "-c", probe], timeout=600, check=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-            )
+        why = probe_backend(600)
+        if why is None:
             break
-        except subprocess.TimeoutExpired:
-            print(
-                f"bench: backend probe hung 600 s (attempt {attempt + 1}"
-                f"/3) — TPU tunnel down?  retrying",
-                file=sys.stderr, flush=True,
-            )
-        except subprocess.CalledProcessError as e:
-            print(f"bench: backend probe failed ({e}); proceeding — "
-                  f"ensure_backend will surface the real error",
+        if why == "error":
+            print("bench: backend probe failed; proceeding — "
+                  "ensure_backend will surface the real error",
                   file=sys.stderr, flush=True)
             break
+        print(
+            f"bench: backend probe hung 600 s (attempt {attempt + 1}/3) "
+            f"— TPU tunnel down?  retrying",
+            file=sys.stderr, flush=True,
+        )
     else:
         print("bench: TPU backend unreachable after 3 probes — aborting",
               file=sys.stderr, flush=True)

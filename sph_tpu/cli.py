@@ -16,9 +16,19 @@ import time
 
 import jax
 
-from sph_tpu.platform import ensure_backend
+from sph_tpu.platform import ensure_backend, probe_backend
 
-ensure_backend()  # stale JAX_PLATFORMS env (axon-era) -- see sph_tpu/platform.py
+# Stale JAX_PLATFORMS env (axon-era rename) AND dead-tunnel protection: TPU
+# device enumeration blocks FOREVER during a tunnel outage (CLAUDE.md), so
+# probe with a timeout and die with a message instead of hanging silently.
+# A process that already forced CPU (tests, ad-hoc scripts) skips the probe.
+if (jax.config.jax_platforms or "") != "cpu":
+    if probe_backend(600) == "timeout":
+        sys.exit(
+            "sph-tpu: TPU device enumeration hung 600 s — tunnel outage? "
+            "(force CPU with jax.config.update('jax_platforms', 'cpu'))"
+        )
+ensure_backend()
 
 from sph_tpu import diagnostics, render
 from sph_tpu.params import calibrate, preset, preset_names, scene_from_json
@@ -128,6 +138,7 @@ def _run_spatial(args, scene, state, spf, inner) -> int:
         adv = decomp.make_audited_spatial_advance(
             sc, spec, mesh, args.method, spf,
             sort_every=args.sort_every, slot_resident=args.resident,
+            membership_audit=not getattr(args, "strict_audit", False),
         )
         return spec, loc, adv
 
@@ -291,6 +302,8 @@ def cmd_run(args) -> int:
                 sc, args.method, spf, sort_every=args.sort_every,
                 slot_resident=args.resident,
                 adaptive_cap=getattr(args, "adaptive_cap", False),
+                membership_audit=not getattr(args, "strict_audit", False),
+                repair_k=getattr(args, "repair_k", 0),
             )
 
     # interactor scene edits rebuild via the SAME factory, so the debug
@@ -423,7 +436,10 @@ def cmd_record(args) -> int:
                                sort_every=args.sort_every,
                                slot_resident=args.resident,
                                adaptive_cap=getattr(args, "adaptive_cap",
-                                                    False))
+                                                    False),
+                               membership_audit=not getattr(
+                                   args, "strict_audit", False),
+                               repair_k=getattr(args, "repair_k", 0))
     render_fn = jax.jit(
         lambda s: render.render_splat(
             s, scene, args.width, args.height, args.mode,
@@ -482,6 +498,15 @@ def main(argv=None) -> int:
                            "allows (1.3-1.4x faster), healing overflow "
                            "blocks exactly and switching to the default "
                            "cap when outgrown (requires --resident)")
+    runp.add_argument("--repair-k", type=int, default=0,
+                      help="minority slot repair budget (auto-rebuild "
+                           "resident mode): re-home up to K risky "
+                           "particles in place of a full addressing "
+                           "rebuild (0 = off; see step.py repair_k)")
+    runp.add_argument("--strict-audit", action="store_true",
+                      help="disable the membership-relaxed Verlet audit "
+                           "(A/B knob: drift-only audits + velocity-"
+                           "projection rebuild predicate)")
     runp.add_argument("--shards", type=int, default=0,
                       help="spatial slab decomposition across N mesh "
                            "devices (0 = single-chip); audited-fallback + "

@@ -1771,27 +1771,19 @@ def _make_spatial_resident_auto(
                 # the backstop when a block still overruns skin/2
                 metric, thresh = drift_now, reactive_theta * 0.5 * skin
             elif use_mem and rebuild_frac > 0:
-                # per-slot AND predicate (see step.py): risky iff the
-                # projected move can take the slot out of its build cell
-                # (or across a slab face — the leaver strictness) AND
-                # past the drift budget; pmax'd as a 0/1 flag
-                from sph_tpu.step import _slot_bin_margin, _slot_bin_refs
+                # per-slot AND predicate — the shared lemma helper
+                # (step._membership_risky), with the slab-face distance as
+                # extra margin (leaver strictness); pmax'd as a 0/1 flag
+                from sph_tpu.step import _membership_risky
 
-                speed = jnp.sqrt(
-                    jnp.sum(c["vs"] * c["vs"], axis=1, keepdims=True)
-                )
-                move = (1.2 * dt * sort_every) * speed
-                refs = _slot_bin_refs(c["addr"], sg)
-                marg = _slot_bin_margin(c["xs"], refs, grid, ci_off)
                 xax = c["xs"][:, ax : ax + 1, :]
                 face_m = jnp.minimum(
                     jnp.where(is_first, jnp.inf, xax - my_lo),
                     jnp.where(is_last, jnp.inf, my_hi - xax),
                 )
-                risky = (
-                    c["movb"]
-                    & (jnp.minimum(marg, face_m) < move)
-                    & (jnp.sqrt(dd2) + move > budget)
+                risky = _membership_risky(
+                    c, c["addr"], sg, grid, dd2, dt, sort_every, budget,
+                    ci_offset=ci_off, extra_margin=face_m,
                 )
                 metric = jnp.any(risky).astype(jnp.float32)
                 thresh = 0.5
@@ -1957,23 +1949,20 @@ def _make_spatial_resident_auto(
                 drift2 = jnp.sum(ddx * ddx, axis=1, keepdims=True)
                 bad_i = (drift2 > half2) & movb
                 if use_mem:
-                    # membership-relaxed, with leaver strictness: a drift
-                    # violation is real only once the slot ALSO left its
-                    # build cell — except across a slab face, where the
-                    # neighbor's band coverage needs the strict budget
-                    from sph_tpu.step import (
-                        _slot_bin_refs, _slot_inside_bin,
-                    )
+                    # membership-relaxed via the shared lemma helper, with
+                    # leaver strictness: across a slab face the neighbor's
+                    # band coverage needs the strict budget
+                    from sph_tpu.step import _membership_bad
 
-                    ins = _slot_inside_bin(
-                        xs, _slot_bin_refs(addr, sg), grid, ci_off
-                    )
                     xax_a = xs[:, ax : ax + 1, :]
                     beyond = (
                         ((xax_a < my_lo) & ~is_first)
                         | ((xax_a >= my_hi) & ~is_last)
                     )
-                    bad_i = bad_i & (~ins | beyond)
+                    bad_i = _membership_bad(
+                        bad_i, xs, addr, sg, grid, ci_offset=ci_off,
+                        beyond=beyond,
+                    )
                 viol = viol + jnp.sum(bad_i.astype(jnp.int32))
                 tok2 = rp_from_left
 

@@ -39,16 +39,18 @@ def ensure_backend() -> str:
         return jax.devices()[0].platform
 
 
-def ensure_backend_or_cpu(timeout_s: float = 180.0) -> str:
-    """:func:`ensure_backend`, but never hang on a dead TPU tunnel.
+def probe_backend(timeout_s: float) -> str | None:
+    """None iff device enumeration succeeds within `timeout_s`, probed in a
+    SUBPROCESS so this process never blocks; "timeout" on a hang (the
+    tunnel-outage signature) and "error" on a nonzero exit (a genuinely
+    broken backend — callers may prefer to proceed and let
+    :func:`ensure_backend` surface the real traceback).
 
     The axon PJRT plugin's device enumeration BLOCKS indefinitely while its
     loopback relay is down (observed round 3: ``jax.devices()`` stuck >40 min,
-    ~0 CPU, plugin threads parked in a reconnect loop) — so anything that must
-    stay responsive (the driver's ``__graft_entry__.entry()`` compile check,
-    ad-hoc scripts) probes device enumeration in a SUBPROCESS with a timeout
-    first and falls back to the CPU backend when the probe hangs or dies.
-    Must run before any jax operation touches a device in this process."""
+    ~0 CPU, plugin threads parked in a reconnect loop) — the one probe
+    primitive every timeout-sensitive entry point shares (bench.py's
+    die-on-outage policy, :func:`ensure_backend_or_cpu`'s CPU fallback)."""
     import os
     import subprocess
     import sys
@@ -61,7 +63,21 @@ def ensure_backend_or_cpu(timeout_s: float = 180.0) -> str:
             [sys.executable, "-c", probe], timeout=timeout_s, check=True,
             cwd=root, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         )
-    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        return None
+    except subprocess.TimeoutExpired:
+        return "timeout"
+    except subprocess.CalledProcessError:
+        return "error"
+
+
+def ensure_backend_or_cpu(timeout_s: float = 180.0) -> str:
+    """:func:`ensure_backend`, but never hang on a dead TPU tunnel: probe
+    device enumeration with a timeout first (see :func:`probe_backend`) and
+    fall back to the CPU backend when the probe hangs or dies.  For anything
+    that must stay responsive through an outage (the driver's
+    ``__graft_entry__.entry()`` compile check, ad-hoc scripts).  Must run
+    before any jax operation touches a device in this process."""
+    if probe_backend(timeout_s) is not None:
         import jax
 
         # Force CPU BEFORE any device touch — the env-var route does not

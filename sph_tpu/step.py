@@ -252,6 +252,35 @@ def _slot_bin_margin(xs, refs, grid, ci_offset=None):
     return m[:, None, :]
 
 
+def _membership_risky(c, addr, sg, grid, dd2, dt, sort_every, budget,
+                      ci_offset=None, extra_margin=None):
+    """[c_rows, 1, lanes] bool: the membership rebuild predicate's per-slot
+    AND — risky iff the next block's 1.2×-projected move can BOTH take the
+    slot out of its build cell (or past `extra_margin`, the decomp slab-face
+    distance — leaver strictness) AND past the drift budget.  The ONE
+    definition of the lemma's predicate side for the single-chip and decomp
+    auto advances (they must never diverge silently)."""
+    speed = jnp.sqrt(jnp.sum(c["vs"] * c["vs"], axis=1, keepdims=True))
+    move = (1.2 * dt * sort_every) * speed
+    refs = _slot_bin_refs(addr, sg)
+    marg = _slot_bin_margin(c["xs"], refs, grid, ci_offset)
+    if extra_margin is not None:
+        marg = jnp.minimum(marg, extra_margin)
+    return (
+        c["movb"] & (marg < move) & (jnp.sqrt(dd2) + move > budget)
+    )
+
+
+def _membership_bad(bad, xs, addr, sg, grid, ci_offset=None, beyond=None):
+    """Relax a strict drift-audit mask by membership: a violation is real
+    only once the slot ALSO left its build cell — except where `beyond`
+    (the decomp beyond-slab-face mask) holds, which keeps the strict form
+    (leaver strictness).  The ONE definition of the lemma's audit side."""
+    ins = _slot_inside_bin(xs, _slot_bin_refs(addr, sg), grid, ci_offset)
+    keep = ~ins if beyond is None else (~ins | beyond)
+    return bad & keep
+
+
 class _SlotPhysics:
     """Elementwise physics in [c_rows, d, lanes] SLOT space — the exact
     per-element arithmetic of physics.gravity_force / wall_penalty_force /
@@ -777,9 +806,7 @@ def _make_resident_auto_advance(
             drift2 = jnp.sum(dd * dd, axis=1, keepdims=True)
             bad_i = (drift2 > half2) & movb
             if use_mem:
-                bad_i = bad_i & ~_slot_inside_bin(
-                    xs, _slot_bin_refs(addr, sg), grid
-                )
+                bad_i = _membership_bad(bad_i, xs, addr, sg, grid)
             viol_blk = viol_blk + jnp.sum(bad_i.astype(jnp.int32))
         return xs, vs, acc_s, rp, viol_blk
 
@@ -799,6 +826,9 @@ def _make_resident_auto_advance(
     BIGI = jnp.int32(2**30)
 
     def _plan_repair(c):
+        # NOTE: the risky test below is the PARTICLE-space mirror of
+        # _membership_risky (the slot-space predicate that decides `need`)
+        # — keep the two in lockstep, incl. the 1.2× projection factor.
         from sph_tpu import neighbors
 
         addr, s = c["addr"], c["shadow"]
@@ -957,9 +987,21 @@ def _make_resident_auto_advance(
             row_pos=addr.row_pos.at[sidx].set(new_row, mode="drop"),
             gcounts=gfl.reshape(addr.gcounts.shape),
         )
+        # The shadow's x doubles as every particle's BUILD anchor in
+        # _plan_repair (x0 == shadow.x), so a repaired particle's anchor
+        # must advance to its re-home position — otherwise it stays
+        # phantom-risky against its OLD cell/anchor forever and the next
+        # `need` degenerates to a full rebuild once phantoms exceed
+        # repair_k.  Safe: materialize/heal read shadow.x only for
+        # non-slotted or pre-live particles (movers are slotted; at the
+        # pre-live first block x_m == shadow.x so the patch is a no-op).
+        sh = c["shadow"]
+        shadow2 = _dc.replace(
+            sh, x=sh.x.at[sidx].set(plan["x_m"], mode="drop")
+        )
         return {
             **c, "addr": addr2, "xs": xs, "vs": vs, "acc": acc,
-            "x0s": x0s, "rp": rp, "movb": movb,
+            "x0s": x0s, "rp": rp, "movb": movb, "shadow": shadow2,
         }
 
     @jax.jit
@@ -983,16 +1025,8 @@ def _make_resident_auto_advance(
                 # per-slot AND predicate (see budget note above): a slot is
                 # risky only if the next block's 1.2×-projected move can
                 # BOTH take it out of its build cell AND past the budget
-                speed = jnp.sqrt(
-                    jnp.sum(c["vs"] * c["vs"], axis=1, keepdims=True)
-                )
-                move = (1.2 * dt * sort_every) * speed
-                refs = _slot_bin_refs(c["addr"], sg)
-                margin = _slot_bin_margin(c["xs"], refs, grid)
-                risky = (
-                    c["movb"]
-                    & (margin < move)
-                    & (jnp.sqrt(dd2) + move > budget)
+                risky = _membership_risky(
+                    c, c["addr"], sg, grid, dd2, dt, sort_every, budget
                 )
                 need = jnp.any(risky) | activated
             else:

@@ -811,6 +811,48 @@ def test_repair_into_dam_heals_and_stays_exact():
     assert np.max(np.abs(xr[act] - xe[act])) / scale < 1e-4
 
 
+def test_repair_anchor_advances_no_phantom_risky():
+    """A repaired particle's plan anchor must advance to its re-home
+    position (shadow.x patch in _apply_repair): otherwise it stays
+    phantom-risky against its OLD cell/anchor in every later plan, and
+    the moment any OTHER particle triggers a plan, the phantom inflates
+    n_risky past repair_k and forces a needless full rebuild.
+
+    Deterministic 4-block timeline (zero jitter; cell 18.52, budget
+    1.26, move(420) = 1.41/block): dart A (margin 1.6 off a cell face,
+    into a wall 0.9 past it) is repaired at blocks 2 and 3, bounces off
+    the wall to half speed, and is genuinely safe by block 4 — where
+    dart B first turns risky.  With repair_k=1 the block-4 plan must
+    see ONLY B: repairs == 3, rebuilds == 1 (entry).  A stale anchor
+    instead counts A as a second risky particle → rebuilds == 2,
+    repairs == 2.  The buoy keeps A's landing row in the compacted set
+    (an empty target row is a designed rebuild fallback, not phantom
+    behavior)."""
+    from sph_tpu.params import Block
+
+    we = 28.7  # wall at 371.3 = cell face 370.4 + 0.9 (dart A's stop)
+    base = small_scene(dim=2, seed=97, wall_eps=we)
+    dam = Block(lo=(we + 4, we + 4), hi=(we + 64, we + 104))
+    dart_a = Block(lo=(367.8, 360.0), hi=(369.8, 362.0),
+                   velocity=(420.0, 0.0))
+    dart_b = Block(lo=(272.6, 249.0), hi=(274.6, 251.0),
+                   velocity=(420.0, 0.0))
+    buoy = Block(lo=(371.0, 99.0), hi=(373.0, 101.0))
+    scene = base.replace(blocks=(dam, dart_a, dart_b, buoy), jitter=0.0)
+    state = init(scene)
+    r = make_advance(
+        scene, "pallas", repair_k=1, steps_per_dispatch=16, sort_every=4,
+        slot_resident=True, auto_rebuild=True,
+    )(state)
+    assert int(r[1]) == 0 and int(r[2]) == 0
+    assert int(r[3]) == 1 and int(r[4]) == 3
+    e = make_advance(scene, "pallas", steps_per_dispatch=16)(state)
+    xr, xe = np.asarray(r[0].x), np.asarray(e.x)
+    act = np.asarray(r[0].active)
+    scale = np.max(np.abs(xe[act])) + 1e-9
+    assert np.max(np.abs(xr[act] - xe[act])) / scale < 1e-4
+
+
 def test_repair_overflow_falls_back_to_rebuild_bitwise():
     """More risky particles than repair_k (a whole jet): every fix falls
     back to the full rebuild, so the advance is bitwise the plain auto
