@@ -102,6 +102,39 @@ def test_random_scene_resident_matches_classic_reuse(seed):
     assert np.all(np.isfinite(np.asarray(s_b.x)))
 
 
+@pytest.mark.parametrize("seed", [919, 1020])
+def test_random_scene_auto_policies_track_exact(seed):
+    """Fuzz the round-3 auto-rebuild policy stack on random scenes: the
+    membership-relaxed default, the strict knob, and minority repair must
+    all report zero unhealed violations and track the per-step-rebuild
+    trajectory to tolerance; membership must never rebuild more than
+    strict (the lemma only removes rebuild triggers)."""
+    from sph_tpu.step import make_advance
+
+    rng = np.random.default_rng(seed)
+    scene = _random_scene(rng)
+    state = init(scene)
+    if scene.params.integrator == "leapfrog":
+        state = prime(scene, state, method="pallas")
+    kw = dict(steps_per_dispatch=24, sort_every=4, slot_resident=True,
+              auto_rebuild=True)
+    mem = make_advance(scene, "pallas", **kw)(state)
+    strict = make_advance(
+        scene, "pallas", membership_audit=False, **kw
+    )(state)
+    rep = make_advance(scene, "pallas", repair_k=128, **kw)(state)
+    exact = make_advance(scene, "pallas", steps_per_dispatch=24)(state)
+    assert int(mem[1]) == 0 and int(strict[1]) == 0 and int(rep[1]) == 0
+    assert int(mem[3]) <= int(strict[3]), scene.params
+    xe = np.asarray(exact.x)
+    act = np.asarray(exact.emit_step) <= int(exact.step)
+    scale = np.max(np.abs(xe[act])) + 1e-9
+    for out in (mem, strict, rep):
+        xo = np.asarray(out[0].x)
+        assert np.max(np.abs(xo[act] - xe[act])) / scale < 1e-4, scene.params
+        assert np.all(np.isfinite(xo[act]))
+
+
 @pytest.mark.parametrize("seed", [717, 818])
 def test_random_scene_full_feature_matrix(seed):
     """Fuzz the feature COMBINATION the targeted tests cover one-at-a-time:
