@@ -1319,6 +1319,7 @@ def _make_spatial_resident_auto(
     scene: Scene, spec: SpatialSpec, mesh: Mesh, sort_every: int,
     blocks: int, rebuild_frac: float = 1.0,
     reactive_theta: float | None = None, membership_audit: bool = True,
+    repair_k: int = 0,
 ):
     """AUTO-REBUILD slot residency under spatial decomposition — the
     decomp form of step._make_resident_auto_advance: the per-slab slot
@@ -1399,6 +1400,26 @@ def _make_spatial_resident_auto(
     # which only ADDS candidates (annihilated by compact support) — never
     # drops pairs — so the slab grid itself needs no widening.
     band_w = 2.0 * h_eff if use_mem else h_eff
+    if repair_k:
+        # MINORITY SLOT REPAIR across the mesh (step.make_repair_tools):
+        # strictly INTERIOR particles only — a band particle has ghost
+        # copies on a neighbor whose slot addressing (and hence the
+        # lemma's case-(a) coverage) a local repair cannot patch; any
+        # risky band/leaver particle vetoes the repair and the mesh
+        # rebuilds uniformly instead.  Post-repair soundness: an interior
+        # particle sits ≥ band_w = 2·h_eff from every face at BUILD, so
+        # even after another skin/2 of post-repair drift it stays > h
+        # from the face — no remote pair can involve it before the next
+        # rebuild, and it can never be a migration leaver.
+        if not use_mem:
+            raise ValueError("repair_k requires membership_audit=True")
+        if params.precision == "bf16":
+            raise ValueError("repair_k does not support precision='bf16'")
+        if reactive_theta is not None or rebuild_frac <= 0:
+            raise ValueError(
+                "repair_k composes with the membership predicate only "
+                "(reactive_theta=None, rebuild_frac > 0)"
+            )
 
     base = neighbors.GridSpec.for_scene(scene)
     grid = neighbors.GridSpec.for_slab(
@@ -1446,6 +1467,60 @@ def _make_spatial_resident_auto(
         def masks(sh, at_step):
             act = sh["emit"] <= at_step
             return act, act & (sh["kind"] == 0)
+
+        if repair_k:
+            from sph_tpu.step import make_repair_tools
+
+            plan_t, apply_t = make_repair_tools(
+                grid, sg, d, dt, sort_every, budget, repair_k,
+                sp.gather, ci_off=ci_off,
+            )
+            BIGR = jnp.int32(2**30)
+
+            def plan_repair(c):
+                sh = c["shadow"]
+                act0, movable0 = masks(sh, c["build_step"])
+                # interior = outside BOTH band selections at BUILD (the
+                # anchors ARE the selection positions) → no ghost copy
+                # of this particle exists anywhere on the mesh
+                bx = sh["x"][:, ax]
+                out_band = (
+                    ~((bx < my_lo + band_w) & ~is_first)
+                    & ~((bx >= my_hi - band_w) & ~is_last)
+                )
+
+                def face_fn(x_now):
+                    xa = x_now[:, ax]
+                    face_m = jnp.minimum(
+                        jnp.where(is_first, jnp.inf, xa - my_lo),
+                        jnp.where(is_last, jnp.inf, my_hi - xa),
+                    )
+                    return face_m, out_band
+
+                return plan_t(c, sh["x"], act0, movable0, face_fn=face_fn)
+
+            def apply_repair(cp):
+                c, p_ = cp
+                c2 = apply_t(c, p_)
+                # advance the repaired anchors (see step.py's phantom-
+                # risky note) — shadow.x is read back only via
+                # materialize (slot values win for slotted movers)
+                sh = c["shadow"]
+                sidx = jnp.where(p_["vm"], p_["pids"], BIGR)
+                sh2 = {
+                    **sh,
+                    "x": sh["x"].at[sidx].set(p_["x_m"], mode="drop"),
+                }
+                return {**c2, "shadow": sh2}
+
+            def zero_plan():
+                k0 = jnp.zeros((repair_k,), jnp.int32)
+                return dict(
+                    can=jnp.bool_(False), n_risky=jnp.int32(0), pids=k0,
+                    vm=jnp.zeros((repair_k,), bool),
+                    x_m=jnp.zeros((repair_k, d), jnp.float32),
+                    old_row=k0, old_pos=k0, new_row=k0, new_pos=k0,
+                )
 
         def drift_shadow(sh, at_step):
             """Leapfrog block-top pre-drift in particle space (the rebuild
@@ -1758,6 +1833,8 @@ def _make_spatial_resident_auto(
             over=jnp.int32(0), viol=jnp.int32(0),
             rebuilds=jnp.int32(1), healed=jnp.int32(0),
         )
+        if repair_k:
+            carry0["repairs"] = jnp.int32(0)
 
         def block(c, _):
             step0 = c["step"]
@@ -1805,6 +1882,38 @@ def _make_spatial_resident_auto(
                 AXIS,
             )
             need = (sig[0] > thresh) | (sig[1] > 0)
+            if repair_k:
+                # second uniform round, only under `need` (a collective
+                # inside a lax.cond is legal because `need` is already
+                # mesh-uniform): every device plans its local repair and
+                # the mesh repairs TOGETHER iff no device vetoes (can
+                # covers: ≤ K risky, all interior, all placeable).  The
+                # repair itself is collective-free and purely local.
+                act_any = sig[1] > 0
+
+                def try_plan(c_):
+                    p_ = plan_repair(c_)
+                    # a device with nothing risky consents (its apply is
+                    # a no-op); a device with risky it cannot re-home
+                    # exactly vetoes the whole mesh into a rebuild
+                    veto = ~(p_["can"] | (p_["n_risky"] == 0))
+                    nb = veto.astype(jnp.float32)
+                    return p_, jax.lax.pmax(_chained(nb, sig), AXIS)
+
+                def no_plan(c_):
+                    return zero_plan(), jnp.float32(1.0)
+
+                plan_d, cbad = jax.lax.cond(
+                    need & ~act_any, try_plan, no_plan, c
+                )
+                do_rep = need & ~act_any & (cbad <= 0.0)
+                c = jax.lax.cond(
+                    do_rep, apply_repair, lambda cp: cp[0], (c, plan_d)
+                )
+                need = need & ~do_rep
+                tokA = _chained(sig, cbad)
+            else:
+                tokA = sig
 
             # --- phase A (local cond): exit + leaver packing ---
             def a_yes(c_):
@@ -1819,7 +1928,7 @@ def _make_spatial_resident_auto(
                 need, a_yes, a_no, c
             )
             shA, ins_over, tok = mig_exchange(
-                shA, m_lo, mval_lo, m_hi, mval_hi, sig
+                shA, m_lo, mval_lo, m_hi, mval_hi, tokA
             )
 
             # --- phase B (local cond): band + ghost payload source ---
@@ -1986,6 +2095,10 @@ def _make_spatial_resident_auto(
                 live=jnp.bool_(True),  # slot v/acc/rp real from now on
                 tok=tok2[0, :1],
             )
+            if repair_k:
+                ok_carry["repairs"] = (
+                    c["repairs"] + do_rep.astype(jnp.int32)
+                )
 
             def heal_blk(_):
                 """Exact re-run of this block on the per-step spatial path
@@ -2011,12 +2124,17 @@ def _make_spatial_resident_auto(
                     p=st1.p[0], kind=st1.kind[0], emit=st1.emit_step[0],
                 )
                 fresh = enter(sh_new, step0 + sort_every)
-                return dict(
+                out_h = dict(
                     fresh,
                     over=c["over"] + ov_h, viol=c["viol"],
                     rebuilds=c["rebuilds"] + 1,
                     healed=c["healed"] + 1,
                 )
+                if repair_k:
+                    out_h["repairs"] = (
+                        c["repairs"] + do_rep.astype(jnp.int32)
+                    )
+                return out_h
 
             c_out = jax.lax.cond(bad, heal_blk, lambda _o: ok_carry, None)
             return c_out, None
@@ -2038,7 +2156,10 @@ def _make_spatial_resident_auto(
             rho=shF["rho"][None], p=shF["p"][None], kind=shF["kind"][None],
             emit_step=shF["emit"][None], step=final["step"],
         )
-        return out, overflow, final["rebuilds"], final["healed"]
+        outs = (out, overflow, final["rebuilds"], final["healed"])
+        if repair_k:
+            outs = outs + (final["repairs"],)
+        return outs
 
     return scanned
 
@@ -2084,6 +2205,7 @@ def make_spatial_advance(
     rebuild_frac: float = 1.0,
     reactive_theta: float | None = None,
     membership_audit: bool = True,
+    repair_k: int = 0,
 ):
     """jitted advance: `steps_per_dispatch` sharded steps in one lax.scan.
 
@@ -2123,12 +2245,16 @@ def make_spatial_advance(
             steps_per_dispatch // sort_every, rebuild_frac=rebuild_frac,
             reactive_theta=reactive_theta,
             membership_audit=membership_audit,
+            repair_k=repair_k,
         )
         spec_in = _spatial_specs()
+        outs = (spec_in, P(), P(), P())
+        if repair_k:
+            outs = outs + (P(),)
         return jax.jit(
             jax.shard_map(
                 scanned, mesh=mesh, in_specs=(spec_in,),
-                out_specs=(spec_in, P(), P(), P()),
+                out_specs=outs,
                 check_vma=False,
             )
         )
@@ -2701,6 +2827,7 @@ def make_audited_spatial_advance(
     auto_rebuild: bool = True,
     reactive_theta: float | None = None,
     membership_audit: bool = True,
+    repair_k: int = 0,
 ):
     """`advance(loc_state) -> loc_state` with the single-chip audited-
     fallback policy extended across the mesh (VERDICT r2 missing 2): when
@@ -2722,13 +2849,17 @@ def make_audited_spatial_advance(
         auto_rebuild=auto,
         reactive_theta=reactive_theta if auto else None,
         membership_audit=membership_audit,
+        repair_k=repair_k if auto else 0,
     )
     exact = []  # per-step spatial fallback, compiled on first use
 
     def audited(loc: State) -> State:
-        # (state, worst[, rebuilds, healed]) — auto adds the counters
+        # (state, worst[, rebuilds, healed[, repairs]]) — auto adds the
+        # counters; repair_k the trailing one
         res = adv(loc)
         out, worst = res[0], res[1]
+        if len(res) > 4:
+            audited.repaired += int(res[4])
         if len(res) > 3 and int(res[3]):
             audited.healed += int(res[3])
             print(
@@ -2763,4 +2894,5 @@ def make_audited_spatial_advance(
         )
 
     audited.healed = 0  # cumulative in-dispatch healed blocks (observability)
+    audited.repaired = 0  # cumulative minority-repaired blocks
     return audited

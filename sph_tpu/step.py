@@ -281,6 +281,202 @@ def _membership_bad(bad, xs, addr, sg, grid, ci_offset=None, beyond=None):
     return bad & keep
 
 
+def make_repair_tools(grid, sg, d, dt, sort_every, budget, repair_k,
+                      gather, ci_off=None):
+    """(plan, apply) for MINORITY SLOT REPAIR — shared by the single-chip
+    and decomp auto advances (see _make_resident_auto_advance's repair_k
+    docstring for semantics).  Planned in PARTICLE space: `x0_p` holds
+    every particle's BUILD anchor (the shadow's x — callers must advance
+    it for repaired particles, see the phantom-risky note in apply), and
+    `addr` its slot.  `ci_off` is a decomp slab grid's integer index
+    shift; `face_fn(x_now) -> (face_margin, allowed)` lets the decomp
+    caller fold slab-face distance into the risky margin (leaver
+    strictness) and veto non-interior repairs (a band particle has ghost
+    copies on a neighbor whose addressing a local repair cannot patch).
+    The risky test is the PARTICLE-space mirror of _membership_risky —
+    keep the two in lockstep, incl. the 1.2× projection factor."""
+    from sph_tpu import neighbors, pallas_step
+
+    n_codes = sg.h0 * sg.h1
+    usable_rows = sg.c_rows - 1
+    BIGI = jnp.int32(2**30)
+    lane_w = pallas_step.LANE
+
+    def plan(c, x0_p, act0, movable0, face_fn=None):
+        addr = c["addr"]
+        cap_n = x0_p.shape[0]
+        ok = (addr.valid & (addr.row_pos > 0))[:cap_n]
+        x_now = gather(c["xs"], d, addr)[:cap_n]               # [N, d]
+        v_now = gather(c["vs"], d, addr)[:cap_n]
+        speed_p = jnp.sqrt(jnp.sum(v_now * v_now, axis=1))
+        move_p = (1.2 * dt * sort_every) * speed_p
+        dd = x_now - x0_p                                      # x0 anchors
+        drift_p = jnp.sqrt(jnp.sum(dd * dd, axis=1))
+        ci0, _ = neighbors.cell_index(x0_p, act0, grid, ci_off)
+        if ci_off is not None:
+            ci0 = ci0 + ci_off[None, :]                        # global bins
+        lo = jnp.asarray(grid.lo, jnp.float32)
+        lo_c = lo[None, :] + ci0.astype(jnp.float32) * grid.cell
+        margin_p = jnp.min(
+            jnp.minimum(x_now - lo_c, lo_c + grid.cell - x_now), axis=1
+        )
+        allowed = None
+        if face_fn is not None:
+            face_m, allowed = face_fn(x_now)
+            margin_p = jnp.minimum(margin_p, face_m)
+        risky = (
+            movable0 & ok
+            & (margin_p < move_p)
+            & (drift_p + move_p > budget)
+        )
+        n_risky = jnp.sum(risky.astype(jnp.int32))
+        pids = jnp.nonzero(risky, size=repair_k, fill_value=cap_n)[0]
+        vm = pids < cap_n
+        pid_s = jnp.minimum(pids, cap_n - 1)
+        x_m = x_now[pid_s]
+        old_row = addr.row_pos[pid_s]
+        old_pos = addr.pos[pid_s]
+
+        # target cell of each mover = the bin of its CURRENT position
+        ci_m, _ = neighbors.cell_index(x_m, vm, grid, ci_off)
+        if d == 3:
+            code_m = (ci_m[:, 0] + 1) * sg.h1 + (ci_m[:, 1] + 1)
+        else:
+            code_m = ci_m[:, 0] + 1
+        hx_m = ci_m[:, -1] + sg.xc
+
+        # code → compacted row (the build's row_inv, rebuilt from addr)
+        iu = jnp.arange(usable_rows, dtype=jnp.int32)
+        in_range = iu < addr.n_occ[0]
+        targets = jnp.where(in_range, addr.row_code[1:], n_codes)
+        row_inv = (
+            jnp.zeros((n_codes + 1,), jnp.int32)
+            .at[targets]
+            .set(jnp.where(in_range, 1 + iu, 0))
+        )
+        new_row = row_inv[jnp.clip(code_m, 0, n_codes)]
+
+        # free lanes AFTER evicting the movers (so a same-cell re-home can
+        # reuse its own lane); j-th mover into a cell takes its j-th free
+        occ = (c["xs"][:, 0, :] < 1e17).reshape(-1)
+        occ = occ.at[
+            jnp.where(vm, old_row * sg.lanes + old_pos, BIGI)
+        ].set(False, mode="drop")
+        occ3 = occ.reshape(sg.c_rows * sg.h2, sg.cap)
+        cumfree = jnp.cumsum((~occ3).astype(jnp.int32), axis=1)
+        cellkey = new_row * sg.h2 + hx_m
+        key = jnp.where(vm, cellkey, BIGI)
+        order = jnp.argsort(key)
+        ksort = key[order]
+        first = jnp.searchsorted(ksort, ksort, side="left")
+        rank = (
+            jnp.zeros((repair_k,), jnp.int32)
+            .at[order]
+            .set(jnp.arange(repair_k, dtype=jnp.int32)
+                 - first.astype(jnp.int32))
+        )
+        rowsel = jnp.clip(cellkey, 0, sg.c_rows * sg.h2 - 1)
+        occ_row = occ3[rowsel]                                 # [K, cap]
+        cf_row = cumfree[rowsel]
+        onehot = (~occ_row) & (cf_row == (rank + 1)[:, None])
+        placeable = jnp.any(onehot, axis=1)
+        lane_in = jnp.argmax(onehot, axis=1).astype(jnp.int32)
+        new_pos = hx_m * sg.cap + lane_in
+
+        can = (
+            (n_risky <= repair_k)
+            & (n_risky > 0)
+            & ~jnp.any(vm & ((new_row == 0) | ~placeable))
+        )
+        if allowed is not None:
+            can = can & ~jnp.any(risky & ~allowed)
+        return dict(
+            can=can, n_risky=n_risky, pids=pids, vm=vm, x_m=x_m,
+            old_row=old_row, old_pos=old_pos,
+            new_row=new_row, new_pos=new_pos,
+        )
+
+    def apply(c, plan_d):
+        """Patched slot planes + addr (pure re-addressing: the particle
+        state this carry materializes is bitwise unchanged).  Does NOT
+        touch the caller's shadow — the caller must advance shadow.x to
+        x_m at the repaired pids, or they stay phantom-risky against
+        their old anchors in every later plan."""
+        import dataclasses as _dc
+
+        addr = c["addr"]
+        vm = plan_d["vm"]
+        old_row, old_pos = plan_d["old_row"], plan_d["old_pos"]
+        new_row, new_pos = plan_d["new_row"], plan_d["new_pos"]
+
+        def flat(row, col, pos, ncols):
+            return jnp.where(
+                vm, (row * ncols + col) * sg.lanes + pos, BIGI
+            )
+
+        def move(arr, new_vals, old_vals):
+            """Per-axis slot move: sentinel the old slots FIRST so a
+            same-cell re-home landing on its own lane keeps the value."""
+            ncols = arr.shape[1]
+            flat_a = arr.reshape(-1)
+            for a in range(ncols):
+                flat_a = flat_a.at[flat(old_row, a, old_pos, ncols)].set(
+                    old_vals[a], mode="drop"
+                )
+            for a in range(ncols):
+                flat_a = flat_a.at[flat(new_row, a, new_pos, ncols)].set(
+                    new_vals[a], mode="drop"
+                )
+            return flat_a.reshape(arr.shape)
+
+        def take(arr, row, pos):
+            ncols = arr.shape[1]
+            flat_a = arr.reshape(-1)
+            return [
+                flat_a[jnp.where(vm, (row * ncols + a) * sg.lanes + pos, 0)]
+                for a in range(ncols)
+            ]
+
+        x_cols = [plan_d["x_m"][:, a] for a in range(d)]
+        v_cols = take(c["vs"], old_row, old_pos)
+        a_cols = take(c["acc"], old_row, old_pos)
+        rp_cols = take(c["rp"], old_row, old_pos)
+        far = jnp.full((repair_k,), 1e18, jnp.float32)
+        zero = jnp.zeros((repair_k,), jnp.float32)
+
+        xs = move(c["xs"], x_cols, [far] * d)
+        vs = move(c["vs"], v_cols, [zero] * d)
+        acc = move(c["acc"], a_cols, [zero] * d)
+        x0s = move(c["x0s"], x_cols, [far] * d)
+        rp = move(c["rp"], rp_cols, [zero, zero])
+        movb = move(
+            c["movb"],
+            [jnp.ones((repair_k,), bool)],
+            [jnp.zeros((repair_k,), bool)],
+        )
+
+        gfl = addr.gcounts.reshape(-1)
+        gfl = gfl.at[
+            jnp.where(vm, old_row * sg.n_groups + old_pos // lane_w, BIGI)
+        ].add(-1, mode="drop")
+        gfl = gfl.at[
+            jnp.where(vm, new_row * sg.n_groups + new_pos // lane_w, BIGI)
+        ].add(1, mode="drop")
+        sidx = jnp.where(vm, plan_d["pids"], BIGI)
+        addr2 = _dc.replace(
+            addr,
+            pos=addr.pos.at[sidx].set(new_pos, mode="drop"),
+            row_pos=addr.row_pos.at[sidx].set(new_row, mode="drop"),
+            gcounts=gfl.reshape(addr.gcounts.shape),
+        )
+        return {
+            **c, "addr": addr2, "xs": xs, "vs": vs, "acc": acc,
+            "x0s": x0s, "rp": rp, "movb": movb,
+        }
+
+    return plan, apply
+
+
 class _SlotPhysics:
     """Elementwise physics in [c_rows, d, lanes] SLOT space — the exact
     per-element arithmetic of physics.gravity_force / wall_penalty_force /
@@ -816,193 +1012,35 @@ def _make_resident_auto_advance(
             emit_step=s.emit_step, step=s.step + k,
         )
 
-    # ---- minority slot repair (repair_k > 0) -----------------------------
-    # Planned in PARTICLE space — no per-slot particle-id tracking needed:
-    # the shadow holds every particle's BUILD position (x0) and `addr`
-    # holds its slot, so the risky set, its target cells, and free-lane
-    # assignments all come from gathers + [K]-sized index math.
-    n_codes = sg.h0 * sg.h1
-    usable_rows = sg.c_rows - 1
-    BIGI = jnp.int32(2**30)
-
-    def _plan_repair(c):
-        # NOTE: the risky test below is the PARTICLE-space mirror of
-        # _membership_risky (the slot-space predicate that decides `need`)
-        # — keep the two in lockstep, incl. the 1.2× projection factor.
-        from sph_tpu import neighbors
-
-        addr, s = c["addr"], c["shadow"]
-        cap_n = s.capacity
-        act0 = s.active
-        movable0 = act0 & (s.kind == 0)
-        ok = addr.valid & (addr.row_pos > 0)
-        x_now = gather(c["xs"], d, addr)                       # [N, d]
-        v_now = gather(c["vs"], d, addr)
-        speed_p = jnp.sqrt(jnp.sum(v_now * v_now, axis=1))
-        move_p = (1.2 * dt * sort_every) * speed_p
-        dd = x_now - s.x                                       # x0 == shadow.x
-        drift_p = jnp.sqrt(jnp.sum(dd * dd, axis=1))
-        ci0, _ = neighbors.cell_index(s.x, act0, grid)         # build bins
-        lo = jnp.asarray(grid.lo, jnp.float32)
-        lo_c = lo[None, :] + ci0.astype(jnp.float32) * grid.cell
-        margin_p = jnp.min(
-            jnp.minimum(x_now - lo_c, lo_c + grid.cell - x_now), axis=1
-        )
-        risky = (
-            movable0 & ok
-            & (margin_p < move_p)
-            & (drift_p + move_p > budget)
-        )
-        n_risky = jnp.sum(risky.astype(jnp.int32))
-        pids = jnp.nonzero(risky, size=repair_k, fill_value=cap_n)[0]
-        vm = pids < cap_n
-        pid_s = jnp.minimum(pids, cap_n - 1)
-        x_m = x_now[pid_s]
-        old_row = addr.row_pos[pid_s]
-        old_pos = addr.pos[pid_s]
-
-        # target cell of each mover = the bin of its CURRENT position
-        ci_m, _ = neighbors.cell_index(x_m, vm, grid)
-        if d == 3:
-            code_m = (ci_m[:, 0] + 1) * sg.h1 + (ci_m[:, 1] + 1)
-        else:
-            code_m = ci_m[:, 0] + 1
-        hx_m = ci_m[:, -1] + sg.xc
-
-        # code → compacted row (the build's row_inv, rebuilt from addr)
-        iu = jnp.arange(usable_rows, dtype=jnp.int32)
-        in_range = iu < addr.n_occ[0]
-        targets = jnp.where(in_range, addr.row_code[1:], n_codes)
-        row_inv = (
-            jnp.zeros((n_codes + 1,), jnp.int32)
-            .at[targets]
-            .set(jnp.where(in_range, 1 + iu, 0))
-        )
-        new_row = row_inv[jnp.clip(code_m, 0, n_codes)]
-
-        # free lanes AFTER evicting the movers (so a same-cell re-home can
-        # reuse its own lane); j-th mover into a cell takes its j-th free
-        occ = (c["xs"][:, 0, :] < 1e17).reshape(-1)
-        occ = occ.at[
-            jnp.where(vm, old_row * sg.lanes + old_pos, BIGI)
-        ].set(False, mode="drop")
-        occ3 = occ.reshape(sg.c_rows * sg.h2, sg.cap)
-        cumfree = jnp.cumsum((~occ3).astype(jnp.int32), axis=1)
-        cellkey = new_row * sg.h2 + hx_m
-        key = jnp.where(vm, cellkey, BIGI)
-        order = jnp.argsort(key)
-        ksort = key[order]
-        first = jnp.searchsorted(ksort, ksort, side="left")
-        rank = (
-            jnp.zeros((repair_k,), jnp.int32)
-            .at[order]
-            .set(jnp.arange(repair_k, dtype=jnp.int32)
-                 - first.astype(jnp.int32))
-        )
-        rowsel = jnp.clip(cellkey, 0, sg.c_rows * sg.h2 - 1)
-        occ_row = occ3[rowsel]                                 # [K, cap]
-        cf_row = cumfree[rowsel]
-        onehot = (~occ_row) & (cf_row == (rank + 1)[:, None])
-        placeable = jnp.any(onehot, axis=1)
-        lane_in = jnp.argmax(onehot, axis=1).astype(jnp.int32)
-        new_pos = hx_m * sg.cap + lane_in
-
-        can = (
-            (n_risky <= repair_k)
-            & (n_risky > 0)
-            & ~jnp.any(vm & ((new_row == 0) | ~placeable))
-        )
-        return dict(
-            can=can, pids=pids, vm=vm, x_m=x_m,
-            old_row=old_row, old_pos=old_pos,
-            new_row=new_row, new_pos=new_pos,
+    # ---- minority slot repair (repair_k > 0): the shared tools
+    # (make_repair_tools) + the single-chip shadow-anchor advance --------
+    if repair_k:
+        _plan_t, _apply_t = make_repair_tools(
+            grid, sg, d, dt, sort_every, budget, repair_k, gather
         )
 
-    def _apply_repair(c, plan):
-        import dataclasses as _dc
+        def _plan_repair(c):
+            s = c["shadow"]
+            act0 = s.active
+            return _plan_t(c, s.x, act0, act0 & (s.kind == 0))
 
-        addr = c["addr"]
-        vm = plan["vm"]
-        old_row, old_pos = plan["old_row"], plan["old_pos"]
-        new_row, new_pos = plan["new_row"], plan["new_pos"]
+        def _apply_repair(c, plan):
+            import dataclasses as _dc
 
-        def flat(row, col, pos, ncols):
-            return jnp.where(
-                vm, (row * ncols + col) * sg.lanes + pos, BIGI
+            c2 = _apply_t(c, plan)
+            # Advance the repaired particles' plan anchors (shadow.x ==
+            # x0 in _plan_repair): stale anchors leave them phantom-
+            # risky against their OLD cell forever, and the next `need`
+            # degenerates to a full rebuild once phantoms exceed
+            # repair_k.  Safe: materialize/heal read shadow.x only for
+            # non-slotted or pre-live particles (movers are slotted; at
+            # the pre-live first block x_m == shadow.x → patch no-op).
+            sh = c["shadow"]
+            sidx = jnp.where(plan["vm"], plan["pids"], jnp.int32(2**30))
+            shadow2 = _dc.replace(
+                sh, x=sh.x.at[sidx].set(plan["x_m"], mode="drop")
             )
-
-        def move(arr, new_vals, old_vals):
-            """Per-axis slot move: sentinel the old slots FIRST so a
-            same-cell re-home landing on its own lane keeps the value."""
-            ncols = arr.shape[1]
-            flat_a = arr.reshape(-1)
-            for a in range(ncols):
-                flat_a = flat_a.at[flat(old_row, a, old_pos, ncols)].set(
-                    old_vals[a], mode="drop"
-                )
-            for a in range(ncols):
-                flat_a = flat_a.at[flat(new_row, a, new_pos, ncols)].set(
-                    new_vals[a], mode="drop"
-                )
-            return flat_a.reshape(arr.shape)
-
-        def take(arr, row, pos):
-            ncols = arr.shape[1]
-            flat_a = arr.reshape(-1)
-            return [
-                flat_a[jnp.where(vm, (row * ncols + a) * sg.lanes + pos, 0)]
-                for a in range(ncols)
-            ]
-
-        x_cols = [plan["x_m"][:, a] for a in range(d)]
-        v_cols = take(c["vs"], old_row, old_pos)
-        a_cols = take(c["acc"], old_row, old_pos)
-        rp_cols = take(c["rp"], old_row, old_pos)
-        far = jnp.full((repair_k,), 1e18, jnp.float32)
-        zero = jnp.zeros((repair_k,), jnp.float32)
-
-        xs = move(c["xs"], x_cols, [far] * d)
-        vs = move(c["vs"], v_cols, [zero] * d)
-        acc = move(c["acc"], a_cols, [zero] * d)
-        x0s = move(c["x0s"], x_cols, [far] * d)
-        rp = move(c["rp"], rp_cols, [zero, zero])
-        movb = move(
-            c["movb"],
-            [jnp.ones((repair_k,), bool)],
-            [jnp.zeros((repair_k,), bool)],
-        )
-
-        lane_w = pallas_step.LANE
-        gfl = addr.gcounts.reshape(-1)
-        gfl = gfl.at[
-            jnp.where(vm, old_row * sg.n_groups + old_pos // lane_w, BIGI)
-        ].add(-1, mode="drop")
-        gfl = gfl.at[
-            jnp.where(vm, new_row * sg.n_groups + new_pos // lane_w, BIGI)
-        ].add(1, mode="drop")
-        sidx = jnp.where(vm, plan["pids"], BIGI)
-        addr2 = _dc.replace(
-            addr,
-            pos=addr.pos.at[sidx].set(new_pos, mode="drop"),
-            row_pos=addr.row_pos.at[sidx].set(new_row, mode="drop"),
-            gcounts=gfl.reshape(addr.gcounts.shape),
-        )
-        # The shadow's x doubles as every particle's BUILD anchor in
-        # _plan_repair (x0 == shadow.x), so a repaired particle's anchor
-        # must advance to its re-home position — otherwise it stays
-        # phantom-risky against its OLD cell/anchor forever and the next
-        # `need` degenerates to a full rebuild once phantoms exceed
-        # repair_k.  Safe: materialize/heal read shadow.x only for
-        # non-slotted or pre-live particles (movers are slotted; at the
-        # pre-live first block x_m == shadow.x so the patch is a no-op).
-        sh = c["shadow"]
-        shadow2 = _dc.replace(
-            sh, x=sh.x.at[sidx].set(plan["x_m"], mode="drop")
-        )
-        return {
-            **c, "addr": addr2, "xs": xs, "vs": vs, "acc": acc,
-            "x0s": x0s, "rp": rp, "movb": movb, "shadow": shadow2,
-        }
+            return {**c2, "shadow": shadow2}
 
     @jax.jit
     def advance(state: State):

@@ -1000,3 +1000,86 @@ def test_spatial_membership_policy_stretches_and_matches():
     xb = _sorted_active(np.asarray(m_b.x), act_b)
     scale = np.max(np.abs(xa)) + 1e-6
     assert np.max(np.abs(xb - xa)) / scale < 1e-4
+
+
+def _dart_pool_scene(dart_x, dart_speed=410.0, seed=61):
+    """The wide pool + a fast single-particle dart at (dart_x, 250) and a
+    static buoy line (kind=1) anchoring the dart's target rows in the
+    compacted set — the decomp minority-repair scenario.  Speed sits in
+    the (budget/1.2, budget) / (dt·4) window = (375, 450) at this scene's
+    skin 1.8: the projected move trips the membership predicate at cell
+    faces (cell 17.8, faces at 17.8·k − 17.8) while the actual per-block
+    displacement (0.82) stays under the skin/2 audit budget (0.9)."""
+    base = _wide_scene(seed=seed)
+    dart = Block(lo=(dart_x - 1.0, 249.0), hi=(dart_x + 1.0, 251.0),
+                 velocity=(dart_speed, 0.0))
+    buoys = Block(lo=(660.0, 96.0), hi=(790.0, 104.0), kind=1)
+    return calibrate(base.replace(blocks=base.blocks + (dart, buoys)))
+
+
+def test_spatial_repair_interior_dart_replaces_rebuilds():
+    """An interior ballistic dart (slab 3, > 2·h_eff from both faces for
+    the whole run) trips the membership predicate at its cell crossings:
+    the mesh repairs it locally (repairs > 0) instead of rebuilding, with
+    strictly fewer full rebuilds than the repair-free policy, zero heals,
+    exact conservation, and trajectories within the Verlet tolerance of
+    the classic resident path.  The dart starts 0.7 before the 712.0
+    cell face and crosses it in block 1; its whole 16-block run stays
+    inside slab 3's interior [635.6, 764.4)."""
+    scene = _dart_pool_scene(711.3)
+    mesh = decomp.mesh1d(8)
+    state = init(scene)
+    n_act = int(state.n_active())
+    spec = decomp.SpatialSpec.for_scene(scene, 8, state.capacity)
+    loc0 = decomp.spatial_shard_state(state, scene, spec, mesh)
+    kw = dict(method="pallas", steps_per_dispatch=64, sort_every=4,
+              slot_resident=True)
+    a, ov_a = decomp.make_spatial_advance(scene, spec, mesh, **kw)(loc0)
+    b, ov_b, rb_plain, healed_b = decomp.make_spatial_advance(
+        scene, spec, mesh, auto_rebuild=True, **kw
+    )(loc0)
+    r, ov_r, rb_rep, healed_r, repairs = decomp.make_spatial_advance(
+        scene, spec, mesh, auto_rebuild=True, repair_k=64, **kw
+    )(loc0)
+    assert int(ov_a) == 0 and int(ov_b) == 0 and int(ov_r) == 0
+    assert int(healed_b) == 0 and int(healed_r) == 0
+    assert int(repairs) >= 1
+    assert int(rb_rep) < int(rb_plain)
+    m_a = decomp.spatial_gather_state(a)
+    m_r = decomp.spatial_gather_state(r)
+    act_a = np.asarray(m_a.emit_step) <= int(m_a.step)
+    act_r = np.asarray(m_r.emit_step) <= int(m_r.step)
+    assert act_a.sum() == act_r.sum() == n_act
+    xa = _sorted_active(np.asarray(m_a.x), act_a)
+    xr = _sorted_active(np.asarray(m_r.x), act_r)
+    scale = np.max(np.abs(xa)) + 1e-6
+    assert np.max(np.abs(xr - xa)) / scale < 1e-4
+
+
+def test_spatial_repair_band_dart_vetoes_bitwise():
+    """A dart risky INSIDE the 2·h_eff ghost band (its neighbor holds a
+    ghost copy a local repair could not patch) vetoes the repair: the
+    mesh rebuilds uniformly instead, bitwise the repair-free auto path,
+    and the repair counter stays zero."""
+    # 604.5: in slab 3's low-face ghost band [600, 635.6), 0.7 before
+    # the 605.2 cell face → risky at the first block top, not interior
+    scene = _dart_pool_scene(604.5)
+    mesh = decomp.mesh1d(8)
+    state = init(scene)
+    spec = decomp.SpatialSpec.for_scene(scene, 8, state.capacity)
+    loc0 = decomp.spatial_shard_state(state, scene, spec, mesh)
+    kw = dict(method="pallas", steps_per_dispatch=32, sort_every=4,
+              slot_resident=True)
+    b, ov_b, rb_plain, healed_b = decomp.make_spatial_advance(
+        scene, spec, mesh, auto_rebuild=True, **kw
+    )(loc0)
+    r, ov_r, rb_rep, healed_r, repairs = decomp.make_spatial_advance(
+        scene, spec, mesh, auto_rebuild=True, repair_k=64, **kw
+    )(loc0)
+    assert int(ov_b) == 0 and int(ov_r) == 0
+    assert int(repairs) == 0
+    assert int(rb_rep) == int(rb_plain)
+    m_b = decomp.spatial_gather_state(b)
+    m_r = decomp.spatial_gather_state(r)
+    assert np.array_equal(np.asarray(m_b.x), np.asarray(m_r.x))
+    assert np.array_equal(np.asarray(m_b.v), np.asarray(m_r.v))
