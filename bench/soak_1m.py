@@ -6,7 +6,7 @@ throughput — the phase-dependent adaptive engine's bench number is its
 clean-phase speed, so the average over a whole run is reported here and in
 ROADMAP.md to keep the story complete.
 
-Usage: python bench/soak_1m.py [n_steps]
+Usage: python bench/soak_1m.py [n_steps] [reactive_theta] [repair_k]
 """
 
 from __future__ import annotations
@@ -34,16 +34,17 @@ from sph_tpu.step import make_audited_advance, prime
 def main():
     n_steps = int(_sys.argv[1]) if len(_sys.argv) > 1 else 5000
     theta = float(_sys.argv[2]) if len(_sys.argv) > 2 else None
+    repair_k = int(_sys.argv[3]) if len(_sys.argv) > 3 else 0
     scene = preset("splash3d_1m")
     state = init(scene)
     state = jax.jit(lambda s: prime(scene, s, method="pallas"))(state)
     adv = make_audited_advance(
         scene, "pallas", 100, sort_every=4, slot_resident=True,
-        adaptive_cap=True, reactive_theta=theta,
+        adaptive_cap=True, reactive_theta=theta, repair_k=repair_k,
     )
     n = int(state.n_active())
     print(f"soak: n={n}, {n_steps} steps, adaptive flagship "
-          f"(reactive_theta={theta})", flush=True)
+          f"(reactive_theta={theta}, repair_k={repair_k})", flush=True)
     t_all = 0.0
     healed_prev = 0
     # warm compile outside the timed loop
