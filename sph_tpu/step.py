@@ -1333,9 +1333,11 @@ def make_audited_advance(
                    repair_k=repair_k if auto else 0)
 
     def _unpack(out):
-        # (state, viol) | (state, viol, healed) | (+ rebuilds) — the heal
-        # and auto-rebuild advances report extra counters
+        # (state, viol) | (state, viol, healed) | (+ rebuilds[, repairs])
+        # — the heal and auto-rebuild advances report extra counters
         healed = int(out[2]) if len(out) > 2 else 0
+        if len(out) > 4:
+            audited.repaired += int(out[4])
         return out[0], int(out[1]), healed
     if adaptive_cap and slot_resident and grid is None:
         from sph_tpu import neighbors
@@ -1457,6 +1459,7 @@ def make_audited_advance(
             # observability: cumulative healed blocks + current mode
             # (bench.py reports these; the physics is exact either way)
             audited.healed = 0
+            audited.repaired = 0  # minority-repaired blocks (repair_k)
             audited.mode = "cap8"
             return audited
 
@@ -1480,6 +1483,7 @@ def make_audited_advance(
             return st2
 
         audited.healed = 0
+        audited.repaired = 0  # minority-repaired blocks (repair_k)
         return audited
 
     exact = []  # per-step-rebuild fallback, compiled on first use
