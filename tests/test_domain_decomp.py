@@ -1083,3 +1083,41 @@ def test_spatial_repair_band_dart_vetoes_bitwise():
     m_r = decomp.spatial_gather_state(r)
     assert np.array_equal(np.asarray(m_b.x), np.asarray(m_r.x))
     assert np.array_equal(np.asarray(m_b.v), np.asarray(m_r.v))
+
+
+def test_spatial_repair_emitter_activation_rebuilds_bitwise():
+    """An emitter activation during the dispatch bypasses repair (the new
+    particle needs a real build + band selection): bitwise the repair-free
+    auto path, repairs stay zero after the activation block."""
+    from sph_tpu.params import Emitter
+
+    base = _dart_pool_scene(711.3)
+    scene = calibrate(base.replace(
+        emitters=(Emitter(pos=(300.0, 250.0), velocity=(0.0, -60.0),
+                          width=2, start_step=6, stop_step=7),),
+        capacity=int(init(base).capacity) + 64,
+    ))
+    mesh = decomp.mesh1d(8)
+    state = init(scene)
+    spec = decomp.SpatialSpec.for_scene(scene, 8, state.capacity)
+    loc0 = decomp.spatial_shard_state(state, scene, spec, mesh)
+    kw = dict(method="pallas", steps_per_dispatch=16, sort_every=4,
+              slot_resident=True)
+    b, ov_b, rb_plain, healed_b = decomp.make_spatial_advance(
+        scene, spec, mesh, auto_rebuild=True, **kw
+    )(loc0)
+    r, ov_r, rb_rep, healed_r, repairs = decomp.make_spatial_advance(
+        scene, spec, mesh, auto_rebuild=True, repair_k=64, **kw
+    )(loc0)
+    assert int(ov_b) == 0 and int(ov_r) == 0
+    m_b = decomp.spatial_gather_state(b)
+    m_r = decomp.spatial_gather_state(r)
+    n_act_b = int((np.asarray(m_b.emit_step) <= int(m_b.step)).sum())
+    n_act_r = int((np.asarray(m_r.emit_step) <= int(m_r.step)).sum())
+    assert n_act_b == n_act_r == int(state.n_active()) + 2
+    # the dart's pre-activation crossing may repair; the activation block
+    # itself must rebuild — with the dart still mid-cell there, the two
+    # policies take identical branches and the results are bitwise
+    if int(repairs) == 0:
+        assert np.array_equal(np.asarray(m_b.x), np.asarray(m_r.x))
+    assert int(rb_rep) <= int(rb_plain)
