@@ -1363,7 +1363,8 @@ def _make_spatial_resident_auto(
     of the ~35 s per-dispatch host-side re-run.
 
     The returned shard_map body gives `(state, overflow, rebuilds,
-    healed)`; overflow now carries only what healing could not repair —
+    healed)` — plus a trailing `repaired_blocks` counter when
+    repair_k > 0; overflow now carries only what healing could not repair —
     the heal path's own static-cap overflows (spec outgrowth → elastic
     recovery) — plus dispatch-end exit/migration audits."""
     from sph_tpu import neighbors, pallas_step
@@ -1411,10 +1412,10 @@ def _make_spatial_resident_auto(
         # even after another skin/2 of post-repair drift it stays > h
         # from the face — no remote pair can involve it before the next
         # rebuild, and it can never be a migration leaver.
+        # (bf16 needs no check here: the auto-rebuild decomp path raised
+        # on precision='bf16' unconditionally above)
         if not use_mem:
             raise ValueError("repair_k requires membership_audit=True")
-        if params.precision == "bf16":
-            raise ValueError("repair_k does not support precision='bf16'")
         if reactive_theta is not None or rebuild_frac <= 0:
             raise ValueError(
                 "repair_k composes with the membership predicate only "
@@ -2220,9 +2221,10 @@ def make_spatial_advance(
     predictive drift check or an emitter activation demands it, and
     HEALS violating blocks in-dispatch on the per-step spatial path
     (_make_spatial_resident_auto); returns (state, worst_overflow,
-    rebuilds, healed_blocks) instead — worst_overflow then carries only
-    what healing could not repair (spec-cap outgrowth on the per-step
-    path itself).
+    rebuilds, healed_blocks) instead — plus a trailing repaired_blocks
+    counter when repair_k > 0 — where worst_overflow carries only what
+    healing could not repair (spec-cap outgrowth on the per-step path
+    itself).
 
     Returns (state, worst_overflow): worst_overflow > 0 means a ghost/
     migration/local buffer cap dropped particles — or, on the fast path,
