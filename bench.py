@@ -137,10 +137,15 @@ def bench_config(scene, method: str, steps: int, repeats: int = 3,
 
     def one(st):
         if auto_rebuild:
-            st, viol, healed, rebuilds = adv(st)
+            out = adv(st)
+            st, viol, healed, rebuilds = out[:4]
             if counters is not None:
                 counters["healed"] = counters.get("healed", 0) + int(healed)
                 counters["rebuilds"] = int(rebuilds)
+                if len(out) > 4:
+                    counters["repairs"] = (
+                        counters.get("repairs", 0) + int(out[4])
+                    )
             if int(viol):
                 raise RuntimeError(f"{int(viol)} unhealed violations")
             return st
