@@ -102,18 +102,44 @@ class _Interactor:
         return scene, changed
 
 
-def _run_spatial(args, scene, state, spf, inner) -> int:
-    """`sph-tpu run --shards N`: spatial slab decomposition across the
-    device mesh (SURVEY.md C16/§5.7), with the audited-fallback policy
-    extended across the mesh and ELASTIC RECOVERY: a SpatialCapOverflow
-    (static buffers outgrown by the flow) rebuilds the SpatialSpec from
-    the gathered state and recompiles, then continues (SURVEY.md §5.3)."""
+def _parse_shards(text) -> tuple[int, ...] | None:
+    """`--shards` value: "0" → None (single-chip), "N" → 1-axis slabs,
+    "N1xN2" → 2-axis pencils (decomp.PencilSpec, SURVEY.md §5.7)."""
+    s = str(text).lower().strip()
+    if "x" in s:
+        n1, n2 = (int(p) for p in s.split("x", 1))
+        if n1 < 1 or n2 < 1:
+            raise ValueError(f"bad --shards {text!r}")
+        return (n1, n2)
+    n = int(s)
+    return (n,) if n else None
+
+
+def _run_spatial(args, scene, state, spf, inner, dims) -> int:
+    """`sph-tpu run --shards N` (slabs) or `--shards N1xN2` (pencils):
+    domain decomposition across the device mesh (SURVEY.md C16/§5.7),
+    with the audited-fallback policy extended across the mesh and
+    ELASTIC RECOVERY: a SpatialCapOverflow (static buffers outgrown by
+    the flow) rebuilds the Spatial/PencilSpec from the gathered state
+    and recompiles, then continues (SURVEY.md §5.3)."""
     from sph_tpu import decomp
     from sph_tpu.step import default_skin
 
+    pencil = len(dims) == 2
+    n_total = dims[0] * dims[1] if pencil else dims[0]
+    mesh_desc = "x".join(str(d) for d in dims)
     if getattr(args, "debug", False):
         print("--debug is not supported with --shards", file=sys.stderr)
         return 2
+    if pencil and (args.sort_every > 1 or args.resident):
+        # the pencil path is per-step-rebuild only (slabs carry the
+        # fast path); --method auto lands here too, downgraded with a note
+        print(
+            "note: pencil decomposition steps per-step; "
+            "--sort-every/--resident are ignored",
+            file=sys.stderr,
+        )
+        args.sort_every, args.resident = 1, False
     if args.sort_every > 1:
         spf -= spf % args.sort_every
         spf = max(spf, args.sort_every)
@@ -121,18 +147,35 @@ def _run_spatial(args, scene, state, spf, inner) -> int:
             print("--sort-every>1 requires --method pallas", file=sys.stderr)
             return 2
     n_dev = len(jax.devices())
-    if args.shards > n_dev:
+    if n_total > n_dev:
         print(
-            f"--shards {args.shards} > {n_dev} visible devices",
+            f"--shards {mesh_desc} needs {n_total} devices, "
+            f"{n_dev} visible",
             file=sys.stderr,
         )
         return 2
-    mesh = decomp.mesh1d(args.shards)
+    if pencil and args.shard_axis2 is not None \
+            and args.shard_axis2 == args.shard_axis:
+        print("--shard-axis2 must differ from --shard-axis", file=sys.stderr)
+        return 2
+    mesh = (
+        decomp.mesh2d(*dims) if pencil else decomp.mesh1d(n_total)
+    )
     skin = default_skin(scene, args.sort_every) if args.sort_every > 1 else 0.0
 
     def build(sc, st):
+        if pencil:
+            spec = decomp.PencilSpec.for_state(
+                sc, st, dims[0], dims[1],
+                axis1=args.shard_axis, axis2=args.shard_axis2,
+            )
+            loc = decomp.pencil_shard_state(st, sc, spec, mesh)
+            adv = decomp.make_audited_pencil_advance(
+                sc, spec, mesh, args.method, spf
+            )
+            return spec, loc, adv
         spec = decomp.SpatialSpec.for_state(
-            sc, st, args.shards, axis=args.shard_axis, skin=skin
+            sc, st, n_total, axis=args.shard_axis, skin=skin
         )
         loc = decomp.spatial_shard_state(st, sc, spec, mesh)
         adv = decomp.make_audited_spatial_advance(
@@ -152,13 +195,18 @@ def _run_spatial(args, scene, state, spf, inner) -> int:
         for frame in range(args.frames):
             if interactor is not None:
                 scene, changed = interactor.poll(scene, int(loc.step))
+                # rebind ALL of (spec, loc, adv): build() re-sizes caps
+                # from current occupancy, so a new adv over the OLD
+                # sharded loc could be compiled for different shapes
                 if changed:
-                    _, _, adv = build(scene, decomp.spatial_gather_state(loc))
+                    spec, loc, adv = build(
+                        scene, decomp.spatial_gather_state(loc)
+                    )
                 while interactor.paused:
                     time.sleep(0.2)
                     scene, changed = interactor.poll(scene, int(loc.step))
                     if changed:
-                        _, _, adv = build(
+                        spec, loc, adv = build(
                             scene, decomp.spatial_gather_state(loc)
                         )
             for _ in range(inner):
@@ -189,7 +237,9 @@ def _run_spatial(args, scene, state, spf, inner) -> int:
                 return 2
             scalars["frame"] = frame
             scalars["step"] = int(loc.step)
-            scalars["shards"] = args.shards
+            scalars["shards"] = n_total
+            if pencil:
+                scalars["mesh"] = mesh_desc
             scalars["wall_s"] = time.perf_counter() - t0
             mf.write(json.dumps(scalars) + "\n")
             mf.flush()
@@ -204,7 +254,7 @@ def _run_spatial(args, scene, state, spf, inner) -> int:
                     f"n={int(scalars['n_active'])} "
                     f"max|v|={scalars['max_speed']:8.2f} "
                     f"rho={scalars['mean_rho']:8.2f} "
-                    f"shards={args.shards} "
+                    f"shards={mesh_desc} "
                     f"({scalars['wall_s']:.1f}s)"
                 )
     return 0
@@ -257,9 +307,9 @@ def cmd_run(args) -> int:
         # pallas launches per compiled program; see sph_tpu/step.py)
         inner = -(-spf // MAX_PALLAS_STEPS_PER_DISPATCH)
         spf = -(-args.steps_per_frame // inner)
-    shards = getattr(args, "shards", 0)
-    if shards:
-        return _run_spatial(args, scene, state, spf, inner)
+    dims = getattr(args, "shards", None)
+    if dims:
+        return _run_spatial(args, scene, state, spf, inner, dims)
     if getattr(args, "debug", False):
         # sanitizer-style stepping (SURVEY.md §5.2): the checkify-
         # instrumented step threads an error value through the frame;
@@ -507,12 +557,17 @@ def main(argv=None) -> int:
                       help="disable the membership-relaxed Verlet audit "
                            "(A/B knob: drift-only audits + velocity-"
                            "projection rebuild predicate)")
-    runp.add_argument("--shards", type=int, default=0,
-                      help="spatial slab decomposition across N mesh "
-                           "devices (0 = single-chip); audited-fallback + "
+    runp.add_argument("--shards", type=_parse_shards, default=None,
+                      help="domain decomposition across the device mesh: "
+                           "N = spatial slabs, N1xN2 = 2-axis pencils "
+                           "(0 = single-chip); audited-fallback + "
                            "elastic recovery built in")
     runp.add_argument("--shard-axis", type=int, default=0,
-                      help="domain axis the slabs cut (with --shards)")
+                      help="domain axis the slabs cut / first pencil "
+                           "axis (with --shards)")
+    runp.add_argument("--shard-axis2", type=int, default=None,
+                      help="second pencil cut axis (with --shards N1xN2; "
+                           "default: the last domain axis)")
     runp.add_argument("--interact", default=None, metavar="FILE",
                       help="poll FILE between frames for live interaction "
                            "commands (JSON lines: force_field / pause / "

@@ -2898,3 +2898,33 @@ def make_audited_spatial_advance(
     audited.healed = 0  # cumulative in-dispatch healed blocks (observability)
     audited.repaired = 0  # cumulative minority-repaired blocks
     return audited
+
+
+def make_audited_pencil_advance(
+    scene: Scene,
+    spec: PencilSpec,
+    mesh: Mesh,
+    method: str = "pallas",
+    steps_per_dispatch: int = 100,
+):
+    """Pencil counterpart of make_audited_spatial_advance (same
+    `advance(loc) -> loc` contract, so cli._run_spatial drives either).
+    The pencil path is per-step-rebuild only — slabs carry the
+    sort_every/slot-resident flagship; pencils exist for mesh shapes
+    slabs cannot reach (SURVEY.md §5.7, slab width < 2h) — so a nonzero
+    audit has no faster path to fall back FROM: it is directly a
+    static-buffer event, surfaced as SpatialCapOverflow for the caller's
+    elastic recovery (PencilSpec.for_state + recompile)."""
+    adv = make_pencil_advance(scene, spec, mesh, method, steps_per_dispatch)
+
+    def audited(loc: State) -> State:
+        out, worst = adv(loc)
+        if int(worst) == 0:
+            return out
+        raise SpatialCapOverflow(
+            f"pencil dispatch at step {int(loc.step)} overflowed a static "
+            f"buffer (worst={int(worst)}); rebuild the PencilSpec from the "
+            f"current state (PencilSpec.for_state) and recompile"
+        )
+
+    return audited

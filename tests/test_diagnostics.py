@@ -1,6 +1,7 @@
 """Diagnostics, watchdog fault injection, checkpoint/resume, renderer
 (SURVEY.md §4 aux-subsystem coverage for §5.3-5.5 and C14)."""
 
+import json
 import os
 
 import jax
@@ -283,6 +284,117 @@ def test_cli_run_shards_fastpath_smoke(tmp_path):
     with open(os.path.join(out, "metrics.jsonl")) as fh:
         rec = json.loads(fh.read().strip().splitlines()[-1])
     assert rec["step"] == 8 and np.isfinite(rec["mean_rho"])
+
+
+def test_cli_run_pencil_smoke(tmp_path):
+    """`sph-tpu run --shards 2x2` end-to-end on the 8-virtual-device CPU
+    mesh: pencil (2-axis) decomposition reachable from the product
+    surface, same audited/elastic-recovery loop as slabs.  --method auto
+    downgrades to per-step pallas with a note (pencils have no resident
+    fast path)."""
+    from sph_tpu import cli
+
+    out = str(tmp_path / "outp")
+    import json
+
+    rc = cli.main(
+        [
+            "run",
+            "tutorial2d",
+            "--shards",
+            "2x2",
+            "--frames",
+            "2",
+            "--steps-per-frame",
+            "5",
+            "--out",
+            out,
+            "--quiet",
+        ]
+    )
+    assert rc == 0
+    with open(os.path.join(out, "metrics.jsonl")) as fh:
+        rec = json.loads(fh.read().strip().splitlines()[-1])
+    assert rec["step"] == 10 and rec["shards"] == 4
+    assert rec["mesh"] == "2x2"
+    assert np.isfinite(rec["mean_rho"]) and rec["n_active"] > 0
+
+
+def test_audited_pencil_advance_raises_on_overflow(monkeypatch):
+    """A nonzero pencil audit has no faster path to fall back from — it
+    must surface as SpatialCapOverflow so the CLI's elastic-recovery
+    loop rebuilds the PencilSpec and recompiles (SURVEY.md §5.3)."""
+    from types import SimpleNamespace
+
+    from sph_tpu import decomp
+
+    calls = {}
+
+    def fake_make(scene, spec, mesh, method, spd):
+        calls["built"] = True
+        return lambda loc: (loc, 3)
+
+    monkeypatch.setattr(decomp, "make_pencil_advance", fake_make)
+    audited = decomp.make_audited_pencil_advance(None, None, None, "pallas", 5)
+    assert calls["built"]
+    loc = SimpleNamespace(step=42)
+    with pytest.raises(decomp.SpatialCapOverflow, match="worst=3"):
+        audited(loc)
+
+    monkeypatch.setattr(
+        decomp, "make_pencil_advance",
+        lambda *a: (lambda loc: (loc, 0)),
+    )
+    ok = decomp.make_audited_pencil_advance(None, None, None, "pallas", 5)
+    assert ok(loc) is loc
+
+
+def test_cli_run_shards_interact(tmp_path):
+    """Live interaction under decomposition: a mid-run force_field
+    rebuilds (spec, loc, adv) TOGETHER — build() re-sizes caps from
+    current occupancy, so rebinding only adv could pair a new program
+    with old-shaped sharded state."""
+    from sph_tpu import cli
+
+    cmdf = tmp_path / "cmds.jsonl"
+    cmdf.write_text(
+        json.dumps(
+            {
+                "force_field": {
+                    "pos": [32.0, 32.0],
+                    "strength": 50.0,
+                    "radius": 20.0,
+                    "duration_steps": 10,
+                }
+            }
+        )
+        + "\n"
+    )
+    out = str(tmp_path / "outi")
+    rc = cli.main(
+        [
+            "run",
+            "tutorial2d",
+            "--method",
+            "grid",
+            "--shards",
+            "2",
+            "--frames",
+            "3",
+            "--steps-per-frame",
+            "5",
+            "--interact",
+            str(cmdf),
+            "--out",
+            out,
+            "--quiet",
+        ]
+    )
+    assert rc == 0
+    with open(os.path.join(out, "metrics.jsonl")) as fh:
+        recs = [json.loads(ln) for ln in fh.read().strip().splitlines()]
+    assert len(recs) == 3 and recs[-1]["step"] == 15
+    assert all(np.isfinite(r["mean_rho"]) for r in recs)
 
 
 def test_checked_step_passes_healthy_state():
