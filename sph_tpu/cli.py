@@ -115,13 +115,16 @@ def _parse_shards(text) -> tuple[int, ...] | None:
     return (n,) if n else None
 
 
-def _run_spatial(args, scene, state, spf, inner, dims) -> int:
-    """`sph-tpu run --shards N` (slabs) or `--shards N1xN2` (pencils):
-    domain decomposition across the device mesh (SURVEY.md C16/§5.7),
-    with the audited-fallback policy extended across the mesh and
-    ELASTIC RECOVERY: a SpatialCapOverflow (static buffers outgrown by
-    the flow) rebuilds the Spatial/PencilSpec from the gathered state
-    and recompiles, then continues (SURVEY.md §5.3)."""
+class _UsageError(Exception):
+    """Bad flag combination on a decomposed run/record; message → stderr."""
+
+
+def _decomp_setup(args, scene, spf, dims):
+    """Shared by `run --shards` and `record --shards`: validate the flag
+    set, build the device mesh, and return (build, mesh_desc, n_total)
+    where build(sc, st) -> (spec, loc, adv) shards st over the mesh and
+    compiles the audited advance.  Raises _UsageError on a bad combo.
+    May downgrade args.sort_every/resident (pencil) and round spf."""
     from sph_tpu import decomp
     from sph_tpu.step import default_skin
 
@@ -129,8 +132,7 @@ def _run_spatial(args, scene, state, spf, inner, dims) -> int:
     n_total = dims[0] * dims[1] if pencil else dims[0]
     mesh_desc = "x".join(str(d) for d in dims)
     if getattr(args, "debug", False):
-        print("--debug is not supported with --shards", file=sys.stderr)
-        return 2
+        raise _UsageError("--debug is not supported with --shards")
     if pencil and (args.sort_every > 1 or args.resident):
         # the pencil path is per-step-rebuild only (slabs carry the
         # fast path); --method auto lands here too, downgraded with a note
@@ -144,20 +146,16 @@ def _run_spatial(args, scene, state, spf, inner, dims) -> int:
         spf -= spf % args.sort_every
         spf = max(spf, args.sort_every)
         if args.method != "pallas":
-            print("--sort-every>1 requires --method pallas", file=sys.stderr)
-            return 2
+            raise _UsageError("--sort-every>1 requires --method pallas")
     n_dev = len(jax.devices())
     if n_total > n_dev:
-        print(
+        raise _UsageError(
             f"--shards {mesh_desc} needs {n_total} devices, "
-            f"{n_dev} visible",
-            file=sys.stderr,
+            f"{n_dev} visible"
         )
-        return 2
     if pencil and args.shard_axis2 is not None \
             and args.shard_axis2 == args.shard_axis:
-        print("--shard-axis2 must differ from --shard-axis", file=sys.stderr)
-        return 2
+        raise _UsageError("--shard-axis2 must differ from --shard-axis")
     mesh = (
         decomp.mesh2d(*dims) if pencil else decomp.mesh1d(n_total)
     )
@@ -184,6 +182,25 @@ def _run_spatial(args, scene, state, spf, inner, dims) -> int:
             membership_audit=not getattr(args, "strict_audit", False),
         )
         return spec, loc, adv
+
+    return build, mesh_desc, n_total
+
+
+def _run_spatial(args, scene, state, spf, inner, dims) -> int:
+    """`sph-tpu run --shards N` (slabs) or `--shards N1xN2` (pencils):
+    domain decomposition across the device mesh (SURVEY.md C16/§5.7),
+    with the audited-fallback policy extended across the mesh and
+    ELASTIC RECOVERY: a SpatialCapOverflow (static buffers outgrown by
+    the flow) rebuilds the Spatial/PencilSpec from the gathered state
+    and recompiles, then continues (SURVEY.md §5.3)."""
+    from sph_tpu import decomp
+
+    try:
+        build, mesh_desc, n_total = _decomp_setup(args, scene, spf, dims)
+    except _UsageError as e:
+        print(str(e), file=sys.stderr)
+        return 2
+    pencil = len(dims) == 2
 
     spec, loc, adv = build(scene, state)
     pack_fn = jax.jit(lambda s: diagnostics.scalar_pack(s, scene.params))
@@ -266,6 +283,49 @@ def _load_scene(name_or_path: str):
         with open(name_or_path) as fh:
             return calibrate(scene_from_json(fh.read()))
     return preset(name_or_path)
+
+
+def _record_spatial(args, scene, state, spf, inner, dims) -> int:
+    """`sph-tpu record --shards ...`: the APNG record loop over a
+    decomposed run — advance sharded, gather per frame, render the
+    global view; same audited-fallback + elastic recovery as run."""
+    import numpy as np
+
+    from sph_tpu import decomp
+
+    try:
+        build, mesh_desc, n_total = _decomp_setup(args, scene, spf, dims)
+    except _UsageError as e:
+        print(str(e), file=sys.stderr)
+        return 2
+    spec, loc, adv = build(scene, state)
+    render_fn = jax.jit(
+        lambda s: render.render_splat(
+            s, scene, args.width, args.height, args.mode,
+            radius=args.radius,
+        )
+    )
+    fields = []
+    t0 = time.time()
+    for frame in range(args.frames):
+        for _ in range(inner):
+            try:
+                loc = adv(loc)
+            except decomp.SpatialCapOverflow as e:
+                print(f"elastic recovery: {e}", file=sys.stderr)
+                spec, loc, adv = build(
+                    scene, decomp.spatial_gather_state(loc)
+                )
+                loc = adv(loc)
+        fields.append(np.asarray(render_fn(decomp.spatial_gather_state(loc))))
+        if not args.quiet:
+            print(
+                f"frame {frame} shards={mesh_desc} ({time.time()-t0:.1f}s)",
+                flush=True,
+            )
+    render.save_apng(args.out, fields, fps=args.fps)
+    print(f"wrote {args.out} ({len(fields)} frames)")
+    return 0
 
 
 def _resolve_method(args) -> None:
@@ -479,6 +539,9 @@ def cmd_record(args) -> int:
     if args.method == "pallas" and spf > MAX_PALLAS_STEPS_PER_DISPATCH:
         inner = -(-spf // MAX_PALLAS_STEPS_PER_DISPATCH)
         spf = -(-args.steps_per_frame // inner)
+    dims = getattr(args, "shards", None)
+    if dims:
+        return _record_spatial(args, scene, state, spf, inner, dims)
     if args.sort_every > 1:
         spf -= spf % args.sort_every
         spf = max(spf, args.sort_every)
@@ -607,6 +670,13 @@ def main(argv=None) -> int:
                            "activations freeze until the next rebuild)")
     recp.add_argument("--adaptive-cap", action="store_true",
                       help="see run --adaptive-cap")
+    recp.add_argument("--shards", type=_parse_shards, default=None,
+                      help="record over a decomposed run: N = slabs, "
+                           "N1xN2 = pencils (see run --shards)")
+    recp.add_argument("--shard-axis", type=int, default=0,
+                      help="see run --shard-axis")
+    recp.add_argument("--shard-axis2", type=int, default=None,
+                      help="see run --shard-axis2")
     recp.add_argument("--fps", type=float, default=20.0)
     recp.add_argument("--quiet", action="store_true")
     recp.set_defaults(fn=cmd_record)

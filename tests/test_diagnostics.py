@@ -149,6 +149,40 @@ def test_cli_record_smoke(tmp_path):
     assert os.path.exists(out) or glob.glob(str(tmp_path / "movie_*.png"))
 
 
+def test_cli_record_shards_smoke(tmp_path):
+    """`sph-tpu record --shards 2`: the APNG record loop over a slab-
+    decomposed run (advance sharded, gather per frame, render the
+    global view)."""
+    from sph_tpu import cli
+
+    out = str(tmp_path / "movie.apng")
+    rc = cli.main(
+        [
+            "record",
+            "tutorial2d",
+            "--method",
+            "grid",
+            "--shards",
+            "2",
+            "--frames",
+            "2",
+            "--steps-per-frame",
+            "5",
+            "--out",
+            out,
+            "--width",
+            "120",
+            "--height",
+            "90",
+            "--quiet",
+        ]
+    )
+    assert rc == 0
+    import glob
+
+    assert os.path.exists(out) or glob.glob(str(tmp_path / "movie_*.png"))
+
+
 def test_cli_run_smoke(tmp_path):
     from sph_tpu import cli
 
