@@ -622,6 +622,48 @@ def test_pencil_migration_both_axes():
     assert after.sum() == n_act
 
 
+def test_pencil_with_emitters():
+    """Emitters under pencil decomposition: pending slots ride to the
+    pencil owning their spawn position, activate on schedule there, and
+    two-phase migration (which reuses only INACTIVE slots) never
+    clobbers them — activation count and trajectories track the
+    single-device run exactly."""
+    from sph_tpu.params import Emitter
+
+    scene = _square_scene()
+    scene = calibrate(
+        scene.replace(
+            emitters=(
+                Emitter(
+                    pos=(650.0, 650.0), velocity=(-150.0, -120.0), width=2
+                ),
+            ),
+            capacity=2048,
+        )
+    )
+    mesh = decomp.mesh2d(2, 4)
+    state = init(scene)
+    spec = decomp.PencilSpec.for_state(scene, state, 2, 4, headroom=6.0)
+    loc = decomp.pencil_shard_state(state, scene, spec, mesh)
+    adv = decomp.make_pencil_advance(
+        scene, spec, mesh, method="grid", steps_per_dispatch=150
+    )
+    step_ref = jax.jit(make_step(scene, "grid"))
+    ref = state
+    loc, overflow = adv(loc)
+    assert int(overflow) == 0
+    for _ in range(150):
+        ref = step_ref(ref)
+    merged = decomp.spatial_gather_state(loc)
+    act_m = np.asarray(merged.emit_step) <= int(merged.step)
+    assert int(ref.n_active()) > int(state.n_active())  # emitter fired
+    assert act_m.sum() == int(ref.n_active())
+    xm = _sorted_active(np.asarray(merged.x), act_m)
+    xr = _sorted_active(np.asarray(ref.x), np.asarray(ref.active))
+    scale = np.max(np.abs(xr)) + 1e-6
+    assert np.max(np.abs(xm - xr)) / scale < 1e-4
+
+
 def test_pencil_3d_smoke():
     """3D pencil cut along (z, x) with the vertical axis uncut (default
     axis2 = last), pallas kernels per device, WCSPH leapfrog."""
