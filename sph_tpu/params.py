@@ -339,6 +339,31 @@ def _multi_emitter_3d() -> Scene:
     )
 
 
+def _fountain_2d() -> Scene:
+    """Demo scene (NOT a BASELINE config): a shallow pool with a central
+    fountain jet plus two side sprays — made for `sph-tpu record` and
+    the live `--interact` hook (ROADMAP round-4: render demos).  The
+    headless analog of the reference's interactive window session."""
+    p = SimParams(boundary_mode="clamp")
+    spacing = p.h * 0.55
+    eps = p.wall_eps + spacing
+    return Scene(
+        params=p,
+        lo=(0.0, 0.0),
+        hi=(800.0, 600.0),
+        blocks=(Block(lo=(eps, eps), hi=(800.0 - eps, 110.0)),),
+        emitters=(
+            Emitter(pos=(400.0, 130.0), velocity=(0.0, 300.0), width=3),
+            Emitter(pos=(150.0, 560.0), velocity=(120.0, -40.0), width=2,
+                    start_step=400),
+            Emitter(pos=(650.0, 560.0), velocity=(-120.0, -40.0), width=2,
+                    start_step=800),
+        ),
+        capacity=16384,
+        seed=5,
+    )
+
+
 _PRESETS = {
     # BASELINE.json:7 — tutorial default scene (naive all-pairs path)
     "tutorial2d": lambda: _dam_break_2d(1024),
@@ -350,13 +375,14 @@ _PRESETS = {
     "splash3d_1m": _splash_3d_1m,
     # BASELINE.json:11 — multi-emitter 3D scene with live render loop
     "emitters3d": _multi_emitter_3d,
+    # demo scene (not in BASELINE): pool + fountain jets, for record/interact
+    "fountain2d": _fountain_2d,
 }
 
 
 def preset(name: str) -> Scene:
-    """Return one of the five BASELINE configs by name (SURVEY.md §6).
-
-    All presets ship mass-calibrated (see `calibrate`)."""
+    """Return a named scene: the five BASELINE configs (SURVEY.md §6)
+    plus demo scenes.  All presets ship mass-calibrated (`calibrate`)."""
     try:
         return calibrate(_PRESETS[name]())
     except KeyError:

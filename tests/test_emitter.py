@@ -143,3 +143,24 @@ def test_emitter_under_resident_fast_path():
     assert np.isfinite(x).all()
     # emitted particles moved off the nozzle (they integrate after joining)
     assert (x[:, 1] < 300.0 - 1e-3).all()
+
+
+def test_fountain2d_demo_preset():
+    """The fountain2d demo preset (pool + 3 staggered jets) constructs,
+    runs finite on the flagship auto path, and actually emits."""
+    from sph_tpu.params import preset
+    from sph_tpu.step import make_audited_advance
+
+    scene = preset("fountain2d")
+    state = init(scene)
+    n0 = int(state.n_active())
+    adv = make_audited_advance(scene, "pallas", steps_per_dispatch=100,
+                               sort_every=4, slot_resident=True)
+    for _ in range(5):
+        state = adv(state)
+    assert int(state.step) == 500
+    assert int(state.n_active()) > n0  # the fountain fired
+    x = np.asarray(state.x)[np.asarray(state.active)]
+    assert np.isfinite(x).all()
+    assert (x >= np.asarray(scene.lo) - 1e-3).all()
+    assert (x <= np.asarray(scene.hi) + 1e-3).all()
