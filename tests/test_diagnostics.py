@@ -320,6 +320,34 @@ def test_cli_run_shards_fastpath_smoke(tmp_path):
     assert rec["step"] == 8 and np.isfinite(rec["mean_rho"])
 
 
+def test_cli_run_shards_resume(tmp_path):
+    """Checkpoint/resume composes with decomposition: a checkpoint from a
+    decomposed run (saved from the gathered global view) resumes into a
+    fresh decomposed run, step counter intact (SURVEY.md §5.4 + C16)."""
+    from sph_tpu import cli
+
+    out1 = str(tmp_path / "o1")
+    rc = cli.main(
+        ["run", "tutorial2d", "--method", "grid", "--shards", "2",
+         "--frames", "2", "--steps-per-frame", "5",
+         "--checkpoint-every", "1", "--out", out1, "--quiet"]
+    )
+    assert rc == 0
+    ckpt = os.path.join(out1, "ckpt_00001.npz")
+    assert os.path.exists(ckpt)
+    out2 = str(tmp_path / "o2")
+    rc = cli.main(
+        ["run", "tutorial2d", "--method", "grid", "--shards", "2",
+         "--frames", "1", "--steps-per-frame", "5",
+         "--resume", ckpt, "--out", out2, "--quiet"]
+    )
+    assert rc == 0
+    with open(os.path.join(out2, "metrics.jsonl")) as fh:
+        rec = json.loads(fh.read().strip().splitlines()[-1])
+    assert rec["step"] == 15  # 10 from the first run + 5 resumed
+    assert np.isfinite(rec["mean_rho"])
+
+
 def test_cli_run_pencil_smoke(tmp_path):
     """`sph-tpu run --shards 2x2` end-to-end on the 8-virtual-device CPU
     mesh: pencil (2-axis) decomposition reachable from the product
