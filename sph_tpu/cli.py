@@ -18,17 +18,23 @@ import jax
 
 from sph_tpu.platform import ensure_backend, probe_backend
 
-# Stale JAX_PLATFORMS env (axon-era rename) AND dead-tunnel protection: TPU
-# device enumeration blocks FOREVER during a tunnel outage (CLAUDE.md), so
-# probe with a timeout and die with a message instead of hanging silently.
-# A process that already forced CPU (tests, ad-hoc scripts) skips the probe.
-if (jax.config.jax_platforms or "") != "cpu":
-    if probe_backend(600) == "timeout":
-        sys.exit(
-            "sph-tpu: TPU device enumeration hung 600 s — tunnel outage? "
-            "(force CPU with jax.config.update('jax_platforms', 'cpu'))"
-        )
-ensure_backend()
+def _bootstrap_backend() -> None:
+    """Stale JAX_PLATFORMS env (axon-era rename) AND dead-tunnel
+    protection: TPU device enumeration blocks FOREVER during a tunnel
+    outage (CLAUDE.md), so probe with a timeout and die with a message
+    instead of hanging silently.  Called from main() AFTER argument
+    parsing, right before a command touches a device — `--help`, usage
+    errors, and `presets` never pay for device enumeration.  A process
+    that already forced CPU (tests, ad-hoc scripts) skips the probe."""
+    if (jax.config.jax_platforms or "") != "cpu":
+        if probe_backend(600) == "timeout":
+            sys.exit(
+                "sph-tpu: TPU device enumeration hung 600 s — tunnel "
+                "outage? (force CPU with "
+                "jax.config.update('jax_platforms', 'cpu'))"
+            )
+    ensure_backend()
+
 
 from sph_tpu import diagnostics, render
 from sph_tpu.params import calibrate, preset, preset_names, scene_from_json
@@ -112,6 +118,8 @@ def _parse_shards(text) -> tuple[int, ...] | None:
             raise ValueError(f"bad --shards {text!r}")
         return (n1, n2)
     n = int(s)
+    if n < 0:
+        raise ValueError(f"bad --shards {text!r}")
     return (n,) if n else None
 
 
@@ -133,15 +141,18 @@ def _decomp_setup(args, scene, spf, dims):
     mesh_desc = "x".join(str(d) for d in dims)
     if getattr(args, "debug", False):
         raise _UsageError("--debug is not supported with --shards")
-    if pencil and (args.sort_every > 1 or args.resident):
+    if pencil and (args.sort_every > 1 or args.resident
+                   or getattr(args, "repair_k", 0)):
         # the pencil path is per-step-rebuild only (slabs carry the
         # fast path); --method auto lands here too, downgraded with a note
         print(
             "note: pencil decomposition steps per-step; "
-            "--sort-every/--resident are ignored",
+            "--sort-every/--resident/--repair-k are ignored",
             file=sys.stderr,
         )
         args.sort_every, args.resident = 1, False
+        if hasattr(args, "repair_k"):
+            args.repair_k = 0
     if args.sort_every > 1:
         spf -= spf % args.sort_every
         spf = max(spf, args.sort_every)
@@ -153,9 +164,18 @@ def _decomp_setup(args, scene, spf, dims):
             f"--shards {mesh_desc} needs {n_total} devices, "
             f"{n_dev} visible"
         )
-    if pencil and args.shard_axis2 is not None \
-            and args.shard_axis2 == args.shard_axis:
-        raise _UsageError("--shard-axis2 must differ from --shard-axis")
+    if pencil:
+        # resolve the default here so a collision with the DEFAULT second
+        # axis is a clean usage error, not a traceback out of build()
+        if args.shard_axis2 is None:
+            args.shard_axis2 = scene.params.dim - 1
+        if args.shard_axis2 == args.shard_axis:
+            raise _UsageError("--shard-axis2 must differ from --shard-axis")
+    if getattr(args, "adaptive_cap", False):
+        print(
+            "note: --adaptive-cap is single-chip only; ignored with --shards",
+            file=sys.stderr,
+        )
     mesh = (
         decomp.mesh2d(*dims) if pencil else decomp.mesh1d(n_total)
     )
@@ -180,6 +200,7 @@ def _decomp_setup(args, scene, spf, dims):
             sc, spec, mesh, args.method, spf,
             sort_every=args.sort_every, slot_resident=args.resident,
             membership_audit=not getattr(args, "strict_audit", False),
+            repair_k=getattr(args, "repair_k", 0),
         )
         return spec, loc, adv
 
@@ -720,6 +741,8 @@ def main(argv=None) -> int:
     benchp.set_defaults(fn=_bench)
 
     args = ap.parse_args(argv)
+    if args.cmd != "presets":  # device-free command
+        _bootstrap_backend()
     return args.fn(args)
 
 

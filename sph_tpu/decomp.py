@@ -1831,7 +1831,7 @@ def _make_spatial_resident_auto(
 
         carry0 = dict(
             enter(sh0, step_t),
-            over=jnp.int32(0), viol=jnp.int32(0),
+            over=jnp.int32(0),
             rebuilds=jnp.int32(1), healed=jnp.int32(0),
         )
         if repair_k:
@@ -2000,8 +2000,17 @@ def _make_spatial_resident_auto(
             viol = jnp.int32(0)  # THIS block's drift audit (heal decides)
             tok2 = g_left
 
+            # movable flag + zero spare col: full FEAT=8 columns, like every
+            # other feat builder — the kernel BlockSpec DMAs 8-column
+            # blocks, so a 7-column feat would make column 7 read padded/
+            # undefined memory (unread today, but a trap for any future
+            # use of the spare column)
+            feat_tail = jnp.concatenate([movs, jnp.zeros_like(movs)], axis=1)
+
             def mk_feat(xs_, vs_):
-                return jnp.concatenate([xs_, zrow, vs_, zrow, movs], axis=1)
+                return jnp.concatenate(
+                    [xs_, zrow, vs_, zrow, feat_tail], axis=1
+                )
 
             for i in range(sort_every):
                 step_i = step0 + i
@@ -2089,8 +2098,10 @@ def _make_spatial_resident_auto(
                 pins=pins, x0s=x0s, shadow=shB,
                 build_step=sl["build_step"], step=step0 + sort_every,
                 pend=jnp.int32(0),
-                over=c["over"] + blk_audit,  # == 0 when this branch runs
-                viol=c["viol"],
+                # blk_audit (incl. this block's viol count) == 0 when this
+                # branch runs; residual violations reach the overflow sum
+                # only through a heal's ov_h, never as a separate counter
+                over=c["over"] + blk_audit,
                 rebuilds=c["rebuilds"] + need.astype(jnp.int32),
                 healed=c["healed"],
                 live=jnp.bool_(True),  # slot v/acc/rp real from now on
@@ -2127,7 +2138,7 @@ def _make_spatial_resident_auto(
                 fresh = enter(sh_new, step0 + sort_every)
                 out_h = dict(
                     fresh,
-                    over=c["over"] + ov_h, viol=c["viol"],
+                    over=c["over"] + ov_h,
                     rebuilds=c["rebuilds"] + 1,
                     healed=c["healed"] + 1,
                 )
@@ -2148,8 +2159,7 @@ def _make_spatial_resident_auto(
             shF, m_lo, mval_lo, m_hi, mval_hi, final["tok"]
         )
         overflow = jax.lax.psum(
-            final["over"] + final["viol"] + final["pend"] + ovmF
-            + ins_overF,
+            final["over"] + final["pend"] + ovmF + ins_overF,
             AXIS,
         )
         out = State(

@@ -1233,8 +1233,6 @@ def make_advance(
                 scene, grid, sg, sort_every, blocks, skin, heal=heal,
                 membership_audit=membership_audit,
             )
-        if heal:
-            raise ValueError("heal requires slot_resident=True")
         step_a = make_step(scene, "pallas", grid=grid, with_addr=True,
                            row_pair=row_pair)
         half2 = (0.5 * skin) ** 2

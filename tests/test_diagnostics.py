@@ -320,6 +320,58 @@ def test_cli_run_shards_fastpath_smoke(tmp_path):
     assert rec["step"] == 8 and np.isfinite(rec["mean_rho"])
 
 
+def test_cli_run_shards_repair_smoke(tmp_path):
+    """--repair-k reaches the decomposed fast path (it used to be
+    silently dropped under --shards): minority repair compiles and runs
+    across the mesh from the CLI."""
+    from sph_tpu import cli
+
+    out = str(tmp_path / "outr")
+    rc = cli.main(
+        [
+            "run",
+            "tutorial2d",
+            "--method",
+            "pallas",
+            "--shards",
+            "2",
+            "--sort-every",
+            "4",
+            "--resident",
+            "--repair-k",
+            "4",
+            "--frames",
+            "1",
+            "--steps-per-frame",
+            "8",
+            "--out",
+            out,
+            "--quiet",
+        ]
+    )
+    assert rc == 0
+    with open(os.path.join(out, "metrics.jsonl")) as fh:
+        rec = json.loads(fh.read().strip().splitlines()[-1])
+    assert rec["step"] == 8 and np.isfinite(rec["mean_rho"])
+
+
+def test_cli_shards_flag_validation(tmp_path, capsys):
+    """Bad --shards values die as usage errors (exit 2 + message), not
+    tracebacks: negative counts, and a pencil axis colliding with the
+    DEFAULT second axis (2D: axis2 defaults to dim-1 = 1)."""
+    from sph_tpu import cli
+
+    with pytest.raises(SystemExit):  # argparse rejects in _parse_shards
+        cli.main(["run", "tutorial2d", "--shards", "-2", "--quiet"])
+    capsys.readouterr()
+    rc = cli.main(
+        ["run", "tutorial2d", "--shards", "2x2", "--shard-axis", "1",
+         "--frames", "1", "--out", str(tmp_path / "x"), "--quiet"]
+    )
+    assert rc == 2
+    assert "--shard-axis2 must differ" in capsys.readouterr().err
+
+
 def test_cli_run_shards_resume(tmp_path):
     """Checkpoint/resume composes with decomposition: a checkpoint from a
     decomposed run (saved from the gathered global view) resumes into a
