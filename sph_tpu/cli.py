@@ -18,6 +18,10 @@ import jax
 
 from sph_tpu.platform import ensure_backend, probe_backend
 
+_PROBE_OK_MARKER = "/tmp/sph_tpu_probe_ok"
+_PROBE_OK_TTL_S = 600.0
+
+
 def _bootstrap_backend() -> None:
     """Stale JAX_PLATFORMS env (axon-era rename) AND dead-tunnel
     protection: TPU device enumeration blocks FOREVER during a tunnel
@@ -25,14 +29,40 @@ def _bootstrap_backend() -> None:
     instead of hanging silently.  Called from main() AFTER argument
     parsing, right before a command touches a device — `--help`, usage
     errors, and `presets` never pay for device enumeration.  A process
-    that already forced CPU (tests, ad-hoc scripts) skips the probe."""
+    that already forced CPU (tests, ad-hoc scripts) skips the probe.
+
+    A fresh success marker (written on probe success, 10-min TTL) skips
+    the subprocess probe on back-to-back invocations, so only the first
+    CLI call after a quiet period pays the extra enumeration; the probe
+    announces itself on stderr so a cold/dead tunnel is a visible wait,
+    not silence."""
     if (jax.config.jax_platforms or "") != "cpu":
-        if probe_backend(600) == "timeout":
-            sys.exit(
-                "sph-tpu: TPU device enumeration hung 600 s — tunnel "
-                "outage? (force CPU with "
-                "jax.config.update('jax_platforms', 'cpu'))"
+        try:
+            fresh = (
+                time.time() - os.stat(_PROBE_OK_MARKER).st_mtime
+                < _PROBE_OK_TTL_S
             )
+        except OSError:
+            fresh = False
+        if not fresh:
+            print(
+                "sph-tpu: probing the TPU backend (may take minutes on a "
+                "cold tunnel; a dead tunnel exits after 600 s) ...",
+                file=sys.stderr, flush=True,
+            )
+            why = probe_backend(600)
+            if why == "timeout":
+                sys.exit(
+                    "sph-tpu: TPU device enumeration hung 600 s — tunnel "
+                    "outage? (force CPU with "
+                    "jax.config.update('jax_platforms', 'cpu'))"
+                )
+            if why is None:
+                try:
+                    with open(_PROBE_OK_MARKER, "w"):
+                        pass
+                except OSError:
+                    pass  # marker is an optimization only
     ensure_backend()
 
 
@@ -347,6 +377,41 @@ def _record_spatial(args, scene, state, spf, inner, dims) -> int:
     render.save_apng(args.out, fields, fps=args.fps)
     print(f"wrote {args.out} ({len(fields)} frames)")
     return 0
+
+
+def _validate_fastpath_flags(args) -> None:
+    """Reject bad fast-path flag combos with a clean usage error instead
+    of letting a factory ValueError escape as a traceback (step.py would
+    otherwise raise on repair_k+strict-audit, or silently ignore repair_k
+    / adaptive_cap off the resident path).  Call after _resolve_method —
+    `--method auto` turns on the resident fast path, so these only fire
+    on explicitly contradictory flags.  The --debug path ignores the
+    reuse knobs by design (it prints a note), so it skips them here."""
+    rk = getattr(args, "repair_k", 0)
+    if rk < 0:
+        raise _UsageError("--repair-k must be >= 0")
+    if rk and getattr(args, "strict_audit", False):
+        raise _UsageError(
+            "--repair-k needs the membership-relaxed audit; "
+            "drop --strict-audit"
+        )
+    if getattr(args, "debug", False):
+        return
+    if args.resident and args.sort_every <= 1:
+        raise _UsageError(
+            "--resident requires --sort-every>1 (or leave --method auto)"
+        )
+    if args.sort_every > 1 and args.method != "pallas":
+        raise _UsageError("--sort-every>1 requires --method pallas")
+    if rk and not (args.resident and args.sort_every > 1):
+        raise _UsageError(
+            "--repair-k requires the resident fast path "
+            "(--resident --sort-every>1, or leave --method auto)"
+        )
+    if getattr(args, "adaptive_cap", False) and not args.resident:
+        raise _UsageError(
+            "--adaptive-cap requires --resident (or leave --method auto)"
+        )
 
 
 def _resolve_method(args) -> None:
@@ -691,6 +756,10 @@ def main(argv=None) -> int:
                            "activations freeze until the next rebuild)")
     recp.add_argument("--adaptive-cap", action="store_true",
                       help="see run --adaptive-cap")
+    recp.add_argument("--repair-k", type=int, default=0,
+                      help="see run --repair-k")
+    recp.add_argument("--strict-audit", action="store_true",
+                      help="see run --strict-audit")
     recp.add_argument("--shards", type=_parse_shards, default=None,
                       help="record over a decomposed run: N = slabs, "
                            "N1xN2 = pencils (see run --shards)")
@@ -741,9 +810,22 @@ def main(argv=None) -> int:
     benchp.set_defaults(fn=_bench)
 
     args = ap.parse_args(argv)
+    if args.cmd in ("run", "record"):
+        # resolve + validate flag combos BEFORE backend bootstrap, so a
+        # usage error never pays (or hangs on) TPU device enumeration
+        _resolve_method(args)
+        try:
+            _validate_fastpath_flags(args)
+        except _UsageError as e:
+            print(str(e), file=sys.stderr)
+            return 2
     if args.cmd != "presets":  # device-free command
         _bootstrap_backend()
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except _UsageError as e:
+        print(str(e), file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":

@@ -246,6 +246,43 @@ def test_cli_run_auto_default(tmp_path):
     assert rec["cap_dropped"] == 0
 
 
+def test_cli_bad_flag_combos_are_usage_errors(tmp_path, capsys):
+    """Contradictory fast-path flags exit 2 with a one-line message, not
+    a factory ValueError traceback (code-review round 3): the validation
+    runs before backend bootstrap, so it costs no device enumeration."""
+    from sph_tpu import cli
+
+    for argv in (
+        ["run", "tutorial2d", "--repair-k", "4", "--strict-audit"],
+        ["run", "tutorial2d", "--method", "pallas", "--resident"],
+        ["run", "tutorial2d", "--method", "grid", "--sort-every", "4"],
+        ["run", "tutorial2d", "--method", "pallas", "--repair-k", "4"],
+        ["run", "tutorial2d", "--method", "pallas", "--adaptive-cap"],
+        ["run", "tutorial2d", "--repair-k", "-1"],
+        ["record", "tutorial2d", "--repair-k", "4", "--strict-audit"],
+    ):
+        assert cli.main(argv) == 2, argv
+        err = capsys.readouterr().err
+        assert "--" in err and "Traceback" not in err, (argv, err)
+
+
+def test_cli_record_repair_flag(tmp_path):
+    """`record --repair-k/--strict-audit` are registered (they thread into
+    the same audited advance as run; previously dead getattr defaults)."""
+    from sph_tpu import cli
+
+    out = str(tmp_path / "movie.apng")
+    rc = cli.main(
+        ["record", "tutorial2d", "--frames", "2", "--steps-per-frame", "8",
+         "--repair-k", "8", "--out", out,
+         "--width", "120", "--height", "90", "--quiet"]
+    )
+    assert rc == 0
+    import glob
+
+    assert os.path.exists(out) or glob.glob(str(tmp_path / "movie_*.png"))
+
+
 def test_cli_run_shards_smoke(tmp_path):
     """`sph-tpu run --shards N` end-to-end on the 8-virtual-device CPU
     mesh: spatial decomposition reachable from the product surface
