@@ -276,38 +276,47 @@ def main():
         )
 
     print("== part 3: production auto advance from SETTLED — strict "
-          "velocity vs reactive vs membership-relaxed (timed)", flush=True)
-    steps = probe_blocks * SORT_EVERY
-    for tag, kw in (
-        ("velocity strict (r3)", dict(membership_audit=False)),
+          "velocity vs reactive vs membership-relaxed vs block length "
+          "(timed)", flush=True)
+    for tag, kw, se in (
+        ("velocity strict (r3)", dict(membership_audit=False), SORT_EVERY),
         ("reactive 0.70 strict", dict(reactive_theta=0.70,
-                                      membership_audit=False)),
-        ("membership (default)", {}),
-        ("membership+th=0.85", dict(reactive_theta=0.85)),
-        ("membership+rep2048", dict(repair_k=2048)),
-        ("membership+rep8192", dict(repair_k=8192)),
+                                      membership_audit=False), SORT_EVERY),
+        ("membership (default)", {}, SORT_EVERY),
+        ("membership+th=0.85", dict(reactive_theta=0.85), SORT_EVERY),
+        ("membership+rep512", dict(repair_k=512), SORT_EVERY),
+        ("membership+rep2048", dict(repair_k=2048), SORT_EVERY),
+        ("membership+rep8192", dict(repair_k=8192), SORT_EVERY),
+        # block-length sweep (untried knob): se=8 halves per-block fixed
+        # costs (predicate, counters, cond plumbing) but doubles the skin
+        # (default_skin ∝ k) — bigger cells, more candidates; se=2 the
+        # reverse.  Same block COUNT per run so ms/step is comparable.
+        ("membership se=2", {}, 2),
+        ("membership se=8", {}, 8),
+        ("membership+rep2048 se=8", dict(repair_k=2048), 8),
     ):
+        steps = probe_blocks * se
         adv = make_advance(
-            scene, "pallas", steps_per_dispatch=steps, sort_every=SORT_EVERY,
+            scene, "pallas", steps_per_dispatch=steps, sort_every=se,
             slot_resident=True, auto_rebuild=True, **kw
         )
         out = adv(st)
         s2, viol, healed, rebuilds = out[:4]
         float(jnp.sum(s2.x))
-        best, h_last, r_last, p_last = float("inf"), 0, 0, 0
+        best, h_last, r_last, p_last, v_last = float("inf"), 0, 0, 0, 0
         for _ in range(2):
             t0 = time.perf_counter()
             out = adv(s2)
             s2, viol, healed, rebuilds = out[:4]
             float(jnp.sum(s2.x))
             best = min(best, time.perf_counter() - t0)
-            h_last, r_last = int(healed), int(rebuilds)
+            h_last, r_last, v_last = int(healed), int(rebuilds), int(viol)
             p_last = int(out[4]) if len(out) > 4 else 0
         n = int(s2.n_active())
         print(
-            f"{tag:20s} {best/steps*1e3:8.2f} ms/step  "
-            f"{n*steps/best:.3e} p-steps/s  healed={h_last} "
-            f"rebuilds={r_last}/{steps//SORT_EVERY} repaired={p_last}",
+            f"{tag:22s} {best/steps*1e3:8.2f} ms/step  "
+            f"{n*steps/best:.3e} p-steps/s  viol={v_last} healed={h_last} "
+            f"rebuilds={r_last}/{steps//se} repaired={p_last}",
             flush=True,
         )
 
