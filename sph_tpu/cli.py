@@ -69,6 +69,7 @@ def _bootstrap_backend() -> None:
 from sph_tpu import diagnostics, render
 from sph_tpu.params import calibrate, preset, preset_names, scene_from_json
 from sph_tpu.state import init
+from sph_tpu.state import spawn as spawn_particles
 from sph_tpu.step import make_audited_advance, prime
 
 
@@ -82,6 +83,12 @@ class _Interactor:
           — a drag/push probe starting NOW (step-scheduled ForceField;
             changing the scene retraces the step, ~seconds, once per
             interaction — the TPU-native cost model for live input)
+      {"spawn": {"pos": [x, y(, z)], "n": N, "velocity": [vx, ...],
+                 "radius": R}}
+          — inject up to N particles around pos NOW (the reference's
+            keypress spawn; claims never-activating slots — see
+            state.spawn; zero retrace single-chip, one respec per
+            spawn under --shards)
       {"pause": true} / {"resume": true}
 
     The scene's jitted step closes over force fields, so each interaction
@@ -91,6 +98,12 @@ class _Interactor:
         self.path = path
         self.offset = 0
         self.paused = False
+        self.spawns: list[dict] = []
+
+    def take_spawns(self) -> list[dict]:
+        """Drain pending validated spawn requests (kwargs for state.spawn)."""
+        out, self.spawns = self.spawns, []
+        return out
 
     def poll(self, scene, step_now: int):
         """→ (scene, changed)."""
@@ -135,6 +148,20 @@ class _Interactor:
                 changed = True
                 print(f"interact: force field @{field.pos} "
                       f"until step {field.stop_step}", file=sys.stderr)
+            sp = cmd.get("spawn")
+            if sp:
+                try:
+                    req = {"pos": [float(c) for c in sp["pos"]],
+                           "n": int(sp.get("n", 64))}
+                    if "velocity" in sp:
+                        req["velocity"] = [float(c) for c in sp["velocity"]]
+                    if "radius" in sp:
+                        req["radius"] = float(sp["radius"])
+                except (KeyError, TypeError, ValueError) as e:
+                    print(f"interact: bad spawn command ignored ({e}): "
+                          f"{line!r}", file=sys.stderr)
+                    continue
+                self.spawns.append(req)
         return scene, changed
 
 
@@ -277,6 +304,20 @@ def _run_spatial(args, scene, state, spf, inner, dims) -> int:
                         spec, loc, adv = build(
                             scene, decomp.spatial_gather_state(loc)
                         )
+                sps = interactor.take_spawns()
+                if sps:
+                    # gather → inject → re-spec/reshard: spawned particles
+                    # must route to the slab/pencil owning their position,
+                    # and local caps re-size from the new occupancy (the
+                    # same rebind discipline as a scene edit above)
+                    st_g = decomp.spatial_gather_state(loc)
+                    for sp in sps:
+                        st_g, k = spawn_particles(st_g, scene, **sp)
+                        print(
+                            f"interact: spawned {k} particles @ {sp['pos']}",
+                            file=sys.stderr,
+                        )
+                    spec, loc, adv = build(scene, st_g)
             for _ in range(inner):
                 try:
                     loc = adv(loc)
@@ -545,6 +586,11 @@ def cmd_run(args) -> int:
                     scene, changed = interactor.poll(scene, int(state.step))
                     if changed:
                         adv = _mk_adv(scene)
+                for sp in interactor.take_spawns():
+                    # pure data surgery — no retrace (state.spawn docstring)
+                    state, k = spawn_particles(state, scene, **sp)
+                    print(f"interact: spawned {k} particles @ {sp['pos']}",
+                          file=sys.stderr)
             for _ in range(inner):
                 state = adv(state)
             pack = pack_fn(state)

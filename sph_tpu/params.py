@@ -146,6 +146,10 @@ class Scene:
     seed: int = 0
     grid_cap: int = 0        # per-cell tile capacity (0 => auto; must | 128
                              # for the pallas path; see bench/bench_sweep.py)
+    spawn_reserve: int = 0   # capacity slots kept never-activating for live
+                             # injection (state.spawn / --interact spawn);
+                             # emitter schedules fill only the REST of the
+                             # spare capacity
 
     def replace(self, **kw) -> "Scene":
         return dataclasses.replace(self, **kw)
@@ -205,6 +209,7 @@ def scene_from_json(s: str) -> Scene:
         jitter=d["jitter"],
         seed=d["seed"],
         grid_cap=d.get("grid_cap", 0),
+        spawn_reserve=d.get("spawn_reserve", 0),
     )
 
 
@@ -360,6 +365,7 @@ def _fountain_2d() -> Scene:
                     start_step=800),
         ),
         capacity=16384,
+        spawn_reserve=2048,  # live-injection headroom (--interact spawn)
         seed=5,
     )
 

@@ -86,6 +86,84 @@ def park_position(scene: Scene) -> np.ndarray:
     return lo - np.float32(1e6)
 
 
+def spawn(
+    state: State, scene: Scene, pos, n: int = 64,
+    velocity=None, radius: float | None = None, seed: int = 0,
+) -> tuple[State, int]:
+    """Live particle injection — the reference's keypress/mouse spawn
+    (SURVEY.md C13 "spawn particles on keypress/mouse"), TPU-native form:
+    claim up to `n` never-activating slots (emit_step == INACTIVE: capacity
+    padding or expired emitter events) and schedule them to activate at the
+    NEXT step, lattice-packed (+ scene jitter) inside a disc/sphere of
+    `radius` around `pos` with initial `velocity`.
+
+    Pure data surgery on the fixed-capacity pytree — no shape change and no
+    retrace: activation is `emit_step <= step`, evaluated inside the jitted
+    step, and the fast paths detect the activation from the carried
+    emit_step on device (step.py `activated`), so the next block rebuilds
+    and the spawned particles join pair physics exactly at their activation
+    step — same contract as scheduled emitters.
+
+    Returns (state, n_spawned); n_spawned < n when free capacity, the
+    packing disc, or the in-bounds clip runs out.  Spawned slots are fluid
+    (kind 0) at rest density.
+    """
+    p = scene.params
+    d = state.dim
+    spacing = scene.spacing or p.h * 0.55
+    pos = np.asarray(pos, np.float64)
+    if pos.shape != (d,):
+        raise ValueError(f"spawn pos must have dim {d}, got {pos.shape}")
+    if radius is None:
+        # disc/sphere just big enough to lattice-pack n at `spacing`
+        vol_unit = np.pi if d == 2 else 4.0 / 3.0 * np.pi
+        radius = spacing * (n / vol_unit) ** (1.0 / d) + spacing
+
+    emit_host = np.asarray(state.emit_step)
+    free = np.flatnonzero(emit_host == INACTIVE)
+    if n <= 0 or len(free) == 0:
+        return state, 0
+
+    # centered lattice clipped to the disc and to the domain interior;
+    # bounded by what n needs (+ margin for disc/bounds clipping) so a
+    # huge radius cannot allocate a huge meshgrid
+    half_n = int(np.ceil(n ** (1.0 / d) / 2.0)) + 2
+    half = min(int(np.ceil(radius / spacing)), max(half_n, 2))
+    ax = (np.arange(-half, half + 1, dtype=np.float64)) * spacing
+    pts = np.stack(
+        np.meshgrid(*([ax] * d), indexing="ij"), axis=-1
+    ).reshape(-1, d)
+    pts = pts[np.argsort(np.sum(pts * pts, axis=1), kind="stable")]
+    pts = pts[np.sum(pts * pts, axis=1) <= radius * radius] + pos[None, :]
+    rng = np.random.default_rng(seed)
+    pts = pts + (rng.random(pts.shape) - 0.5) * (scene.jitter * spacing)
+    lo = np.asarray(scene.lo, np.float64) + 0.5 * spacing
+    hi = np.asarray(scene.hi, np.float64) - 0.5 * spacing
+    inb = np.all((pts >= lo) & (pts <= hi), axis=1)
+    pts = pts[inb]
+
+    k = int(min(n, len(pts), len(free)))
+    if k == 0:
+        return state, 0
+    idx = jnp.asarray(free[:k])
+    pts = jnp.asarray(pts[:k], jnp.float32)
+    vel = jnp.zeros((d,), jnp.float32) if velocity is None else jnp.asarray(
+        velocity, jnp.float32
+    )
+    zero = jnp.zeros((k, d), jnp.float32)
+    nxt = state.step + jnp.int32(1)
+    return State(
+        x=state.x.at[idx].set(pts),
+        v=state.v.at[idx].set(jnp.broadcast_to(vel, (k, d))),
+        acc=state.acc.at[idx].set(zero),
+        rho=state.rho.at[idx].set(jnp.float32(p.rest_density)),
+        p=state.p.at[idx].set(jnp.float32(0)),
+        kind=state.kind.at[idx].set(jnp.int32(0)),
+        emit_step=state.emit_step.at[idx].set(nxt),
+        step=state.step,
+    ), k
+
+
 def init(scene: Scene, capacity_multiple: int = 256) -> State:
     """Seed a scene into a `State` (reference `initSPH`, SURVEY.md C3).
 
@@ -119,9 +197,14 @@ def init(scene: Scene, capacity_multiple: int = 256) -> State:
     cap = scene.capacity or 0
     if scene.emitters and not cap:
         cap = _round_up(max(4 * n_seed, 16384), capacity_multiple)
-    cap = max(cap, _round_up(max(n_seed, 1), capacity_multiple))
+    cap = max(cap, _round_up(
+        max(n_seed + max(scene.spawn_reserve, 0), 1), capacity_multiple
+    ))
 
-    n_spare = cap - n_seed
+    # live-injection headroom (state.spawn): emitter schedules may fill
+    # only the spare capacity BEYOND the reserve, so `spawn_reserve` slots
+    # stay emit_step == INACTIVE and claimable mid-run
+    n_spare = max(cap - n_seed - max(scene.spawn_reserve, 0), 0)
     ex, ev, estep = [], [], []
     if scene.emitters and n_spare > 0:
         per = n_spare // len(scene.emitters)

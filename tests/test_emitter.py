@@ -164,3 +164,139 @@ def test_fountain2d_demo_preset():
     assert np.isfinite(x).all()
     assert (x >= np.asarray(scene.lo) - 1e-3).all()
     assert (x <= np.asarray(scene.hi) + 1e-3).all()
+
+
+# ---- live spawn (state.spawn — reference keypress/mouse injection, C13)
+
+
+def test_spawn_basic():
+    """spawn() claims INACTIVE slots, activates them NEXT step, packs a
+    jittered lattice around pos, and leaves existing particles untouched."""
+    from sph_tpu.state import spawn
+
+    scene = _emitter_scene(with_block=True, start=10, stop=11)  # 1 event
+    state = init(scene)
+    n0 = int(state.n_active())
+    free0 = int(np.sum(np.asarray(state.emit_step) == INACTIVE))
+    x_before = np.asarray(state.x).copy()
+    act_before = np.asarray(state.active)
+
+    state2, k = spawn(state, scene, pos=(200.0, 250.0), n=32,
+                      velocity=(0.0, -10.0))
+    assert k == 32
+    # not active yet at the CURRENT step ...
+    assert int(state2.n_active()) == n0
+    # ... active after one step advances the counter
+    adv = make_advance(scene, "naive", steps_per_dispatch=1)
+    state3 = adv(state2)
+    assert int(state3.n_active()) == n0 + k
+    # spawned near pos, inside the domain
+    newly = (np.asarray(state3.active)) & (~act_before)
+    pts = np.asarray(state3.x)[newly]
+    spacing = scene.spacing or scene.params.h * 0.55
+    # one integration step of drift on top of the packing radius
+    assert (np.linalg.norm(pts - np.array([200.0, 250.0]), axis=1)
+            < 32 * spacing).all()
+    # pre-existing particles: data surgery touched only free slots
+    touched = np.any(np.asarray(state2.x) != x_before, axis=1)
+    assert not (touched & act_before).any()
+    assert int(np.sum(np.asarray(state2.emit_step) == INACTIVE)) == free0 - k
+
+
+def test_spawn_capacity_clamp():
+    """Requests beyond free capacity clamp; a full state spawns zero."""
+    from sph_tpu.state import spawn
+
+    scene = _emitter_scene(with_block=True, start=10, stop=11)
+    state = init(scene)
+    free0 = int(np.sum(np.asarray(state.emit_step) == INACTIVE))
+    state2, k = spawn(state, scene, pos=(200.0, 250.0), n=10 * free0,
+                      radius=1e9)
+    assert 0 < k <= free0
+    state3, k2 = spawn(state2, scene, pos=(200.0, 250.0), n=10 * free0,
+                       radius=1e9)
+    assert k2 == free0 - k or k2 == 0  # leftovers only
+
+
+def test_spawn_under_resident_auto_fast_path():
+    """A live spawn behaves like a scheduled emitter activation on the
+    flagship path: the on-device activation predicate (carried emit_step)
+    forces a rebuild, the spawned particles join pair physics, and the
+    active set matches the schedule at every block boundary."""
+    from sph_tpu.state import spawn
+    from sph_tpu.step import make_audited_advance
+
+    scene = _emitter_scene(with_block=False, start=2, stop=20, speed=30.0)
+    state = init(scene)
+    adv = make_audited_advance(scene, "pallas", steps_per_dispatch=8,
+                               sort_every=4, slot_resident=True)
+    state = adv(state)
+    state, k = spawn(state, scene, pos=(100.0, 200.0), n=16,
+                     velocity=(5.0, 0.0), seed=3)
+    assert k == 16
+    emit = np.asarray(state.emit_step)
+    for _ in range(3):
+        state = adv(state)
+        step = int(state.step)
+        active = np.asarray(state.active)
+        assert np.array_equal(active, emit <= step)
+    x = np.asarray(state.x)[np.asarray(state.active)]
+    assert np.isfinite(x).all()
+
+
+def test_cli_interact_spawn(tmp_path):
+    """`run --interact` consumes {"spawn": ...} commands: n_active grows
+    mid-run with zero retrace (single-chip)."""
+    import json as _json
+    import os
+
+    from sph_tpu import cli
+
+    cmds = tmp_path / "cmds.jsonl"
+    cmds.write_text(_json.dumps(
+        {"spawn": {"pos": [200.0, 250.0], "n": 24}}) + "\n")
+    out = str(tmp_path / "out")
+    rc = cli.main([
+        "run", "tutorial2d", "--method", "naive", "--frames", "2",
+        "--steps-per-frame", "4", "--out", out, "--interact", str(cmds),
+        "--quiet",
+    ])
+    assert rc == 0
+    import numpy as _np
+
+    from sph_tpu.params import preset as _preset
+    from sph_tpu.state import init as _init
+
+    n_init = int(_init(_preset("tutorial2d")).n_active())
+    recs = [_json.loads(l) for l in
+            open(os.path.join(out, "metrics.jsonl"))]
+    # spawn applies before frame 0's metrics (poll precedes stepping)
+    assert recs[-1]["n_active"] >= n_init + 24
+    assert _np.isfinite(recs[-1]["mean_rho"])
+
+
+def test_cli_interact_spawn_shards(tmp_path):
+    """Spawn under --shards: gather → inject → re-spec/reshard routes the
+    new particles to their owning slab and the run continues finite."""
+    import json as _json
+    import os
+
+    from sph_tpu import cli
+
+    cmds = tmp_path / "cmds.jsonl"
+    cmds.write_text(_json.dumps(
+        {"spawn": {"pos": [200.0, 250.0], "n": 24}}) + "\n")
+    out = str(tmp_path / "out")
+    rc = cli.main([
+        "run", "tutorial2d", "--method", "grid", "--shards", "2",
+        "--frames", "2", "--steps-per-frame", "4", "--out", out,
+        "--interact", str(cmds), "--quiet",
+    ])
+    assert rc == 0
+    from sph_tpu.params import preset as _preset
+    from sph_tpu.state import init as _init
+
+    n_init = int(_init(_preset("tutorial2d")).n_active())
+    recs = [_json.loads(l) for l in
+            open(os.path.join(out, "metrics.jsonl"))]
+    assert recs[-1]["n_active"] >= n_init + 24
