@@ -90,6 +90,10 @@ class _Interactor:
             state.spawn; zero retrace single-chip, one respec per
             spawn under --shards)
       {"pause": true} / {"resume": true}
+      {"reset": true}
+          — re-seed the scene from scratch (the reference's reset key);
+            the step clock restarts at 0, so step-scheduled emitters and
+            force fields re-fire on the new clock
 
     The scene's jitted step closes over force fields, so each interaction
     rebuilds `advance`; between interactions there is zero overhead."""
@@ -99,10 +103,15 @@ class _Interactor:
         self.offset = 0
         self.paused = False
         self.spawns: list[dict] = []
+        self.reset_req = False
 
     def take_spawns(self) -> list[dict]:
         """Drain pending validated spawn requests (kwargs for state.spawn)."""
         out, self.spawns = self.spawns, []
+        return out
+
+    def take_reset(self) -> bool:
+        out, self.reset_req = self.reset_req, False
         return out
 
     def poll(self, scene, step_now: int):
@@ -133,6 +142,8 @@ class _Interactor:
                 self.paused = True
             if cmd.get("resume"):
                 self.paused = False
+            if cmd.get("reset"):
+                self.reset_req = True
             ff = cmd.get("force_field")
             if ff:
                 field = ForceField(
@@ -318,6 +329,14 @@ def _run_spatial(args, scene, state, spf, inner, dims) -> int:
                             file=sys.stderr,
                         )
                     spec, loc, adv = build(scene, st_g)
+                if interactor.take_reset():
+                    st_g = init(scene)
+                    if scene.params.integrator == "leapfrog":
+                        st_g = jax.jit(
+                            lambda s: prime(scene, s, method=args.method)
+                        )(st_g)
+                    spec, loc, adv = build(scene, st_g)
+                    print("interact: scene reset", file=sys.stderr)
             for _ in range(inner):
                 try:
                     loc = adv(loc)
@@ -591,6 +610,13 @@ def cmd_run(args) -> int:
                     state, k = spawn_particles(state, scene, **sp)
                     print(f"interact: spawned {k} particles @ {sp['pos']}",
                           file=sys.stderr)
+                if interactor.take_reset():
+                    state = init(scene)
+                    if scene.params.integrator == "leapfrog":
+                        state = jax.jit(
+                            lambda s: prime(scene, s, method=args.method)
+                        )(state)
+                    print("interact: scene reset", file=sys.stderr)
             for _ in range(inner):
                 state = adv(state)
             pack = pack_fn(state)
