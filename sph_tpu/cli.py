@@ -18,10 +18,6 @@ import jax
 
 from sph_tpu.platform import ensure_backend, probe_backend
 
-_PROBE_OK_MARKER = "/tmp/sph_tpu_probe_ok"
-_PROBE_OK_TTL_S = 600.0
-
-
 def _bootstrap_backend() -> None:
     """Stale JAX_PLATFORMS env (axon-era rename) AND dead-tunnel
     protection: TPU device enumeration blocks FOREVER during a tunnel
@@ -31,38 +27,24 @@ def _bootstrap_backend() -> None:
     errors, and `presets` never pay for device enumeration.  A process
     that already forced CPU (tests, ad-hoc scripts) skips the probe.
 
-    A fresh success marker (written on probe success, 10-min TTL) skips
-    the subprocess probe on back-to-back invocations, so only the first
-    CLI call after a quiet period pays the extra enumeration; the probe
-    announces itself on stderr so a cold/dead tunnel is a visible wait,
-    not silence."""
+    The probe announces itself on stderr so a cold/dead tunnel is a
+    visible wait, not silence.  Every device-touching invocation pays the
+    subprocess probe on purpose: an outage can start at any moment and
+    last hours (CLAUDE.md), so skipping the probe on any freshness
+    heuristic would reintroduce the unbounded in-process hang this
+    exists to prevent."""
     if (jax.config.jax_platforms or "") != "cpu":
-        try:
-            fresh = (
-                time.time() - os.stat(_PROBE_OK_MARKER).st_mtime
-                < _PROBE_OK_TTL_S
+        print(
+            "sph-tpu: probing the TPU backend (may take minutes on a "
+            "cold tunnel; a dead tunnel exits after 600 s) ...",
+            file=sys.stderr, flush=True,
+        )
+        if probe_backend(600) == "timeout":
+            sys.exit(
+                "sph-tpu: TPU device enumeration hung 600 s — tunnel "
+                "outage? (force CPU with "
+                "jax.config.update('jax_platforms', 'cpu'))"
             )
-        except OSError:
-            fresh = False
-        if not fresh:
-            print(
-                "sph-tpu: probing the TPU backend (may take minutes on a "
-                "cold tunnel; a dead tunnel exits after 600 s) ...",
-                file=sys.stderr, flush=True,
-            )
-            why = probe_backend(600)
-            if why == "timeout":
-                sys.exit(
-                    "sph-tpu: TPU device enumeration hung 600 s — tunnel "
-                    "outage? (force CPU with "
-                    "jax.config.update('jax_platforms', 'cpu'))"
-                )
-            if why is None:
-                try:
-                    with open(_PROBE_OK_MARKER, "w"):
-                        pass
-                except OSError:
-                    pass  # marker is an optimization only
     ensure_backend()
 
 
@@ -102,16 +84,15 @@ class _Interactor:
         self.path = path
         self.offset = 0
         self.paused = False
-        self.spawns: list[dict] = []
-        self.reset_req = False
+        # state-mutating commands, FILE ORDER preserved: ("spawn", kwargs)
+        # or ("reset", None) — reset-then-spawn must keep the spawn, and
+        # spawn-then-reset must discard it, exactly as typed
+        self.events: list[tuple[str, dict | None]] = []
+        self._spawn_seq = 0
 
-    def take_spawns(self) -> list[dict]:
-        """Drain pending validated spawn requests (kwargs for state.spawn)."""
-        out, self.spawns = self.spawns, []
-        return out
-
-    def take_reset(self) -> bool:
-        out, self.reset_req = self.reset_req, False
+    def take_events(self) -> list[tuple[str, dict | None]]:
+        """Drain pending state-mutating commands in file order."""
+        out, self.events = self.events, []
         return out
 
     def poll(self, scene, step_now: int):
@@ -143,7 +124,7 @@ class _Interactor:
             if cmd.get("resume"):
                 self.paused = False
             if cmd.get("reset"):
-                self.reset_req = True
+                self.events.append(("reset", None))
             ff = cmd.get("force_field")
             if ff:
                 field = ForceField(
@@ -168,11 +149,16 @@ class _Interactor:
                         req["velocity"] = [float(c) for c in sp["velocity"]]
                     if "radius" in sp:
                         req["radius"] = float(sp["radius"])
+                    # vary the lattice jitter per spawn: two identical
+                    # commands must not place bitwise-coincident particles
+                    # (an r≈0 pair never separates via pressure)
+                    req["seed"] = int(sp.get("seed", self._spawn_seq))
+                    self._spawn_seq += 1
                 except (KeyError, TypeError, ValueError) as e:
                     print(f"interact: bad spawn command ignored ({e}): "
                           f"{line!r}", file=sys.stderr)
                     continue
-                self.spawns.append(req)
+                self.events.append(("spawn", req))
         return scene, changed
 
 
@@ -301,42 +287,39 @@ def _run_spatial(args, scene, state, spf, inner, dims) -> int:
         for frame in range(args.frames):
             if interactor is not None:
                 scene, changed = interactor.poll(scene, int(loc.step))
-                # rebind ALL of (spec, loc, adv): build() re-sizes caps
-                # from current occupancy, so a new adv over the OLD
-                # sharded loc could be compiled for different shapes
-                if changed:
-                    spec, loc, adv = build(
-                        scene, decomp.spatial_gather_state(loc)
-                    )
                 while interactor.paused:
                     time.sleep(0.2)
-                    scene, changed = interactor.poll(scene, int(loc.step))
-                    if changed:
-                        spec, loc, adv = build(
-                            scene, decomp.spatial_gather_state(loc)
-                        )
-                sps = interactor.take_spawns()
-                if sps:
-                    # gather → inject → re-spec/reshard: spawned particles
-                    # must route to the slab/pencil owning their position,
-                    # and local caps re-size from the new occupancy (the
-                    # same rebind discipline as a scene edit above)
+                    scene, ch2 = interactor.poll(scene, int(loc.step))
+                    changed = changed or ch2
+                events = interactor.take_events()
+                if changed or events:
+                    # ONE gather → fold every command in file order →
+                    # ONE re-spec/reshard/rebuild: build() re-sizes caps
+                    # from the final occupancy and spawned particles
+                    # route to the slab/pencil owning their position;
+                    # coalescing keeps interaction latency to a single
+                    # recompile however many commands arrived together
                     st_g = decomp.spatial_gather_state(loc)
-                    for sp in sps:
-                        st_g, k = spawn_particles(st_g, scene, **sp)
+                    mutated = changed
+                    for kind_, req in events:
+                        if kind_ == "reset":
+                            st_g = _fresh_state(scene, args.method)
+                            mutated = True
+                            print("interact: scene reset", file=sys.stderr)
+                            continue
+                        try:
+                            st_g, k = spawn_particles(st_g, scene, **req)
+                        except ValueError as e:
+                            print(f"interact: spawn ignored ({e})",
+                                  file=sys.stderr)
+                            continue
+                        mutated = mutated or k > 0
                         print(
-                            f"interact: spawned {k} particles @ {sp['pos']}",
-                            file=sys.stderr,
+                            f"interact: spawned {k} particles "
+                            f"@ {req['pos']}", file=sys.stderr,
                         )
-                    spec, loc, adv = build(scene, st_g)
-                if interactor.take_reset():
-                    st_g = init(scene)
-                    if scene.params.integrator == "leapfrog":
-                        st_g = jax.jit(
-                            lambda s: prime(scene, s, method=args.method)
-                        )(st_g)
-                    spec, loc, adv = build(scene, st_g)
-                    print("interact: scene reset", file=sys.stderr)
+                    if mutated:
+                        spec, loc, adv = build(scene, st_g)
             for _ in range(inner):
                 try:
                     loc = adv(loc)
@@ -386,6 +369,16 @@ def _run_spatial(args, scene, state, spf, inner, dims) -> int:
                     f"({scalars['wall_s']:.1f}s)"
                 )
     return 0
+
+
+def _fresh_state(scene, method: str):
+    """init + leapfrog prime: the ONE definition of "a fresh state ready
+    to step with `method`" — startup (run/record) and the live reset
+    command share it, so priming changes cannot drift between them."""
+    state = init(scene)
+    if scene.params.integrator == "leapfrog":
+        state = jax.jit(lambda s: prime(scene, s, method=method))(state)
+    return state
 
 
 def _load_scene(name_or_path: str):
@@ -487,7 +480,11 @@ def _resolve_method(args) -> None:
     args.method = "pallas"
     if getattr(args, "debug", False):
         return
-    if args.sort_every == 1 and not args.resident:
+    if args.sort_every == 1:
+        # an explicit --resident under auto keeps residency and still gets
+        # the default block length (it would otherwise be a usage error
+        # telling the user to do what they already did); an explicit
+        # --sort-every under auto is respected as-is
         args.sort_every = 4
         args.resident = True
 
@@ -498,11 +495,7 @@ def cmd_run(args) -> int:
     if args.resume:
         state, scene = diagnostics.load_checkpoint(args.resume)
     else:
-        state = init(scene)
-        if scene.params.integrator == "leapfrog":
-            state = jax.jit(
-                lambda s: prime(scene, s, method=args.method)
-            )(state)
+        state = _fresh_state(scene, args.method)
     os.makedirs(args.out, exist_ok=True)
     from sph_tpu.step import MAX_PALLAS_STEPS_PER_DISPATCH
 
@@ -605,18 +598,24 @@ def cmd_run(args) -> int:
                     scene, changed = interactor.poll(scene, int(state.step))
                     if changed:
                         adv = _mk_adv(scene)
-                for sp in interactor.take_spawns():
-                    # pure data surgery — no retrace (state.spawn docstring)
-                    state, k = spawn_particles(state, scene, **sp)
-                    print(f"interact: spawned {k} particles @ {sp['pos']}",
-                          file=sys.stderr)
-                if interactor.take_reset():
-                    state = init(scene)
-                    if scene.params.integrator == "leapfrog":
-                        state = jax.jit(
-                            lambda s: prime(scene, s, method=args.method)
-                        )(state)
-                    print("interact: scene reset", file=sys.stderr)
+                for kind_, req in interactor.take_events():
+                    if kind_ == "reset":
+                        state = _fresh_state(scene, args.method)
+                        # rebuild the advance too: adaptive-cap / occupancy
+                        # state captured in the closure (permanent cap-16
+                        # switch, fitted skin) must not survive a reset
+                        adv = _mk_adv(scene)
+                        print("interact: scene reset", file=sys.stderr)
+                        continue
+                    try:
+                        # pure data surgery — no retrace (state.spawn)
+                        state, k = spawn_particles(state, scene, **req)
+                    except ValueError as e:
+                        print(f"interact: spawn ignored ({e})",
+                              file=sys.stderr)
+                        continue
+                    print(f"interact: spawned {k} particles "
+                          f"@ {req['pos']}", file=sys.stderr)
             for _ in range(inner):
                 state = adv(state)
             pack = pack_fn(state)
@@ -687,9 +686,7 @@ def cmd_record(args) -> int:
     _resolve_method(args)
 
     scene = _load_scene(args.preset)
-    state = init(scene)
-    if scene.params.integrator == "leapfrog":
-        state = jax.jit(lambda s: prime(scene, s, method=args.method))(state)
+    state = _fresh_state(scene, args.method)
     from sph_tpu.step import MAX_PALLAS_STEPS_PER_DISPATCH
 
     spf = args.steps_per_frame
@@ -791,8 +788,9 @@ def main(argv=None) -> int:
                            "default: the last domain axis)")
     runp.add_argument("--interact", default=None, metavar="FILE",
                       help="poll FILE between frames for live interaction "
-                           "commands (JSON lines: force_field / pause / "
-                           "resume) — the headless mouse/keyboard analog")
+                           "commands (JSON lines: force_field / spawn / "
+                           "reset / pause / resume) — the headless "
+                           "mouse/keyboard analog (docs/DEMOS.md)")
     runp.add_argument("--debug", action="store_true",
                       help="checkify-instrumented stepping (SURVEY.md "
                            "§5.2): on-device asserts for NaN positions, "

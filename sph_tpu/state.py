@@ -147,9 +147,15 @@ def spawn(
         return state, 0
     idx = jnp.asarray(free[:k])
     pts = jnp.asarray(pts[:k], jnp.float32)
-    vel = jnp.zeros((d,), jnp.float32) if velocity is None else jnp.asarray(
-        velocity, jnp.float32
-    )
+    if velocity is None:
+        vel = jnp.zeros((d,), jnp.float32)
+    else:
+        vel_np = np.asarray(velocity, np.float32)
+        if vel_np.shape != (d,):
+            raise ValueError(
+                f"spawn velocity must have dim {d}, got {vel_np.shape}"
+            )
+        vel = jnp.asarray(vel_np)
     zero = jnp.zeros((k, d), jnp.float32)
     nxt = state.step + jnp.int32(1)
     return State(

@@ -328,17 +328,54 @@ def test_cli_interact_reset(tmp_path):
     assert recs[-1]["step"] == 12  # reset at frame 0 is a no-op on a fresh run
 
 
-def test_interactor_reset_flag(tmp_path):
-    """The interactor parses reset and take_reset() drains it once."""
+def test_interactor_event_order_and_drain(tmp_path):
+    """State-mutating commands drain once, in FILE order (reset-then-spawn
+    keeps the spawn; spawn-then-reset lets the caller discard it), with a
+    per-spawn varying default seed so identical commands never place
+    bitwise-coincident particles; malformed spawns are dropped at parse."""
     import json as _json
 
     from sph_tpu.cli import _Interactor
 
     f = tmp_path / "c.jsonl"
-    f.write_text(_json.dumps({"reset": True}) + "\n")
+    f.write_text(
+        _json.dumps({"reset": True}) + "\n"
+        + _json.dumps({"spawn": {"pos": [1.0, 2.0], "n": 4}}) + "\n"
+        + _json.dumps({"spawn": {"pos": [1.0, 2.0], "n": 4}}) + "\n"
+        + _json.dumps({"spawn": {"pos": "garbage"}}) + "\n"
+    )
     it = _Interactor(str(f))
     scene_sentinel = object()
     scene, changed = it.poll(scene_sentinel, 0)
     assert scene is scene_sentinel and not changed
-    assert it.take_reset() is True
-    assert it.take_reset() is False
+    ev = it.take_events()
+    assert [k for k, _ in ev] == ["reset", "spawn", "spawn"]
+    # identical commands got distinct jitter seeds
+    assert ev[1][1]["seed"] != ev[2][1]["seed"]
+    assert it.take_events() == []
+
+
+def test_cli_interact_bad_spawn_does_not_kill_run(tmp_path):
+    """A spawn whose pos/velocity dimension mismatches the scene is
+    reported and ignored — one bad line must not end a live session."""
+    import json as _json
+    import os
+
+    from sph_tpu import cli
+
+    cmds = tmp_path / "cmds.jsonl"
+    cmds.write_text(
+        _json.dumps({"spawn": {"pos": [100.0, 100.0, 100.0], "n": 4}})
+        + "\n"
+        + _json.dumps({"spawn": {"pos": [100.0, 100.0],
+                                 "velocity": [1.0, 2.0, 3.0], "n": 4}})
+        + "\n"
+    )
+    out = str(tmp_path / "out")
+    rc = cli.main([
+        "run", "tutorial2d", "--method", "naive", "--frames", "1",
+        "--steps-per-frame", "4", "--out", out, "--interact", str(cmds),
+        "--quiet",
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "metrics.jsonl"))
