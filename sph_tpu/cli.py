@@ -749,7 +749,7 @@ def main(argv=None) -> int:
     runp.add_argument("--out", default="out")
     runp.add_argument("--render", action="store_true")
     runp.add_argument("--mode", default="density",
-                      choices=["density", "rho", "speed"])
+                      choices=["density", "rho", "speed", "depth"])
     runp.add_argument("--width", type=int, default=400)
     runp.add_argument("--height", type=int, default=300)
     runp.add_argument("--radius", type=int, default=1,
@@ -812,7 +812,7 @@ def main(argv=None) -> int:
     recp.add_argument("--steps-per-frame", type=int, default=50)
     recp.add_argument("--out", default="out.apng")
     recp.add_argument("--mode", default="density",
-                      choices=["density", "rho", "speed"])
+                      choices=["density", "rho", "speed", "depth"])
     recp.add_argument("--width", type=int, default=400)
     recp.add_argument("--height", type=int, default=300)
     recp.add_argument("--radius", type=int, default=1,

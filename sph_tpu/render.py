@@ -34,7 +34,8 @@ def render_splat(
 ):
     """Rasterize particles into an [H, W] scalar field, on device.
 
-    mode: "density" (splat count), "rho" (mean density), "speed" (mean |v|).
+    mode: "density" (splat count), "rho" (mean density), "speed" (mean |v|),
+    "depth" (3D only: depth-shaded splat — near particles brighter).
     axes: which position components map to (x, y) of the image (3D scenes
     render an orthographic projection along the remaining axis).
     radius: splat radius in pixels — the reference draws GL points *with
@@ -88,6 +89,17 @@ def render_splat(
         num = stencil_add(img, w * speed)
         den = stencil_add(img, w)
         return num / jnp.maximum(den, 1e-6)
+    if mode == "depth":
+        # depth-shaded splat for 3D scenes: particles near the viewer
+        # (large coordinate along the projection axis) splat brighter —
+        # the cheap orthographic stand-in for the reference's GL depth
+        # cue, one extra multiply on the same scatter
+        if state.dim < 3:
+            raise ValueError("render mode 'depth' needs a 3D scene")
+        az = ({0, 1, 2} - {ax, ay}).pop()
+        dnorm = (state.x[:, az] - lo[az]) / (hi[az] - lo[az])
+        shade = jnp.clip(0.15 + 0.85 * dnorm, 0.0, 1.0) ** 2
+        return stencil_add(img, w * shade)
     raise ValueError(f"unknown render mode {mode!r}")
 
 

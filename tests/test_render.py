@@ -101,3 +101,37 @@ def test_cli_run_resident_fast_path(tmp_path):
     assert rc == 0
     metrics = (tmp_path / "out" / "metrics.jsonl").read_text().strip()
     assert json.loads(metrics.splitlines()[-1])["step"] == 8
+
+
+def test_render_depth_mode_3d():
+    """mode="depth": near particles (large coordinate on the projection
+    axis) splat brighter than far ones; 2D scenes are rejected."""
+    import jax.numpy as jnp
+    import pytest
+
+    from sph_tpu import render
+    from sph_tpu.state import init
+    from tests.helpers import small_scene
+
+    scene = small_scene(dim=3)
+    state = init(scene)
+    lo, hi = np.asarray(scene.lo), np.asarray(scene.hi)
+    # two particles at the same (x, y) pixel, opposite ends of z
+    x = np.asarray(state.x).copy()
+    x[0] = [0.5 * (lo[0] + hi[0]), 0.5 * (lo[1] + hi[1]), hi[2] - 1e-3]
+    x[1] = [0.25 * lo[0] + 0.75 * hi[0], 0.5 * (lo[1] + hi[1]), lo[2] + 1e-3]
+    import dataclasses
+    state = dataclasses.replace(state, x=jnp.asarray(x))
+    f = np.asarray(render.render_splat(state, scene, 64, 64, "depth",
+                                       axes=(0, 1), radius=0))
+    assert f.sum() > 0
+    # the near particle's pixel is brighter than the far particle's
+    def px(p):
+        u = (p[0] - lo[0]) / (hi[0] - lo[0]) * 63
+        v = (p[1] - lo[1]) / (hi[1] - lo[1]) * 63
+        return 63 - int(round(v)), int(round(u))
+    assert f[px(x[0])] > f[px(x[1])]
+
+    scene2 = small_scene(dim=2)
+    with pytest.raises(ValueError):
+        render.render_splat(init(scene2), scene2, 32, 32, "depth")
