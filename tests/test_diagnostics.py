@@ -605,3 +605,30 @@ def test_checked_step_catches_cap_overflow():
     err, _ = checked(state)
     with pytest.raises(Exception, match="cell tile overflow"):
         err.throw()
+
+
+def test_cli_run_pencil_resume(tmp_path):
+    """Checkpoint/resume composes with PENCIL decomposition too: a
+    checkpoint from a 2x2-pencil run resumes into a fresh pencil run."""
+    from sph_tpu import cli
+
+    out1 = str(tmp_path / "o1")
+    rc = cli.main(
+        ["run", "tutorial2d", "--method", "grid", "--shards", "2x2",
+         "--frames", "2", "--steps-per-frame", "5",
+         "--checkpoint-every", "1", "--out", out1, "--quiet"]
+    )
+    assert rc == 0
+    ckpt = os.path.join(out1, "ckpt_00001.npz")
+    assert os.path.exists(ckpt)
+    out2 = str(tmp_path / "o2")
+    rc = cli.main(
+        ["run", "tutorial2d", "--method", "grid", "--shards", "2x2",
+         "--frames", "1", "--steps-per-frame", "5",
+         "--resume", ckpt, "--out", out2, "--quiet"]
+    )
+    assert rc == 0
+    with open(os.path.join(out2, "metrics.jsonl")) as fh:
+        rec = json.loads(fh.read().strip().splitlines()[-1])
+    assert rec["step"] == 15
+    assert np.isfinite(rec["mean_rho"])
