@@ -913,3 +913,25 @@ def test_repair_full_cells_fall_back_exactly():
     scale = np.max(np.abs(xa[act])) + 1e-9
     assert np.max(np.abs(xr[act] - xa[act])) / scale < 1e-4
     assert int(r[2]) >= 1 or int(r[3]) >= 2     # healed or re-built
+
+
+def test_auto_rebuild_block_lengths_match_per_step():
+    """sort_every ∈ {2, 8} auto-resident (the probe_r3h part-3 block-length
+    sweep rows) match the per-step-rebuild trajectory to fp tolerance with
+    zero violations — the Verlet-skin contract holds at every block
+    length, not just the flagship 4."""
+    from sph_tpu.step import make_audited_advance
+
+    scene = small_scene(dim=2, seed=97)
+    state = init(scene)
+    s_ref = make_advance(scene, "pallas", steps_per_dispatch=16)(state)
+    for se in (2, 8):
+        s, viol, healed, rebuilds = make_advance(
+            scene, "pallas", steps_per_dispatch=16, sort_every=se,
+            slot_resident=True, auto_rebuild=True,
+        )(state)
+        assert int(viol) == 0 and int(healed) == 0, se
+        xa, xb = np.asarray(s.x), np.asarray(s_ref.x)
+        scale = np.max(np.abs(xb)) + 1e-9
+        assert np.max(np.abs(xa - xb)) / scale < 1e-4, se
+        assert int(s.step) == 16
