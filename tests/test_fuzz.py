@@ -202,3 +202,41 @@ def test_random_scene_full_feature_matrix(seed):
         assert np.array_equal(
             np.asarray(state.x)[kind == 1], x0[kind == 1]
         )
+
+
+@pytest.mark.parametrize("seed", [919, 1020])
+def test_random_scene_live_spawn_mid_run(seed):
+    """Fuzz live injection against the production auto path: spawn random
+    bursts between dispatches (the --interact flow) — the activation
+    predicate must fold them in with zero unhealed violations, the active
+    count must track init + spawned exactly, and the trajectory stays
+    finite in-domain."""
+    from sph_tpu.state import spawn
+    from sph_tpu.step import make_advance
+
+    rng = np.random.default_rng(seed)
+    scene = _random_scene(rng)
+    # headroom for injection: capacity beyond the seeded block
+    scene = scene.replace(spawn_reserve=512)
+    state = init(scene)
+    if scene.params.integrator == "leapfrog":
+        state = prime(scene, state, method="pallas")
+    n0 = int(state.n_active())
+    adv = make_advance(scene, "pallas", steps_per_dispatch=8,
+                       sort_every=4, slot_resident=True, auto_rebuild=True)
+    spawned = 0
+    lo, hi = np.asarray(scene.lo), np.asarray(scene.hi)
+    for burst in range(3):
+        pos = lo + (0.25 + 0.5 * rng.random(scene.params.dim)) * (hi - lo)
+        vel = rng.uniform(-20, 20, scene.params.dim)
+        n = int(rng.integers(4, 64))
+        state, k = spawn(state, scene, pos=pos, n=n, velocity=vel,
+                         seed=burst)
+        assert k > 0
+        spawned += k
+        out = adv(state)
+        state, viol = out[0], out[1]
+        assert int(viol) == 0, (seed, burst)
+        assert int(state.n_active()) == n0 + spawned
+    x = np.asarray(state.x)[np.asarray(state.active)]
+    assert np.isfinite(x).all()
