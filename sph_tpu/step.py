@@ -1513,6 +1513,9 @@ def run(
     sort_every: int = 1,
     slot_resident: bool = False,
     adaptive_cap: bool = False,
+    shards: int | tuple[int, ...] | None = None,
+    shard_axis: int = 0,
+    shard_axis2: int | None = None,
 ) -> State:
     """Top-level driver (reference main loop, SURVEY.md §3.5).
 
@@ -1520,6 +1523,18 @@ def run(
     steps; `frame_callback` (render/metrics) runs once per dispatch.
     sort_every > 1 (pallas): Verlet-skin addr reuse with EXACT FALLBACK —
     see make_audited_advance.
+
+    shards: domain decomposition across the device mesh (the library form
+    of `sph-tpu run --shards`, SURVEY.md C16/§5.7): an int N = spatial
+    slabs along `shard_axis`, a (N1, N2) tuple = 2-axis pencils over
+    (`shard_axis`, `shard_axis2`, default last axis).  The state is
+    sharded once, advanced with the audited mesh-wide policy (auto
+    rebuild on slabs; per-step pencils — pencil ignores
+    sort_every/slot_resident), elastically recovering when the flow
+    outgrows static buffers, and the GLOBAL state is returned (and passed
+    to frame_callback each dispatch).  Note: the returned capacity is
+    mesh-padded (n_devices x local cap) and particle order follows slab
+    ownership — identify particles by position/emit_step, not row index.
     """
     from sph_tpu.state import init
 
@@ -1527,6 +1542,12 @@ def run(
         state = init(scene)
     if scene.params.integrator == "leapfrog" and int(state.step) == 0:
         state = jax.jit(functools.partial(prime, scene, method=method))(state)
+    if shards:
+        return _run_decomposed(
+            scene, n_steps, method, steps_per_dispatch, state,
+            frame_callback, sort_every, slot_resident, shards,
+            shard_axis, shard_axis2,
+        )
     if method == "pallas":
         # keep the dispatch plan consistent with make_advance's clamp, so
         # exactly n_steps run (unclamped, run() would silently under-step)
@@ -1555,3 +1576,88 @@ def run(
         if frame_callback is not None:
             frame_callback(state)
     return state
+
+
+def _run_decomposed(
+    scene, n_steps, method, steps_per_dispatch, state, frame_callback,
+    sort_every, slot_resident, shards, shard_axis, shard_axis2,
+):
+    """run(shards=...): the decomposed host loop — shard once, advance
+    with the audited mesh-wide policy, elastically re-spec on static-cap
+    outgrowth (decomp.SpatialCapOverflow), gather the global view only
+    for callbacks and the return value.  Mirrors the CLI's --shards loop
+    (cli._run_spatial) for library users."""
+    from sph_tpu import decomp
+
+    dims = (shards,) if isinstance(shards, int) else tuple(shards)
+    pencil = len(dims) == 2
+    if pencil and (sort_every > 1 or slot_resident):
+        # the pencil path steps per-step (slabs carry the fast path)
+        sort_every, slot_resident = 1, False
+    if method == "pallas":
+        steps_per_dispatch = min(
+            steps_per_dispatch, MAX_PALLAS_STEPS_PER_DISPATCH
+        )
+    if sort_every > 1:
+        if method != "pallas":
+            raise ValueError("sort_every > 1 requires method='pallas'")
+        steps_per_dispatch -= steps_per_dispatch % sort_every
+        steps_per_dispatch = max(steps_per_dispatch, sort_every)
+    skin = default_skin(scene, sort_every) if sort_every > 1 else 0.0
+    mesh = decomp.mesh2d(*dims) if pencil else decomp.mesh1d(dims[0])
+    ax2 = shard_axis2 if shard_axis2 is not None else scene.params.dim - 1
+    if pencil and ax2 == shard_axis:
+        raise ValueError("shard_axis2 must differ from shard_axis")
+
+    def build(st, spd, se, resident):
+        if pencil:
+            spec = decomp.PencilSpec.for_state(
+                scene, st, dims[0], dims[1], axis1=shard_axis, axis2=ax2
+            )
+            loc = decomp.pencil_shard_state(st, scene, spec, mesh)
+            adv = decomp.make_audited_pencil_advance(
+                scene, spec, mesh, method, spd
+            )
+        else:
+            spec = decomp.SpatialSpec.for_state(
+                scene, st, dims[0], axis=shard_axis,
+                skin=skin if se > 1 else 0.0,
+            )
+            loc = decomp.spatial_shard_state(st, scene, spec, mesh)
+            adv = decomp.make_audited_spatial_advance(
+                scene, spec, mesh, method, spd,
+                sort_every=se, slot_resident=resident,
+            )
+        return loc, adv
+
+    def advance_block(loc, adv, spd, se, resident):
+        try:
+            return adv(loc), adv
+        except decomp.SpatialCapOverflow:
+            # elastic recovery: static buffers outgrown by the flow —
+            # re-size the spec from the gathered state and continue
+            loc2, adv2 = build(
+                decomp.spatial_gather_state(loc), spd, se, resident
+            )
+            return adv2(loc2), adv2
+
+    n_disp, rem = divmod(n_steps, steps_per_dispatch)
+    loc, adv = build(state, steps_per_dispatch, sort_every, slot_resident)
+    for _ in range(n_disp):
+        loc, adv = advance_block(
+            loc, adv, steps_per_dispatch, sort_every, slot_resident
+        )
+        if frame_callback is not None:
+            frame_callback(decomp.spatial_gather_state(loc))
+    if rem:
+        # remainder dispatch: keep the fast path only when the block
+        # length divides it (same rule as the single-chip tail above)
+        se = sort_every if sort_every > 1 and rem % sort_every == 0 else 1
+        loc, adv = build(
+            decomp.spatial_gather_state(loc), rem, se,
+            slot_resident and se > 1,
+        )
+        loc, adv = advance_block(loc, adv, rem, se, slot_resident and se > 1)
+        if frame_callback is not None:
+            frame_callback(decomp.spatial_gather_state(loc))
+    return decomp.spatial_gather_state(loc)

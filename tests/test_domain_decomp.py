@@ -1163,3 +1163,40 @@ def test_spatial_repair_emitter_activation_rebuilds_bitwise():
     if int(repairs) == 0:
         assert np.array_equal(np.asarray(m_b.x), np.asarray(m_r.x))
     assert int(rb_rep) <= int(rb_plain)
+
+
+def test_run_shards_library_api():
+    """step.run(shards=...) — the library form of `sph-tpu run --shards`
+    (VERDICT r2 item 4): slabs match the single-chip trajectory bitwise
+    on the per-step grid path (order-insensitive; the gathered capacity
+    is mesh-padded), pencils and the slab fast path run end-to-end, and
+    frame_callback sees the GLOBAL state once per dispatch."""
+    import numpy as np
+
+    from sph_tpu import run
+    from sph_tpu.params import preset
+
+    sc = preset("tutorial2d")
+    frames = []
+    out = run(sc, 13, method="grid", steps_per_dispatch=5, shards=2,
+              frame_callback=lambda s: frames.append(int(s.step)))
+    assert int(out.step) == 13 and frames == [5, 10, 13]
+    ref = run(sc, 13, method="grid", steps_per_dispatch=5)
+
+    def active_sorted(s):
+        act = np.asarray(s.emit_step) <= int(s.step)
+        x = np.asarray(s.x)[act]
+        return x[np.lexsort(x.T)]
+
+    xa, xb = active_sorted(out), active_sorted(ref)
+    assert xa.shape == xb.shape
+    assert np.array_equal(xa, xb)
+
+    out2 = run(sc, 6, method="grid", steps_per_dispatch=3, shards=(2, 2))
+    assert int(out2.step) == 6
+    assert np.isfinite(active_sorted(out2)).all()
+
+    out3 = run(sc, 16, method="pallas", steps_per_dispatch=8, shards=2,
+               sort_every=4, slot_resident=True)
+    assert int(out3.step) == 16
+    assert np.isfinite(active_sorted(out3)).all()
