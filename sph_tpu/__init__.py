@@ -22,7 +22,7 @@ from sph_tpu.params import (
     scene_from_json,
     scene_to_json,
 )
-from sph_tpu.state import State, init
+from sph_tpu.state import State, init, spawn
 from sph_tpu.step import (
     make_advance,
     make_audited_advance,
@@ -43,6 +43,7 @@ __all__ = [
     "scene_to_json",
     "State",
     "init",
+    "spawn",
     "make_step",
     "make_advance",
     "make_audited_advance",
