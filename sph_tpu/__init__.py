@@ -14,6 +14,7 @@ steps so the host is touched once per frame, not once per step.
 from sph_tpu.params import (
     Block,
     Emitter,
+    ForceField,
     Scene,
     SimParams,
     calibrate,
@@ -36,6 +37,7 @@ __all__ = [
     "Scene",
     "Block",
     "Emitter",
+    "ForceField",
     "calibrate",
     "preset",
     "preset_names",
