@@ -254,7 +254,7 @@ def _decomp_setup(args, scene, spf, dims):
             sc, spec, mesh, args.method, spf,
             sort_every=args.sort_every, slot_resident=args.resident,
             membership_audit=not getattr(args, "strict_audit", False),
-            repair_k=getattr(args, "repair_k", 0),
+            repair_k=getattr(args, "repair_k", None),
         )
         return spec, loc, adv
 
@@ -440,7 +440,12 @@ def _validate_fastpath_flags(args) -> None:
     `--method auto` turns on the resident fast path, so these only fire
     on explicitly contradictory flags.  The --debug path ignores the
     reuse knobs by design (it prints a note), so it skips them here."""
-    rk = getattr(args, "repair_k", 0)
+    rk = getattr(args, "repair_k", None)
+    if rk is None:
+        # auto: step.default_repair_k resolves it per path (2048 on the
+        # auto fast path, 0 wherever repair is unsupported) — nothing to
+        # validate here
+        rk = 0
     if rk < 0:
         raise _UsageError("--repair-k must be >= 0")
     if rk and getattr(args, "strict_audit", False):
@@ -552,7 +557,7 @@ def cmd_run(args) -> int:
                 slot_resident=args.resident,
                 adaptive_cap=getattr(args, "adaptive_cap", False),
                 membership_audit=not getattr(args, "strict_audit", False),
-                repair_k=getattr(args, "repair_k", 0),
+                repair_k=getattr(args, "repair_k", None),
             )
 
     # interactor scene edits rebuild via the SAME factory, so the debug
@@ -707,7 +712,7 @@ def cmd_record(args) -> int:
                                                     False),
                                membership_audit=not getattr(
                                    args, "strict_audit", False),
-                               repair_k=getattr(args, "repair_k", 0))
+                               repair_k=getattr(args, "repair_k", None))
     render_fn = jax.jit(
         lambda s: render.render_splat(
             s, scene, args.width, args.height, args.mode,
@@ -766,11 +771,13 @@ def main(argv=None) -> int:
                            "allows (1.3-1.4x faster), healing overflow "
                            "blocks exactly and switching to the default "
                            "cap when outgrown (requires --resident)")
-    runp.add_argument("--repair-k", type=int, default=0,
+    runp.add_argument("--repair-k", type=int, default=None,
                       help="minority slot repair budget (auto-rebuild "
                            "resident mode): re-home up to K risky "
                            "particles in place of a full addressing "
-                           "rebuild (0 = off; see step.py repair_k)")
+                           "rebuild (default: auto — 2048 where "
+                           "supported, measured 1.23x at the settled 1M "
+                           "splash; 0 = off; see step.py repair_k)")
     runp.add_argument("--strict-audit", action="store_true",
                       help="disable the membership-relaxed Verlet audit "
                            "(A/B knob: drift-only audits + velocity-"
@@ -826,7 +833,7 @@ def main(argv=None) -> int:
                            "activations freeze until the next rebuild)")
     recp.add_argument("--adaptive-cap", action="store_true",
                       help="see run --adaptive-cap")
-    recp.add_argument("--repair-k", type=int, default=0,
+    recp.add_argument("--repair-k", type=int, default=None,
                       help="see run --repair-k")
     recp.add_argument("--strict-audit", action="store_true",
                       help="see run --strict-audit")

@@ -2839,7 +2839,7 @@ def make_audited_spatial_advance(
     auto_rebuild: bool = True,
     reactive_theta: float | None = None,
     membership_audit: bool = True,
-    repair_k: int = 0,
+    repair_k: int | None = None,
 ):
     """`advance(loc_state) -> loc_state` with the single-chip audited-
     fallback policy extended across the mesh (VERDICT r2 missing 2): when
@@ -2855,6 +2855,16 @@ def make_audited_spatial_advance(
     import sys
 
     auto = auto_rebuild and slot_resident and sort_every > 1
+    if repair_k is None:
+        # same production default as step.make_audited_advance (the
+        # decomp repair is interior-only and veto-guarded — see
+        # make_spatial_advance); repair_k=0 pins rebuild-only
+        from sph_tpu.step import default_repair_k
+
+        repair_k = default_repair_k(
+            scene, auto=auto, membership_audit=membership_audit,
+            reactive_theta=reactive_theta,
+        )
     adv = make_spatial_advance(
         scene, spec, mesh, method, steps_per_dispatch,
         sort_every=sort_every, slot_resident=slot_resident,

@@ -1288,12 +1288,41 @@ def make_advance(
     return advance
 
 
+#: Production default for the minority-repair budget (repair_k): measured
+#: at the settled 1M splash (bench/probe_r3h.py part 3, the regime where
+#: repair matters — the ballistic fast tail forces rebuilds ~every other
+#: block): rep2048 runs 52.0 ms/step vs 64.0 strict (1.23×, rebuilds
+#: 25/40 → 7/40, zero heals, zero violations); rep512 under-covers
+#: (55.1), rep8192 buys nothing more (52.3).  From-init neutrality
+#: (calm phase, the driver-ladder regime) measured in bench/probe_r3i.py.
+DEFAULT_REPAIR_K = 2048
+
+
+def default_repair_k(
+    scene: Scene, *, auto: bool, membership_audit: bool = True,
+    xsub: int = 1, reactive_theta: float | None = None,
+    row_pair: bool = False,
+) -> int:
+    """Resolve repair_k=None (the production surfaces' default) to
+    DEFAULT_REPAIR_K wherever minority slot repair is supported, else 0:
+    repair composes with the membership-relaxed audit only (auto-rebuild
+    resident path, xsub == 1, fp32 features, no reactive policy), and the
+    row-pair kernel layout is excluded because make_repair_tools patches
+    single-row compacted addressing."""
+    ok = (
+        auto and membership_audit and xsub == 1 and not row_pair
+        and reactive_theta is None
+        and scene.params.precision != "bf16"
+    )
+    return DEFAULT_REPAIR_K if ok else 0
+
+
 def make_audited_advance(
     scene: Scene, method: str, steps_per_dispatch: int,
     sort_every: int = 1, slot_resident: bool = False, xsub: int = 1,
     grid=None, adaptive_cap: bool = False, row_pair: bool = False,
     auto_rebuild: bool = True, reactive_theta: float | None = None,
-    membership_audit: bool = True, repair_k: int = 0,
+    membership_audit: bool = True, repair_k: int | None = None,
 ):
     """`advance(state) -> state` with the fast path's safety policy built
     in: when the skin/cap audit fires (e.g. a splash-impact speed spike
@@ -1323,6 +1352,15 @@ def make_audited_advance(
     import sys
 
     auto = auto_rebuild and slot_resident and sort_every > 1
+    if repair_k is None:
+        # minority slot repair ON by default where supported (measured:
+        # 1.23x at the settled 1M state, neutral from init — see
+        # DEFAULT_REPAIR_K); pass repair_k=0 to pin the strict
+        # rebuild-only policy (exactness anchors do)
+        repair_k = default_repair_k(
+            scene, auto=auto, membership_audit=membership_audit,
+            xsub=xsub, reactive_theta=reactive_theta, row_pair=row_pair,
+        )
     base_kw = dict(sort_every=sort_every, slot_resident=slot_resident,
                    xsub=xsub, heal=slot_resident and not auto,
                    row_pair=row_pair, auto_rebuild=auto,
