@@ -10,12 +10,16 @@ Timing rule learned at survey time: async timings lie on this platform
 steps inside one `lax.scan` dispatch and fetches a checksum to force real
 completion.
 
-The default (driver-facing) run measures the FULL config ladder and prints
-one JSON line: the flagship entry's metric plus a `ladder` key with every
-config's numbers and its slot-overflow count (must be 0 — a too-small
-static cap would otherwise fake a speedup by dropping physics).
-`--config`/`--method` restrict to one config; `--all` prints one JSON line
-per ladder entry instead (human-facing).
+The default (driver-facing) run measures the FULL config ladder.  Output
+protocol (round 4 — the round-3 record was lost to a >4 KB single line the
+driver's tail capture truncated, VERDICT r3 item 1): the full ladder is
+written to `bench_ladder.json` next to this file AND printed as an earlier
+stdout line; the LAST stdout line is a COMPACT flagship JSON object
+(metric/value/unit/vs_baseline + a few counters, well under 1 KB) so the
+driver's tail parse always succeeds.  Every ladder entry asserts its
+slot-overflow count is 0 — a too-small static cap would otherwise fake a
+speedup by dropping physics.  `--config`/`--method` restrict to one config;
+`--all` prints one JSON line per ladder entry instead (human-facing).
 """
 
 from __future__ import annotations
@@ -408,7 +412,19 @@ def main():
             }))
     else:
         flag = results[0]
-        print(json.dumps({
+        # Full ladder: a separate earlier stdout line AND a file — the
+        # driver's tail capture truncated round 3's single >4 KB line
+        # (BENCH_r03.json `parsed: null`), so the LAST line must stay small.
+        import os as _os
+
+        ladder_path = _os.path.join(
+            _os.path.dirname(_os.path.abspath(__file__)), "bench_ladder.json"
+        )
+        ladder_doc = {"flagship": flag["config"], "ladder": results}
+        with open(ladder_path, "w") as f:
+            json.dump(ladder_doc, f, indent=1)
+        print(json.dumps(ladder_doc))
+        compact = {
             "metric": (
                 f"particle-steps/sec ({flag['config']}, {flag['method']}, "
                 f"n={flag['n']})"
@@ -416,8 +432,14 @@ def main():
             "value": flag["particle_steps_per_s"],
             "unit": "particle-steps/s",
             "vs_baseline": flag["vs_baseline"],
-            "ladder": results,
-        }))
+            "ms_per_step": flag["ms_per_step"],
+            "ladder_entries": len(results),
+            "ladder_file": "bench_ladder.json",
+        }
+        for k in ("healed_blocks", "rebuilds_last_dispatch", "repairs"):
+            if k in flag:
+                compact[k] = flag[k]
+        print(json.dumps(compact), flush=True)
     return 1 if bad else 0
 
 
