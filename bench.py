@@ -125,19 +125,28 @@ def overflow_counts(scene, state, method: str, sort_every: int = 1,
 def bench_config(scene, method: str, steps: int, repeats: int = 3,
                  sort_every: int = 1, slot_resident: bool = False,
                  xsub: int = 1, auto_rebuild: bool = False,
-                 counters: dict | None = None):
+                 counters: dict | None = None, state0=None):
     if method == "pallas":
         # keep in sync with make_advance's platform clamp, or throughput
         # would be inflated by steps/MAX (ADVICE r1)
         steps = min(steps, MAX_PALLAS_STEPS_PER_DISPATCH)
     if sort_every > 1:
         steps = max(steps - steps % sort_every, sort_every)
-    state = init(scene)
-    if scene.params.integrator == "leapfrog":
+    state = init(scene) if state0 is None else state0
+    if scene.params.integrator == "leapfrog" and int(state.step) == 0:
         state = jax.jit(lambda s: prime(scene, s, method=method))(state)
+    repair_k = 0
+    if auto_rebuild:
+        # bench the SHIPPED production policy (repair_k resolves exactly as
+        # make_audited_advance does) — r3's ladder silently measured
+        # repair_k=0 and missed the settled-state repair win
+        from sph_tpu.step import default_repair_k
+
+        repair_k = default_repair_k(scene, auto=True, xsub=xsub)
     adv = make_advance(scene, method, steps_per_dispatch=steps,
                        sort_every=sort_every, slot_resident=slot_resident,
-                       xsub=xsub, auto_rebuild=auto_rebuild)
+                       xsub=xsub, auto_rebuild=auto_rebuild,
+                       repair_k=repair_k)
 
     def one(st):
         if auto_rebuild:
@@ -253,13 +262,47 @@ def measure(name: str, method: str, steps: int, sort_every: int = 1,
             "slot_overflow": 0,  # bench_spatial raises on any audit hit
             "vs_baseline": pstep_s / (SURVEY_NAIVE_PAIR_RATE / n),
         }
-    scene = preset(name)
+    state0 = None
+    if name.endswith("@settled"):
+        # settled/filled-state rows (VERDICT r3 items 2+3): regimes the
+        # from-init window can't reach — the settled 1M splash (where
+        # minority repair wins) and a FILLED emitters3d (from init the
+        # scene is ~empty: n=136 measured pure dispatch overhead in r3).
+        # The checkpoints are local artifacts; bench/make_settled_state.py
+        # regenerates them (~20 min TPU once).  Row skipped if absent.
+        import importlib.util
+        import os as _os
+
+        mpath = _os.path.join(
+            _os.path.dirname(_os.path.abspath(__file__)), "bench",
+            "make_settled_state.py",
+        )
+        mspec = importlib.util.spec_from_file_location("mss", mpath)
+        mss = importlib.util.module_from_spec(mspec)
+        mspec.loader.exec_module(mss)
+        base = name[: -len("@settled")]
+        ckpt = mss.settled_path(base)
+        if ckpt is None or not _os.path.exists(ckpt):
+            raise FileNotFoundError(
+                f"no settled checkpoint for {base} — run "
+                f"bench/make_settled_state.py"
+            )
+        from sph_tpu import diagnostics
+
+        state0, scene = diagnostics.load_checkpoint(ckpt)
+    else:
+        scene = preset(name)
     auto = method.endswith("auto")
+    if auto and method.startswith("resident"):
+        # "residentKauto" names the full configuration — infer the knobs
+        # so `--config X --method resident4auto` works without extra flags
+        sort_every = int(method[len("resident"):-len("auto")])
+        slot_resident = True
     counters: dict = {}
     pstep_s, s_per_step, n, overflow = bench_config(
         scene, method if not auto else "pallas", steps,
         sort_every=sort_every, slot_resident=slot_resident, xsub=xsub,
-        auto_rebuild=auto, counters=counters,
+        auto_rebuild=auto, counters=counters, state0=state0,
     )
     method_label = method
     if sort_every > 1 and not auto:
@@ -283,6 +326,8 @@ def measure(name: str, method: str, steps: int, sort_every: int = 1,
         # rebuilds = addr builds in the last dispatch (k_eff = steps/x)
         res["healed_blocks"] = counters.get("healed", 0)
         res["rebuilds_last_dispatch"] = counters.get("rebuilds", 0)
+        if "repairs" in counters:
+            res["repairs"] = counters["repairs"]
         res["slot_overflow"] = 0  # any overflow block was healed exactly
     return res
 
@@ -323,6 +368,10 @@ def main():
     # outgrows 8).
     ladder = [
         ("splash3d_1m", "resident4auto", args.steps, 4, True),
+        # settled-state row (VERDICT r3 item 2): the post-impact regime
+        # where minority repair wins (probe H: 2.08e7 at step 3000);
+        # skipped with a recorded reason if the local checkpoint is absent
+        ("splash3d_1m@settled", "resident4auto", args.steps, 4, True),
         ("splash3d_1m", "resident4+auto8", args.steps, 4, True),
         ("splash3d_1m", "pallas", args.steps, 4, True),
         ("splash3d_1m", "pallas", args.steps, 1, False),
@@ -337,10 +386,15 @@ def main():
         ("dam2d_10k", "resident4+auto8", args.steps, 4, True),
         ("dam2d_10k", "pallas", args.steps, 1, False),
         ("dam2d_10k", "grid", args.steps, 1, False),
+        # emitters3d starts EMPTY (three slow jets, ~0.27 particles/step):
+        # the from-init row measures dispatch overhead at n~10² and is
+        # kept only as that record; the @settled row (>= 20k active, via
+        # bench/make_settled_state.py) is the config's real number.
+        # r3's naive fallback row OOMed silently (capacity² pair matrix
+        # at 65536) — grid is the honest portable method at this n.
+        ("emitters3d@settled", "resident4auto", args.steps, 4, True),
         ("emitters3d", "pallas", args.steps, 1, False),
-        # at n~136 the pallas path is pure dispatch overhead; the naive
-        # row records the method the engine would actually pick there
-        ("emitters3d", "naive", max(args.steps, 200), 1, False),
+        ("emitters3d", "grid", max(args.steps, 200), 1, False),
         ("tutorial2d", "naive", max(args.steps, 200), 1, False),
     ]
     if args.config != "auto":
@@ -357,6 +411,7 @@ def main():
                 for m in ("pallas", "grid", "naive")
             ]
         results = []
+        skipped = []
         for name, method, steps, k_i, res_i in ladder:
             try:
                 results.append(
@@ -366,12 +421,17 @@ def main():
                 )
                 break
             except Exception as e:  # noqa: BLE001 — fall down the ladder
+                skipped.append({
+                    "config": name, "method": method,
+                    "error": f"{type(e).__name__}: {e}"[:300],
+                })
                 print(
                     f"# {name}/{method} unavailable: {type(e).__name__}: {e}",
                     file=sys.stderr,
                 )
     else:
         results = []
+        skipped = []
         for name, method, steps, k_i, res_i in ladder:
             try:
                 results.append(
@@ -380,6 +440,13 @@ def main():
                             xsub=args.xsub if method == "pallas" else 1)
                 )
             except Exception as e:  # noqa: BLE001
+                # a dropped row must stay driver-visible (VERDICT r3 weak
+                # 6: r3's emitters3d/naive OOM vanished into stderr) —
+                # recorded in the ladder doc and counted in the last line
+                skipped.append({
+                    "config": name, "method": method,
+                    "error": f"{type(e).__name__}: {e}"[:300],
+                })
                 print(
                     f"# {name}/{method} unavailable: {type(e).__name__}: {e}",
                     file=sys.stderr,
@@ -420,7 +487,8 @@ def main():
         ladder_path = _os.path.join(
             _os.path.dirname(_os.path.abspath(__file__)), "bench_ladder.json"
         )
-        ladder_doc = {"flagship": flag["config"], "ladder": results}
+        ladder_doc = {"flagship": flag["config"], "ladder": results,
+                      "skipped": skipped}
         with open(ladder_path, "w") as f:
             json.dump(ladder_doc, f, indent=1)
         print(json.dumps(ladder_doc))
@@ -434,6 +502,7 @@ def main():
             "vs_baseline": flag["vs_baseline"],
             "ms_per_step": flag["ms_per_step"],
             "ladder_entries": len(results),
+            "ladder_skipped": len(skipped),
             "ladder_file": "bench_ladder.json",
         }
         for k in ("healed_blocks", "rebuilds_last_dispatch", "repairs"):

@@ -779,6 +779,7 @@ def _make_resident_auto_advance(
     scene: Scene, grid, sg, sort_every: int, blocks: int, skin: float,
     rebuild_frac: float = 1.0, reactive_theta: float | None = None,
     membership_audit: bool = True, repair_k: int = 0,
+    packed_scatter: bool = False,
 ):
     """AUTO-REBUILD slot-resident advance (round 3): the state stays in
     the slot arrays ACROSS block boundaries, and the
@@ -889,21 +890,55 @@ def _make_resident_auto_advance(
         the first density pass overwrites rp before any consumer reads
         it, and materialize falls back to the shadow for both until a
         block has run (`live` flag) — deleting two of the three scatter
-        passes per rebuild (measured ~55 + ~46 ms at 1M)."""
+        passes per rebuild (measured ~55 + ~46 ms at 1M).
+
+        packed_scatter: transport x/v through PACKED bf16-pair columns
+        (pallas_step.scatter_slots_packed) — 7 scatter columns become 4
+        (3D) / 3 (2D); the slot arrays are unpacked back to fp32 right
+        after, so the kernels are unchanged.  x packs CELL-RELATIVE
+        (addr.center, the same frame as precision="bf16"): one bf16
+        round-trip costs ~0.4% of a cell of position (~quantum 2⁻⁸·cell)
+        and ~0.4% relative of v, ONCE PER REBUILD — an experiment knob
+        (default off), measured in bench/probe_r4c.py."""
         act0 = s.active
         movable0 = act0 & (s.kind == 0)
         addr = pallas_step.build_addr(s.x, act0, grid, sg)
-        zpad = jnp.zeros((s.capacity, 3 - d), jnp.float32)
         movf = movable0[:, None].astype(jnp.float32)
         v_in = s.v + (0.5 * dt) * s.acc * movf if leap else s.v
-        rows = jnp.concatenate(
-            [s.x, zpad, v_in, zpad, movf],
-            axis=1,
-        )
-        feat = pallas_step.scatter_slots(addr, rows, sg)
-        xs = feat[:, 0:d, :]
-        vs = feat[:, 3 : 3 + d, :]
-        movb = feat[:, 6:7, :] > 0
+        if packed_scatter:
+            pk = pallas_step.pack2bf16
+            xr = s.x - addr.center
+            halves = [xr[:, i] for i in range(d)] + \
+                     [v_in[:, i] for i in range(d)]
+            cols = [pk(halves[2 * i], halves[2 * i + 1])
+                    for i in range(d)] + [movf[:, 0]]
+            rows_p = jnp.stack(cols, axis=1)
+            # background: x halves unpack FAR (1e18 ≈ the _init_row
+            # sentinel: phantom slots annihilate by distance), v/mov 0
+            far = jnp.float32(1e18)
+            bg_halves = [far] * d + [jnp.float32(0.0)] * d
+            bg = jnp.stack(
+                [pk(bg_halves[2 * i], bg_halves[2 * i + 1])
+                 for i in range(d)] + [jnp.float32(0.0)]
+            )
+            packed = pallas_step.scatter_slots_packed(addr, rows_p, sg, bg)
+            up = [pallas_step.unpack2bf16(packed[:, i, :])
+                  for i in range(d)]
+            flat = [h for pair in up for h in pair]
+            centers = sp.slot_centers(addr)
+            xs = jnp.stack(flat[:d], axis=1) + centers
+            vs = jnp.stack(flat[d:], axis=1)
+            movb = packed[:, d:d + 1, :] > 0
+        else:
+            zpad = jnp.zeros((s.capacity, 3 - d), jnp.float32)
+            rows = jnp.concatenate(
+                [s.x, zpad, v_in, zpad, movf],
+                axis=1,
+            )
+            feat = pallas_step.scatter_slots(addr, rows, sg)
+            xs = feat[:, 0:d, :]
+            vs = feat[:, 3 : 3 + d, :]
+            movb = feat[:, 6:7, :] > 0
         acc_s = jnp.zeros_like(xs)  # i=0's kick is pre-applied: +0 no-op
         rp = jnp.zeros((sg.c_rows, 2, sg.lanes), jnp.float32)
         return dict(
@@ -1152,7 +1187,7 @@ def make_advance(
     heal: bool = False, row_pair: bool = False,
     auto_rebuild: bool = False, rebuild_frac: float = 1.0,
     reactive_theta: float | None = None, membership_audit: bool = True,
-    repair_k: int = 0,
+    repair_k: int = 0, packed_scatter: bool = False,
 ):
     """jitted `advance(state) -> state` running S steps in one `lax.scan`.
 
@@ -1178,6 +1213,17 @@ def make_advance(
         raise ValueError("heal requires slot_resident=True")
     if auto_rebuild and not slot_resident:
         raise ValueError("auto_rebuild requires slot_resident=True")
+    if packed_scatter:
+        if not auto_rebuild:
+            raise ValueError(
+                "packed_scatter is the auto-rebuild transport experiment "
+                "(requires auto_rebuild=True)"
+            )
+        if scene.params.precision == "bf16":
+            raise ValueError(
+                "packed_scatter composes with fp32 features only "
+                "(precision='bf16' already transports bf16 rows)"
+            )
     if sort_every > 1:
         # Addr reuse with a Verlet skin (SURVEY.md §7 hard-part 2, arXiv
         # 1804.06231 pattern): build the slot addressing every `sort_every`
@@ -1228,6 +1274,7 @@ def make_advance(
                     reactive_theta=reactive_theta,
                     membership_audit=membership_audit,
                     repair_k=repair_k,
+                    packed_scatter=packed_scatter,
                 )
             return _make_resident_advance(
                 scene, grid, sg, sort_every, blocks, skin, heal=heal,
@@ -1554,6 +1601,8 @@ def run(
     shards: int | tuple[int, ...] | None = None,
     shard_axis: int = 0,
     shard_axis2: int | None = None,
+    membership_audit: bool = True,
+    repair_k: int | None = None,
 ) -> State:
     """Top-level driver (reference main loop, SURVEY.md §3.5).
 
@@ -1573,6 +1622,11 @@ def run(
     to frame_callback each dispatch).  Note: the returned capacity is
     mesh-padded (n_devices x local cap) and particle order follows slab
     ownership — identify particles by position/emit_step, not row index.
+
+    membership_audit / repair_k: the fast-path audit policy knobs, same
+    semantics as make_audited_advance (CLI: --strict-audit / --repair-k).
+    repair_k=None resolves to the production default (DEFAULT_REPAIR_K
+    where supported); repair_k=0 pins the strict rebuild-only policy.
     """
     from sph_tpu.state import init
 
@@ -1584,7 +1638,7 @@ def run(
         return _run_decomposed(
             scene, n_steps, method, steps_per_dispatch, state,
             frame_callback, sort_every, slot_resident, shards,
-            shard_axis, shard_axis2,
+            shard_axis, shard_axis2, membership_audit, repair_k,
         )
     if method == "pallas":
         # keep the dispatch plan consistent with make_advance's clamp, so
@@ -1599,7 +1653,9 @@ def run(
     advance = make_audited_advance(scene, method, steps_per_dispatch,
                                    sort_every=sort_every,
                                    slot_resident=slot_resident,
-                                   adaptive_cap=adaptive_cap)
+                                   adaptive_cap=adaptive_cap,
+                                   membership_audit=membership_audit,
+                                   repair_k=repair_k)
 
     for _ in range(n_disp):
         state = advance(state)
@@ -1610,6 +1666,7 @@ def run(
         state = make_audited_advance(
             scene, method, rem, sort_every=rem_reuse,
             slot_resident=slot_resident and rem_reuse > 1,
+            membership_audit=membership_audit, repair_k=repair_k,
         )(state)
         if frame_callback is not None:
             frame_callback(state)
@@ -1619,6 +1676,7 @@ def run(
 def _run_decomposed(
     scene, n_steps, method, steps_per_dispatch, state, frame_callback,
     sort_every, slot_resident, shards, shard_axis, shard_axis2,
+    membership_audit=True, repair_k=None,
 ):
     """run(shards=...): the decomposed host loop — shard once, advance
     with the audited mesh-wide policy, elastically re-spec on static-cap
@@ -1665,6 +1723,7 @@ def _run_decomposed(
             adv = decomp.make_audited_spatial_advance(
                 scene, spec, mesh, method, spd,
                 sort_every=se, slot_resident=resident,
+                membership_audit=membership_audit, repair_k=repair_k,
             )
         return loc, adv
 

@@ -935,3 +935,82 @@ def test_auto_rebuild_block_lengths_match_per_step():
         scale = np.max(np.abs(xb)) + 1e-9
         assert np.max(np.abs(xa - xb)) / scale < 1e-4, se
         assert int(s.step) == 16
+
+
+def test_run_exposes_audit_policy_knobs(monkeypatch):
+    """run() plumbs membership_audit / repair_k through to the audited
+    advance on BOTH the single-chip and decomposed paths (VERDICT r3
+    item 7: the CLI exposed --strict-audit/--repair-k but run() hid
+    them), and the strict-policy run stays exact end-to-end."""
+    import sph_tpu.step as step_mod
+    from sph_tpu import decomp
+    from sph_tpu.step import make_advance, run
+
+    scene = small_scene(dim=2, seed=98)
+
+    seen = {}
+    real = step_mod.make_audited_advance
+
+    def spy(*a, **kw):
+        seen.update(kw)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(step_mod, "make_audited_advance", spy)
+    s = run(scene, 8, method="pallas", steps_per_dispatch=8,
+            sort_every=4, slot_resident=True,
+            membership_audit=False, repair_k=0)
+    assert seen["membership_audit"] is False and seen["repair_k"] == 0
+    s_ref = make_advance(scene, "pallas", steps_per_dispatch=8)(init(scene))
+    assert np.array_equal(np.asarray(s.x), np.asarray(s_ref.x))
+
+    seen_sp = {}
+    real_sp = decomp.make_audited_spatial_advance
+
+    def spy_sp(*a, **kw):
+        seen_sp.update(kw)
+        return real_sp(*a, **kw)
+
+    monkeypatch.setattr(decomp, "make_audited_spatial_advance", spy_sp)
+    run(scene, 4, method="pallas", steps_per_dispatch=4, sort_every=4,
+        slot_resident=True, shards=2, membership_audit=False, repair_k=0)
+    assert seen_sp["membership_audit"] is False and seen_sp["repair_k"] == 0
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_packed_scatter_transport(dim):
+    """packed_scatter=True (bf16-pair rebuild transport, round 4): the
+    trajectory matches the default auto advance to the bf16 transport
+    tolerance (~0.4% of a cell per rebuild round-trip, amplified a few x
+    by a short integration window), background slots stay phantom (no
+    density blowup), and counters are unchanged."""
+    from sph_tpu.step import make_advance
+
+    scene = small_scene(dim=dim, seed=99)
+    state = init(scene)
+    kw = dict(steps_per_dispatch=8, sort_every=4, slot_resident=True,
+              auto_rebuild=True)
+    s_ref, v0, h0, r0 = make_advance(scene, "pallas", **kw)(state)
+    s_pk, v1, h1, r1 = make_advance(scene, "pallas", packed_scatter=True,
+                                    **kw)(state)
+    assert int(v1) == 0 and int(h1) == int(h0) and int(r1) == int(r0)
+    xa, xb = np.asarray(s_pk.x), np.asarray(s_ref.x)
+    act = np.asarray(s_pk.emit_step) <= 8
+    assert np.isfinite(xa[act]).all()
+    # bf16 cell-relative quantum is ~2^-9 * cell; allow integration
+    # amplification but catch any phantom-neighbor blowup (those would
+    # shift positions by O(spacing))
+    from sph_tpu.neighbors import GridSpec
+
+    cell = GridSpec.for_scene(scene).cell
+    assert np.max(np.abs(xa[act] - xb[act])) < 0.1 * cell
+    ra, rb = np.asarray(s_pk.rho), np.asarray(s_ref.rho)
+    assert np.allclose(ra[act], rb[act], rtol=5e-2)
+
+
+def test_packed_scatter_flag_validation():
+    from sph_tpu.step import make_advance
+
+    scene = small_scene(dim=2, seed=99)
+    with pytest.raises(ValueError, match="packed_scatter"):
+        make_advance(scene, "pallas", steps_per_dispatch=8, sort_every=4,
+                     slot_resident=True, packed_scatter=True)
