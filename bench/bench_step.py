@@ -78,6 +78,7 @@ CONFIGS = [
     ("dam3d_100k", "auto8"),
     ("dam3d_100k", "spatial-resident4"),
     ("dam3d_100k", "spatial-resident4auto"),
+    ("dam3d_100k", "pencil"),
     ("splash3d_1m", "pallas"),
     ("splash3d_1m", "resident4"),
     ("splash3d_1m", "resident4auto"),
@@ -132,6 +133,40 @@ def bench_spatial(name, k, steps, repeats=3, auto=False):
     return n * steps / best, best / steps, n
 
 
+def bench_pencil(name, steps, repeats=3):
+    """Pencil (2-axis) decomposition on a 1x1 mesh (the one real chip):
+    the deferred-fast-path decision's measured cost (VERDICT r3 missing 4
+    / docs/SCALING.md §3) — pencils step per-step-rebuild, so their
+    1-device number vs the plain per-step pallas row IS the two-hop
+    corner-ghost machinery overhead; a hypothetical n1xn2-chip win is
+    capped by it."""
+    from sph_tpu import decomp
+    from sph_tpu.step import MAX_PALLAS_STEPS_PER_DISPATCH
+
+    scene = preset(name)
+    state = init(scene)
+    steps = min(steps, MAX_PALLAS_STEPS_PER_DISPATCH)
+    if scene.params.integrator == "leapfrog":
+        state = jax.jit(lambda s: prime(scene, s, method="pallas"))(state)
+    mesh = decomp.mesh2d(1, 1)
+    spec = decomp.PencilSpec.for_state(scene, state, 1, 1)
+    loc = decomp.pencil_shard_state(state, scene, spec, mesh)
+    adv = decomp.make_audited_pencil_advance(
+        scene, spec, mesh, method="pallas", steps_per_dispatch=steps
+    )
+    loc = adv(loc)
+    checksum(loc)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        loc = adv(loc)
+        checksum(loc)
+        best = min(best, time.perf_counter() - t0)
+    merged = decomp.spatial_gather_state(loc)
+    n = int(jnp.sum(merged.emit_step <= merged.step))
+    return n * steps / best, best / steps, n
+
+
 def checksum(state) -> float:
     return float(jnp.sum(state.x, dtype=jnp.float32))
 
@@ -164,6 +199,8 @@ def bench_auto8(name, steps, repeats=3, sort_every=4):
 
 
 def bench_one(name, method, steps, repeats=3):
+    if method == "pencil":
+        return bench_pencil(name, steps)
     if method.startswith("spatial-resident"):
         tail = method[len("spatial-resident"):]
         auto = tail.endswith("auto")

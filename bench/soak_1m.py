@@ -34,7 +34,9 @@ from sph_tpu.step import make_audited_advance, prime
 def main():
     n_steps = int(_sys.argv[1]) if len(_sys.argv) > 1 else 5000
     theta = float(_sys.argv[2]) if len(_sys.argv) > 2 else None
-    repair_k = int(_sys.argv[3]) if len(_sys.argv) > 3 else 0
+    # repair_k: None = the shipped production default (resolves to
+    # step.DEFAULT_REPAIR_K where supported); pass 0 to pin rebuild-only
+    repair_k = int(_sys.argv[3]) if len(_sys.argv) > 3 else None
     scene = preset("splash3d_1m")
     state = init(scene)
     state = jax.jit(lambda s: prime(scene, s, method="pallas"))(state)
@@ -80,7 +82,8 @@ def main():
         f"SOAK RESULT: {n_steps - 100} timed steps in {t_all:.1f}s → "
         f"{avg:.3e} particle-steps/s soak-average "
         f"({t_all / (n_steps - 100) * 1e3:.1f} ms/step); healed="
-        f"{getattr(adv, 'healed', 0)} final_mode={getattr(adv, 'mode', '-')}",
+        f"{getattr(adv, 'healed', 0)} repaired={getattr(adv, 'repaired', 0)}"
+        f" final_mode={getattr(adv, 'mode', '-')}",
         flush=True,
     )
 

@@ -1344,6 +1344,29 @@ def make_advance(
 #: (calm phase, the driver-ladder regime) measured in bench/probe_r3i.py.
 DEFAULT_REPAIR_K = 2048
 
+#: Smallest problem size where the repair default pays (bench/probe_r4a.py,
+#: round 4, from init): at 10k-2D the plan/apply machinery fires 16/25
+#: blocks for a 20% LOSS (1.204 vs 1.006 ms/step rep0) — rebuilds are
+#: ~free at that scale so repair can only cost; at 100k it is neutral
+#: (3D: 0 repairs fire; 2D: −0.7%), and at the settled 1M it wins 1.23×
+#: (probe H).  Below this estimated n the default resolves to 0.
+REPAIR_MIN_N = 32768
+
+
+def _seed_estimate(scene: Scene) -> int:
+    """Host-side problem-size estimate: explicit capacity, else the
+    lattice count the scene's blocks would seed (same pitch as init)."""
+    if scene.capacity:
+        return int(scene.capacity)
+    s = scene.spacing or scene.params.h * 0.55
+    total = 0
+    for b in scene.blocks:
+        cells = 1
+        for lo, hi in zip(b.lo, b.hi):
+            cells *= max(1, int((hi - lo) / s))
+        total += cells
+    return total
+
 
 def default_repair_k(
     scene: Scene, *, auto: bool, membership_audit: bool = True,
@@ -1351,7 +1374,8 @@ def default_repair_k(
     row_pair: bool = False,
 ) -> int:
     """Resolve repair_k=None (the production surfaces' default) to
-    DEFAULT_REPAIR_K wherever minority slot repair is supported, else 0:
+    DEFAULT_REPAIR_K wherever minority slot repair is supported AND the
+    scene is large enough for repair to pay (REPAIR_MIN_N), else 0:
     repair composes with the membership-relaxed audit only (auto-rebuild
     resident path, xsub == 1, fp32 features, no reactive policy), and the
     row-pair kernel layout is excluded because make_repair_tools patches
@@ -1360,6 +1384,7 @@ def default_repair_k(
         auto and membership_audit and xsub == 1 and not row_pair
         and reactive_theta is None
         and scene.params.precision != "bf16"
+        and _seed_estimate(scene) >= REPAIR_MIN_N
     )
     return DEFAULT_REPAIR_K if ok else 0
 

@@ -1014,3 +1014,16 @@ def test_packed_scatter_flag_validation():
     with pytest.raises(ValueError, match="packed_scatter"):
         make_advance(scene, "pallas", steps_per_dispatch=8, sort_every=4,
                      slot_resident=True, packed_scatter=True)
+
+
+def test_repair_default_capacity_gate():
+    """repair_k=None resolves to DEFAULT_REPAIR_K only at scales where the
+    repair machinery pays (probe_r4a: 16/25 blocks repaired at 10k-2D for
+    a 20% loss; neutral at 100k; 1.23x win at the settled 1M)."""
+    from sph_tpu.params import preset
+    from sph_tpu.step import DEFAULT_REPAIR_K, default_repair_k
+
+    assert default_repair_k(preset("dam2d_10k"), auto=True) == 0
+    assert default_repair_k(preset("dam3d_100k"), auto=True) \
+        == DEFAULT_REPAIR_K
+    assert default_repair_k(preset("splash3d_1m"), auto=False) == 0
