@@ -100,8 +100,13 @@ def main():
     print(f"VPU lane-reduce of the same [4096x64x864] operand: "
           f"{t2 * 1e3:7.2f} ms", flush=True)
 
-    # N=8 vs N=128 utilization check: same K, wide N
-    b_wide = jax.random.normal(key, (rows, w, 128), jnp.float32)
+    # N=8 vs N=128 utilization check: same K, wide N.  At rows=4096 the
+    # [rows, 864, 128] operand is 1.8 GB and the einsum thrashed (>20 min,
+    # killed) — 512 rows (226 MB) gives the same per-tile utilization
+    # datapoint.
+    rows_w = 512
+    b_wide = jax.random.normal(key, (rows_w, w, 128), jnp.float32)
+    a_w = a[:rows_w]
 
     @jax.jit
     def contract_wide(a_, prev=None):
@@ -111,11 +116,12 @@ def main():
             out = out + 1e-30 * prev
         return out
 
-    t3 = timeit(contract_wide, a)
-    flops3 = 2 * rows * g_h * w * 128
-    print(f"same contraction at N=128: {t3 * 1e3:7.2f} ms/pass "
-          f"({flops3 / t3 / 1e12:.2f} TFLOP/s) — the utilization the "
-          f"MXU needs and SPH's N<=8 outputs cannot provide", flush=True)
+    t3 = timeit(contract_wide, a_w)
+    flops3 = 2 * rows_w * g_h * w * 128
+    print(f"same contraction at N=128 (rows={rows_w}): {t3 * 1e3:7.2f} "
+          f"ms/pass ({flops3 / t3 / 1e12:.2f} TFLOP/s) — the utilization "
+          f"the MXU needs and SPH's N<=8 outputs cannot provide",
+          flush=True)
 
 
 if __name__ == "__main__":
