@@ -370,6 +370,45 @@ def _fountain_2d() -> Scene:
     )
 
 
+def _vortex_2d(n_target: int = 90_000) -> Scene:
+    """Demo scene (NOT a BASELINE config): a pool stirred by a rotating
+    ring of scheduled force pushes — the headless analog of dragging the
+    mouse in a circle in the reference's interactive window (SURVEY.md
+    L5/C13), at a scale the reference cannot reach.  36 staggered
+    ForceFields sweep a radial push around a circle for 3 revolutions
+    (steps 0-3600), driving a persistent vortex; afterwards the pool
+    settles freely.  `sph-tpu record vortex2d --mode speed` shows the
+    swirl; tests validate angular-momentum injection at reduced scale."""
+    import math
+
+    p = SimParams(boundary_mode="clamp")
+    spacing = p.h * 0.55
+    eps = p.wall_eps + spacing
+    # pool sized to ~n_target on the seeding lattice
+    width = 800.0 - 2 * eps
+    depth = n_target * spacing * spacing / width
+    n_spokes, cycles, w = 12, 3, 100
+    cx, cy, r = 400.0, eps + depth * 0.5, min(170.0, width * 0.2)
+    fields = []
+    for c in range(cycles):
+        for k in range(n_spokes):
+            ang = 2.0 * math.pi * k / n_spokes
+            t0 = (c * n_spokes + k) * w
+            fields.append(ForceField(
+                pos=(cx + r * math.cos(ang), cy + r * math.sin(ang)),
+                strength=6e4, radius=120.0,
+                start_step=t0, stop_step=t0 + w,
+            ))
+    return Scene(
+        params=p,
+        lo=(0.0, 0.0),
+        hi=(800.0, 600.0),
+        blocks=(Block(lo=(eps, eps), hi=(800.0 - eps, eps + depth)),),
+        force_fields=tuple(fields),
+        seed=7,
+    )
+
+
 _PRESETS = {
     # BASELINE.json:7 — tutorial default scene (naive all-pairs path)
     "tutorial2d": lambda: _dam_break_2d(1024),
@@ -383,6 +422,8 @@ _PRESETS = {
     "emitters3d": _multi_emitter_3d,
     # demo scene (not in BASELINE): pool + fountain jets, for record/interact
     "fountain2d": _fountain_2d,
+    # demo scene (not in BASELINE): rotating-stir vortex pool (90k, 2D)
+    "vortex2d": _vortex_2d,
 }
 
 

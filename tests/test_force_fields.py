@@ -79,3 +79,32 @@ def test_schedule_window_honored():
 def test_force_field_json_roundtrip():
     scene = _field_scene(strength=123.0, start=5, stop=50)
     assert scene_from_json(scene_to_json(scene)) == scene
+
+
+def test_vortex2d_demo_preset_stirs():
+    """vortex2d (round-4 demo): the rotating ring of scheduled pushes
+    injects net angular momentum about the stir center — the scripted
+    analog of the reference's circular mouse drag — and the scene stays
+    healthy.  Run at reduced scale (same construction, ~2.5k)."""
+    import numpy as np
+
+    from sph_tpu.params import _vortex_2d, calibrate, preset
+    from sph_tpu.state import init
+    from sph_tpu.step import run
+
+    full = preset("vortex2d")
+    assert len(full.force_fields) == 36
+    assert int(init(full).n_active()) > 80_000  # "larger demo" for real
+    # schedule covers 3 revolutions back-to-back
+    starts = sorted(f.start_step for f in full.force_fields)
+    assert starts[0] == 0 and starts[-1] == 3500
+
+    sc = calibrate(_vortex_2d(2500))
+    st = run(sc, 300, method="grid", steps_per_dispatch=100)
+    x = np.asarray(st.x)[np.asarray(st.active)]
+    v = np.asarray(st.v)[np.asarray(st.active)]
+    assert np.isfinite(x).all() and np.isfinite(v).all()
+    pos = np.array([f.pos for f in sc.force_fields])
+    rel = x - pos.mean(axis=0)
+    ang_mom = np.sum(rel[:, 0] * v[:, 1] - rel[:, 1] * v[:, 0])
+    assert ang_mom > 1e3  # counterclockwise swirl, not noise
