@@ -432,12 +432,29 @@ def main():
     else:
         results = []
         skipped = []
-        for name, method, steps, k_i, res_i in ladder:
+        # EXECUTE small → large, REPORT in ladder (flagship-first) order:
+        # measured round 4, the dam2d auto row is 1.75× slower when timed
+        # after the six 1M rows in the same process (1.76 vs 1.006
+        # ms/step fresh — cond-heavy small executables are the sensitive
+        # ones; large rows measure the same either way: 1M resident4auto
+        # 70.5 ms AFTER the full table vs 72.4 first), so each row runs
+        # in the cleanest context the one-process protocol allows.
+        size_rank = {"tutorial2d": 0, "dam2d_10k": 1, "emitters3d": 2,
+                     "dam3d_100k": 3, "splash3d_1m": 4}
+        order = sorted(
+            range(len(ladder)),
+            key=lambda i: size_rank.get(
+                ladder[i][0].split("@")[0], 9
+            ),
+        )
+        by_index = {}
+        for i in order:
+            name, method, steps, k_i, res_i = ladder[i]
             try:
-                results.append(
-                    measure(name, method, steps, sort_every=k_i,
-                            slot_resident=res_i,
-                            xsub=args.xsub if method == "pallas" else 1)
+                by_index[i] = measure(
+                    name, method, steps, sort_every=k_i,
+                    slot_resident=res_i,
+                    xsub=args.xsub if method == "pallas" else 1,
                 )
             except Exception as e:  # noqa: BLE001
                 # a dropped row must stay driver-visible (VERDICT r3 weak
@@ -451,6 +468,7 @@ def main():
                     f"# {name}/{method} unavailable: {type(e).__name__}: {e}",
                     file=sys.stderr,
                 )
+        results = [by_index[i] for i in range(len(ladder)) if i in by_index]
 
     if not results:
         print(json.dumps({"metric": "no-config-ran", "value": 0.0,

@@ -40,24 +40,30 @@ from sph_tpu.step import make_advance, prime
 # "spatial-resident4" = the same fast path under spatial decomposition on
 # a 1-device mesh (ring machinery overhead guarded; VERDICT r2 weakness 3).
 FLOORS = {
-    ("tutorial2d", "naive"): 1.0e6,
+    ("tutorial2d", "naive"): 2.0e6,           # r4: 3.67e6 measured
     ("dam2d_10k", "grid"): 6.0e5,
-    ("dam2d_10k", "pallas"): 2.4e6,
-    ("dam2d_10k", "resident4"): 4.4e6,
-    ("dam2d_10k", "auto8"): 4.7e6,  # r3: 6.76e6 (occupancy-fit narrow skin)
+    ("dam2d_10k", "pallas"): 2.8e6,           # r4: 4.07e6 measured
+    ("dam2d_10k", "resident4"): 4.4e6,        # r4: 6.57e6 measured
+    ("dam2d_10k", "auto8"): 5.5e6,  # r4: 7.84e6 (occupancy-fit narrow skin)
     ("dam3d_100k", "grid"): 1.8e5,
-    ("dam3d_100k", "pallas"): 2.5e6,
-    ("dam3d_100k", "resident4"): 5.2e6,       # r3: 7.53e6 measured
-    ("dam3d_100k", "resident4auto"): 6.5e6,   # r3: 9.32e6 measured
-    ("dam3d_100k", "auto8"): 7.5e6,           # r3: 1.09e7 measured
-    ("dam3d_100k", "spatial-resident4"): 4.6e6,  # r3: 6.64e6 measured
-    ("dam3d_100k", "spatial-resident4auto"): 5.9e6,  # r3: 8.45e6 measured
-    ("splash3d_1m", "pallas"): 3.0e6,
-    ("splash3d_1m", "resident4"): 7.5e6,      # r3: 1.10e7 (no acc scatter)
-    ("splash3d_1m", "resident4auto"): 1.05e7,  # r3: 1.51e7 measured
-    ("splash3d_1m", "auto8"): 9.8e6,          # r3: 1.41e7 measured
-    ("splash3d_1m", "spatial-resident4"): 6.5e6,  # r3: 9.36e6 measured
-    ("splash3d_1m", "spatial-resident4auto"): 1.0e7,  # r3: 1.44e7 measured
+    ("dam3d_100k", "pallas"): 3.4e6,          # r4: 4.92e6 measured
+    ("dam3d_100k", "resident4"): 5.2e6,       # r4: 7.47e6 measured
+    ("dam3d_100k", "resident4auto"): 6.8e6,   # r4: 9.69e6 measured
+    ("dam3d_100k", "auto8"): 1.1e7,           # r4: 1.60e7 measured
+    ("dam3d_100k", "spatial-resident4"): 5.1e6,  # r4: 7.35e6 measured
+    ("dam3d_100k", "spatial-resident4auto"): 5.9e6,  # r4: 8.58e6 measured
+    ("dam3d_100k", "pencil"): 2.8e6,  # r4: 3.97e6 (1x1 mesh, per-step;
+    # the two-hop ghost machinery costs 1.24x vs plain pallas at n=1)
+    ("splash3d_1m", "pallas"): 3.8e6,         # r4: 5.41e6 measured
+    ("splash3d_1m", "resident4"): 7.5e6,      # r4: 1.09e7 measured
+    ("splash3d_1m", "resident4auto"): 1.07e7,  # r4: 1.53e7 measured
+    ("splash3d_1m", "auto8"): 1.8e7,          # r4: 2.55e7 measured
+    ("splash3d_1m", "spatial-resident4"): 7.3e6,  # r4: 1.05e7 measured
+    ("splash3d_1m", "spatial-resident4auto"): 1.0e7,  # r4: 1.42e7 measured
+    # settled-state flagship (repair-policy regime; checkpoint from
+    # bench/make_settled_state.py): r4 84.3 ms/step with 7 rebuilds +
+    # ~19 repairs per 25 blocks vs 103.9 strict
+    ("splash3d_1m@settled", "resident4auto"): 0.9e7,
     # emitters3d starts empty: ~68 particles active after 100 steps (first
     # emission only), so this tracks fixed per-step overhead, not pair math
     ("emitters3d", "pallas"): 1.0e4,
@@ -70,6 +76,7 @@ CONFIGS = [
     ("dam2d_10k", "grid"),
     ("dam2d_10k", "pallas"),
     ("dam2d_10k", "resident4"),
+    ("dam2d_10k", "resident4auto"),
     ("dam2d_10k", "auto8"),
     ("dam3d_100k", "grid"),
     ("dam3d_100k", "pallas"),
@@ -82,10 +89,12 @@ CONFIGS = [
     ("splash3d_1m", "pallas"),
     ("splash3d_1m", "resident4"),
     ("splash3d_1m", "resident4auto"),
+    ("splash3d_1m@settled", "resident4auto"),
     ("splash3d_1m", "auto8"),
     ("splash3d_1m", "spatial-resident4"),
     ("splash3d_1m", "spatial-resident4auto"),
     ("emitters3d", "pallas"),
+    ("emitters3d@settled", "resident4auto"),
 ]
 
 
@@ -209,16 +218,39 @@ def bench_one(name, method, steps, repeats=3):
         )
     if method == "auto8":
         return bench_auto8(name, steps, repeats)
-    scene = preset(name)
-    state = init(scene)
+    state = None
+    if name.endswith("@settled"):
+        # settled/filled-state rows (VERDICT r4): local checkpoints from
+        # bench/make_settled_state.py; the row raises (→ UNAVAILABLE)
+        # when absent rather than faking a number
+        import importlib.util
+
+        mpath = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                              "make_settled_state.py")
+        mspec = importlib.util.spec_from_file_location("mss", mpath)
+        mss = importlib.util.module_from_spec(mspec)
+        mspec.loader.exec_module(mss)
+        from sph_tpu import diagnostics
+
+        state, scene = diagnostics.load_checkpoint(
+            mss.settled_path(name[: -len("@settled")])
+        )
+    else:
+        scene = preset(name)
+        state = init(scene)
     kw = {}
     base = method
     if method.startswith("resident"):
         tail = method[len("resident"):]
         base = "pallas"
         if tail.endswith("auto"):
+            from sph_tpu.step import default_repair_k
+
+            # bench the SHIPPED policy (repair_k resolved exactly as
+            # make_audited_advance does)
             kw = dict(sort_every=int(tail[:-4]), slot_resident=True,
-                      auto_rebuild=True)
+                      auto_rebuild=True,
+                      repair_k=default_repair_k(scene, auto=True))
         else:
             kw = dict(sort_every=int(tail), slot_resident=True)
     if base == "pallas":
