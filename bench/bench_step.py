@@ -124,19 +124,23 @@ def bench_spatial(name, k, steps, repeats=3, auto=False):
 
     def one(st):
         out = adv(st)
-        st, worst = out[0], out[1]
-        if int(worst):
-            raise RuntimeError(f"{int(worst)} spatial cap/skin violations")
-        return st
+        return out[0], out[1]   # worst fetched after timing (tunnel RTT)
 
-    loc = one(loc)
+    loc, worst0 = one(loc)
     checksum(loc)
+    if int(worst0):
+        raise RuntimeError(f"{int(worst0)} spatial cap/skin violations")
     best = float("inf")
+    worsts = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        loc = one(loc)
+        loc, worst = one(loc)
         checksum(loc)
         best = min(best, time.perf_counter() - t0)
+        worsts.append(worst)
+    for worst in worsts:
+        if int(worst):
+            raise RuntimeError(f"{int(worst)} spatial cap/skin violations")
     merged = decomp.spatial_gather_state(loc)
     n = int(jnp.sum(merged.emit_step <= merged.step))
     return n * steps / best, best / steps, n
@@ -267,22 +271,28 @@ def bench_one(name, method, steps, repeats=3):
     adv = make_advance(scene, base, steps_per_dispatch=steps, **kw)
 
     def one(st):
+        # violation scalars stay on device; fetched AFTER timing (each
+        # int() is a ~20 ms tunnel round-trip — see bench.py bench_config)
         if kw:
             out = adv(st)
-            st, viol = out[0], out[1]
-            if int(viol):
-                raise RuntimeError(f"{int(viol)} skin/cap violations")
-            return st
-        return adv(st)
+            return out[0], out[1]
+        return adv(st), None
 
-    state = one(state)        # compile + warm
+    state, viol0 = one(state)        # compile + warm
     checksum(state)
+    if viol0 is not None and int(viol0):
+        raise RuntimeError(f"{int(viol0)} skin/cap violations")
     best = float("inf")
+    viols = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        state = one(state)
+        state, viol = one(state)
         checksum(state)
         best = min(best, time.perf_counter() - t0)
+        viols.append(viol)
+    for viol in viols:
+        if viol is not None and int(viol):
+            raise RuntimeError(f"{int(viol)} skin/cap violations")
     n = int(state.n_active())
     return n * steps / best, best / steps, n
 

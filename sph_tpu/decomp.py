@@ -2877,20 +2877,24 @@ def make_audited_spatial_advance(
 
     def audited(loc: State) -> State:
         # (state, worst[, rebuilds, healed[, repairs]]) — auto adds the
-        # counters; repair_k the trailing one
+        # counters; repair_k the trailing one.  ONE batched device_get
+        # for all scalars (each separate int() is a ~20 ms host
+        # round-trip through the compile tunnel — step.py _unpack note)
         res = adv(loc)
-        out, worst = res[0], res[1]
-        if len(res) > 4:
-            audited.repaired += int(res[4])
-        if len(res) > 3 and int(res[3]):
-            audited.healed += int(res[3])
+        out = res[0]
+        vals = [int(v) for v in jax.device_get(res[1:])]
+        worst = vals[0]
+        if len(vals) > 3:
+            audited.repaired += vals[3]
+        if len(vals) > 2 and vals[2]:
+            audited.healed += vals[2]
             print(
                 f"sph_tpu: skin/cap violations at step {int(loc.step)} — "
-                f"{int(res[3])} block(s) re-ran exactly on the per-step "
+                f"{vals[2]} block(s) re-ran exactly on the per-step "
                 f"spatial path (in-dispatch, mesh-uniform)",
                 file=sys.stderr,
             )
-        if int(worst) == 0:
+        if worst == 0:
             return out
         if sort_every > 1:
             if not exact:

@@ -1442,11 +1442,16 @@ def make_audited_advance(
 
     def _unpack(out):
         # (state, viol) | (state, viol, healed) | (+ rebuilds[, repairs])
-        # — the heal and auto-rebuild advances report extra counters
-        healed = int(out[2]) if len(out) > 2 else 0
-        if len(out) > 4:
-            audited.repaired += int(out[4])
-        return out[0], int(out[1]), healed
+        # — the heal and auto-rebuild advances report extra counters.
+        # ONE batched device_get for all scalars: each separate int()
+        # fetch is a full host round-trip through the compile tunnel
+        # (~20 ms measured round 4 — 3 fetches cost +60% on a 100 ms
+        # dam2d dispatch; bench/probe_order raw-repeat data)
+        vals = [int(v) for v in jax.device_get(out[1:])]
+        healed = vals[1] if len(vals) > 1 else 0
+        if len(vals) > 3:
+            audited.repaired += vals[3]
+        return out[0], vals[0], healed
     if adaptive_cap and slot_resident and grid is None:
         from sph_tpu import neighbors
 
