@@ -67,6 +67,10 @@ FLOORS = {
     # emitters3d starts empty: ~68 particles active after 100 steps (first
     # emission only), so this tracks fixed per-step overhead, not pair math
     ("emitters3d", "pallas"): 1.0e4,
+    # filled-state row (n≈20k, bench/make_settled_state.py): r4 14.9
+    # ms/step after the emitter-scene skin widening (probe_r4e: ×3 skin
+    # cuts 16 rebuilds + 2 heals /25 blocks to 2 rebuilds, 1.52×)
+    ("emitters3d@settled", "resident4auto"): 9.5e5,
 }
 
 CONFIGS = [

@@ -177,8 +177,33 @@ def default_skin(scene: Scene, sort_every: int) -> float:
     """Default Verlet-skin width for `sort_every`-step addr reuse: covers a
     particle moving at the EOS sound speed for the whole reuse window
     (WCSPH sizes c₀ ≥ ~10× the expected flow speed, so this is a
-    conservative bound; the advance loop still counts actual violations)."""
-    return 2.0 * sort_every * scene.params.dt * scene.params.sound_speed
+    conservative bound; the advance loop still counts actual violations).
+
+    EMITTER scenes get a wider skin (×3/×2 where h still dominates the
+    cell): jets keep the flow PERMANENTLY near the drift budget — fresh
+    near-sonic particles arrive forever, unlike a splash's transient
+    impact — so the base skin rebuilds ~every other block and heals the
+    >c₀ spikes.  Measured (bench/probe_r4e.py, settled emitters3d at
+    n=20k, h=16): base skin 22.7 ms/step (16 rebuilds + 2 heals /25
+    blocks) → ×2 18.2 (6 rebuilds, 0 heals) → ×3 14.9 (2 rebuilds,
+    0 heals, 1.53×).  The h/2 bound keeps the widened cell within ~30%
+    of h-dominated (cell growth is what made narrow skins win on the
+    skin-dominated 1M lattice — probe_r3f); exactness is audit-guaranteed
+    at any skin."""
+    base = 2.0 * sort_every * scene.params.dt * scene.params.sound_speed
+    if scene.emitters:
+        h = scene.params.h
+        spacing = scene.spacing or h * 0.55
+        for mult in (3.0, 2.0):
+            skin = mult * base
+            # widened cells must stay h-dominated AND keep rest-lattice
+            # occupancy within the standard cap-16 slot grid (80%
+            # headroom for impact compression; overflow would only heal,
+            # but healing is the cost this multiplier removes)
+            occ = ((h + skin) / spacing) ** scene.params.dim
+            if skin <= 0.5 * h and occ <= 12.8:
+                return skin
+    return base
 
 
 # --- Membership-relaxed Verlet audit -------------------------------------
