@@ -57,7 +57,25 @@ def main():
     name = sys.argv[1] if len(sys.argv) > 1 else "dam2d_10k"
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     sort_every = int(sys.argv[3]) if len(sys.argv) > 3 else 1
-    scene = preset(name)
+    state = None
+    if name.endswith("@settled"):
+        # settled/filled checkpoints (bench/make_settled_state.py) — the
+        # regimes the from-init breakdown can't see (round 4: the
+        # emitters3d sparse-scene cost question)
+        import importlib.util
+
+        mpath = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                              "make_settled_state.py")
+        mspec = importlib.util.spec_from_file_location("mss", mpath)
+        mss = importlib.util.module_from_spec(mspec)
+        mspec.loader.exec_module(mss)
+        from sph_tpu import diagnostics
+
+        state, scene = diagnostics.load_checkpoint(
+            mss.settled_path(name[: -len("@settled")])
+        )
+    else:
+        scene = preset(name)
     if sort_every > 1:
         base = neighbors.GridSpec.for_scene(scene)
         grid = neighbors.GridSpec.for_scene(
@@ -66,7 +84,8 @@ def main():
     else:
         grid = neighbors.GridSpec.for_scene(scene)
     sg = pallas_step.slot_grid(grid)
-    state = init(scene)
+    if state is None:
+        state = init(scene)
     x, v, act = state.x, state.v, state.active
     params = scene.params
     n = state.capacity
