@@ -43,8 +43,9 @@ FLOORS = {
     ("tutorial2d", "naive"): 2.0e6,           # r4: 3.67e6 measured
     ("dam2d_10k", "grid"): 6.0e5,
     ("dam2d_10k", "pallas"): 2.8e6,           # r4: 4.07e6 measured
-    ("dam2d_10k", "resident4"): 4.4e6,        # r4: 6.57e6 measured
-    ("dam2d_10k", "auto8"): 5.5e6,  # r4: 7.84e6 (occupancy-fit narrow skin)
+    ("dam2d_10k", "resident4"): 4.4e6,        # r4: 7.90e6 (post fetch-fix)
+    ("dam2d_10k", "resident4auto"): 6.8e6,    # r4: 9.85e6 measured
+    ("dam2d_10k", "auto8"): 5.5e6,            # r4: 9.71e6 (post fetch-fix)
     ("dam3d_100k", "grid"): 1.8e5,
     ("dam3d_100k", "pallas"): 3.4e6,          # r4: 4.92e6 measured
     ("dam3d_100k", "resident4"): 5.2e6,       # r4: 7.47e6 measured
