@@ -110,6 +110,18 @@ class SlotGrid:
     #                          GridSpec.xsub); candidate margin = xsub slots
     #                          = exactly one full cell, same support/skin
     #                          guarantee as xsub=1
+    batch_skip: bool = False  # per-xb-batch i-occupancy skip (round 4):
+    #                          lax.cond the batch's pair math on "any real
+    #                          i-particle in these xb·cap lanes" (background
+    #                          slots sit at 1e18).  BITWISE-identical: an
+    #                          all-background batch computes exact zeros
+    #                          anyway (q = max(h² − 1e36, 0) ≡ 0).  Pays on
+    #                          FRAGMENTED rows (emitter jets: 0.76 µs per
+    #                          particle vs the splash's 0.068 — see ROADMAP
+    #                          round-5 queue 1); measured a wash on dense
+    #                          dams in round 2, so it is enabled per scene
+    #                          (emitter scenes, fp32 only — bf16 features
+    #                          are cell-relative so the 1e18 test fails).
     row_pair: bool = False   # 2 compacted rows per kernel program (ROADMAP
     #                          round-3 queue 1): halves the program count +
     #                          per-program preamble; strip DMA volume is
@@ -160,6 +172,7 @@ def slot_grid(
     c_rows: int | None = None,
     xb_cells: int = 4,
     row_pair: bool = False,
+    batch_skip: bool = False,
 ) -> SlotGrid:
     if grid.cap % grid.xsub != 0:
         raise ValueError(
@@ -186,6 +199,7 @@ def slot_grid(
         xb_cells=xb_cells,
         cell=grid.cell,
         xsub=grid.xsub,
+        batch_skip=batch_skip,
         row_pair=row_pair,
     )
 
@@ -694,22 +708,39 @@ def _density_kernel(n_ref, nbr_ref, gcount_ref, *refs, sg, params):
                 xb = sg.xb
                 rhos = []
                 for k in range(0, sg.xc, xb):
-                    cand = _cand_block(wins, k, cap, xb, sg.xsub)
-                    if bf16:
-                        cand = cand.astype(jnp.float32) + jnp.asarray(
-                            joff_c[k]
+                    def rho_batch(k=k):
+                        cand = _cand_block(wins, k, cap, xb, sg.xsub)
+                        if bf16:
+                            cand = cand.astype(jnp.float32) + jnp.asarray(
+                                joff_c[k]
+                            )
+                        r2 = None
+                        # 2D: skip the z column — zero for every real
+                        # particle, and the far x-column already
+                        # annihilates dummy pairs
+                        for c in range(d_dim):
+                            xi = it[k * cap : (k + xb) * cap, c : c + 1]
+                            d = xi - cand[c : c + 1, :]
+                            r2 = d * d if r2 is None else r2 + d * d
+                        q = jnp.maximum(h2k - r2, 0.0)
+                        return (params.mass * c_p) * jnp.sum(
+                            q * q * q, axis=1, keepdims=True
+                        )  # [xb·cap, 1]
+
+                    if sg.batch_skip:
+                        # i-empty batches (background x = 1e18) compute
+                        # exact zeros — skip their pair math (bitwise)
+                        occ_b = jnp.min(
+                            it[k * cap : (k + xb) * cap, 0]
+                        ) < 1e17
+                        rho = jax.lax.cond(
+                            occ_b, rho_batch,
+                            lambda: jnp.zeros(
+                                (xb * cap, 1), jnp.float32
+                            ),
                         )
-                    r2 = None
-                    # 2D: skip the z column — zero for every real particle,
-                    # and the far x-column already annihilates dummy pairs
-                    for c in range(d_dim):
-                        xi = it[k * cap : (k + xb) * cap, c : c + 1]
-                        d = xi - cand[c : c + 1, :]
-                        r2 = d * d if r2 is None else r2 + d * d
-                    q = jnp.maximum(h2k - r2, 0.0)
-                    rho = (params.mass * c_p) * jnp.sum(
-                        q * q * q, axis=1, keepdims=True
-                    )  # [xb·cap, 1]
+                    else:
+                        rho = rho_batch()
                     rhos.append(rho)
                 # lane-dim stores must be 128-aligned: assemble the whole
                 # group's [2, LANE] (rho, EOS p) block, store once at g·LANE
@@ -770,54 +801,73 @@ def _force_kernel(n_ref, nbr_ref, gcount_ref, *refs, sg, params):
                 xb = sg.xb
                 f_rows = []
                 for k in range(0, sg.xc, xb):
-                    cand = _cand_block(wins, k, cap, xb, sg.xsub)
-                    if bf16:
-                        cand = cand.astype(jnp.float32) + jnp.asarray(
-                            joff_c[k]
+                    def f_batch(k=k):
+                        cand = _cand_block(wins, k, cap, xb, sg.xsub)
+                        if bf16:
+                            cand = cand.astype(jnp.float32) + jnp.asarray(
+                                joff_c[k]
+                            )
+                        cand_rp = _cand_block(rp_wins, k, cap, xb, sg.xsub)
+
+                        def self_col(c, k=k, it=it):
+                            return it[k * cap : (k + xb) * cap, c : c + 1]
+
+                        def cand_col(c, cand=cand):
+                            return cand[c : c + 1, :]
+
+                        dx = []
+                        r2 = None
+                        for c in range(d_dim):
+                            dc = self_col(c) - cand_col(c)
+                            dx.append(dc)
+                            r2 = dc * dc if r2 is None else r2 + dc * dc
+                        # one rsqrt replaces sqrt + divide (multi-cycle VPU
+                        # ops); same form as kernels.pair_scales → pallas ==
+                        # grid bitwise
+                        inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-24))
+                        t = jnp.maximum(hk - r2 * inv_r, 0.0)
+                        s = c_s * t * t * inv_r * (r2 > 1e-24)
+                        inv_rho_j = 1.0 / jnp.maximum(
+                            cand_rp[0:1, :], 1e-12
                         )
-                    cand_rp = _cand_block(rp_wins, k, cap, xb, sg.xsub)
-
-                    def self_col(c, k=k, it=it):
-                        return it[k * cap : (k + xb) * cap, c : c + 1]
-
-                    def cand_col(c, cand=cand):
-                        return cand[c : c + 1, :]
-
-                    dx = []
-                    r2 = None
-                    for c in range(d_dim):
-                        dc = self_col(c) - cand_col(c)
-                        dx.append(dc)
-                        r2 = dc * dc if r2 is None else r2 + dc * dc
-                    # one rsqrt replaces sqrt + divide (multi-cycle VPU
-                    # ops); same form as kernels.pair_scales → pallas ==
-                    # grid bitwise
-                    inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-24))
-                    t = jnp.maximum(hk - r2 * inv_r, 0.0)
-                    s = c_s * t * t * inv_r * (r2 > 1e-24)
-                    inv_rho_j = 1.0 / jnp.maximum(cand_rp[0:1, :], 1e-12)
-                    p_i = pT[k * cap : (k + xb) * cap, 0:1]
-                    coef_p = (
-                        (params.mass * 0.5)
-                        * (p_i + cand_rp[1:2, :])
-                        * inv_rho_j
-                        * s
-                    )
-                    coef_v = (
-                        (params.viscosity * params.mass)
-                        * inv_rho_j
-                        * (c_v * t)
-                    )
-                    fc = [
-                        jnp.sum(
-                            coef_p * dx[c]
-                            + coef_v * (cand_col(3 + c) - self_col(3 + c)),
-                            axis=1,
-                            keepdims=True,
+                        p_i = pT[k * cap : (k + xb) * cap, 0:1]
+                        coef_p = (
+                            (params.mass * 0.5)
+                            * (p_i + cand_rp[1:2, :])
+                            * inv_rho_j
+                            * s
                         )
-                        for c in range(d_dim)
-                    ]  # d × [xb·cap, 1]
-                    f_rows.append(jnp.concatenate(fc, axis=1))  # [xb·cap, d]
+                        coef_v = (
+                            (params.viscosity * params.mass)
+                            * inv_rho_j
+                            * (c_v * t)
+                        )
+                        fc = [
+                            jnp.sum(
+                                coef_p * dx[c]
+                                + coef_v
+                                * (cand_col(3 + c) - self_col(3 + c)),
+                                axis=1,
+                                keepdims=True,
+                            )
+                            for c in range(d_dim)
+                        ]  # d × [xb·cap, 1]
+                        return jnp.concatenate(fc, axis=1)  # [xb·cap, d]
+
+                    if sg.batch_skip:
+                        # same bitwise i-empty skip as the density kernel
+                        occ_b = jnp.min(
+                            it[k * cap : (k + xb) * cap, 0]
+                        ) < 1e17
+                        fb = jax.lax.cond(
+                            occ_b, f_batch,
+                            lambda: jnp.zeros(
+                                (xb * cap, d_dim), jnp.float32
+                            ),
+                        )
+                    else:
+                        fb = f_batch()
+                    f_rows.append(fb)
                 # one aligned lane-major store per group (like the rp store)
                 f_g = jnp.concatenate(f_rows, axis=0)     # [LANE, d]
                 out_ref[which, 0:d_dim, pl.ds(start_l, LANE)] = (

@@ -1283,8 +1283,17 @@ def make_advance(
             grid = neighbors.GridSpec.for_scene(
                 scene, cap=base.cap, skin=skin, xsub=xsub
             )
+        # per-xb-batch i-occupancy skip for emitter scenes: jet droplets
+        # fragment the compacted rows, so near-empty 64-lane groups pay
+        # full window math (ROADMAP round-5 queue 1 diagnosis); bitwise-
+        # identical (empty batches compute exact zeros), wash on dense
+        # dams (round-2 measurement), so gated to emitter scenes.  bf16
+        # features are cell-relative — the 1e18 background test fails.
+        batch_skip = (bool(scene.emitters)
+                      and scene.params.precision != "bf16")
         sg = pallas_step.slot_grid(grid, xb_cells=xb_cells,
-                                   row_pair=row_pair)
+                                   row_pair=row_pair,
+                                   batch_skip=batch_skip)
         blocks, rem = divmod(steps_per_dispatch, sort_every)
         if rem:
             raise ValueError(

@@ -1027,3 +1027,34 @@ def test_repair_default_capacity_gate():
     assert default_repair_k(preset("dam3d_100k"), auto=True) \
         == DEFAULT_REPAIR_K
     assert default_repair_k(preset("splash3d_1m"), auto=False) == 0
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_batch_skip_bitwise(dim):
+    """batch_skip (per-xb-batch i-occupancy skip, round 4): BITWISE the
+    plain kernels — an i-empty batch's pair math yields exact zeros
+    (q = max(h² − 1e36, 0) ≡ 0), so skipping it changes nothing.  Uses a
+    sparse scene (small block in a big domain → fragmented rows, real
+    skipped batches)."""
+    import dataclasses
+
+    from sph_tpu import pallas_step
+    from sph_tpu.neighbors import GridSpec
+
+    scene = small_scene(dim=dim, seed=101)
+    big = tuple(h * 3 for h in scene.hi)
+    scene = dataclasses.replace(scene, hi=big)
+    state = init(scene)
+    grid = GridSpec.for_scene(scene)
+    outs = []
+    for skip in (False, True):
+        sg = pallas_step.slot_grid(grid, batch_skip=skip)
+        addr = pallas_step.build_addr(state.x, state.active, grid, sg)
+        feat = pallas_step.scatter_slots(
+            addr, pallas_step._pack_rows6(state.x, state.v), sg
+        )
+        rp = pallas_step._call_density(feat, addr, sg, scene.params)
+        f = pallas_step._call_force(feat, rp, addr, sg, scene.params)
+        outs.append((np.asarray(rp), np.asarray(f)))
+    assert np.array_equal(outs[0][0], outs[1][0])
+    assert np.array_equal(outs[0][1], outs[1][1])
