@@ -468,6 +468,7 @@ def main():
             ),
         )
         by_index = {}
+        failed = []
         for i in order:
             name, method, steps, k_i, res_i = ladder[i]
             try:
@@ -477,17 +478,43 @@ def main():
                     xsub=args.xsub if method == "pallas" else 1,
                 )
             except Exception as e:  # noqa: BLE001
-                # a dropped row must stay driver-visible (VERDICT r3 weak
-                # 6: r3's emitters3d/naive OOM vanished into stderr) —
-                # recorded in the ladder doc and counted in the last line
-                skipped.append({
-                    "config": name, "method": method,
-                    "error": f"{type(e).__name__}: {e}"[:300],
-                })
+                failed.append((i, f"{type(e).__name__}: {e}"))
                 print(
                     f"# {name}/{method} unavailable: {type(e).__name__}: {e}",
                     file=sys.stderr,
                 )
+        if failed:
+            # one retry after a pause: a device context torn down by a
+            # previous process (or a transient compile-tunnel hiccup)
+            # fails EVERY call for ~30 s and then heals (observed round
+            # 4: a whole ladder lost to FAILED_PRECONDITION right after
+            # bench_step exited) — without this the official record can
+            # lose its flagship to a transient
+            time.sleep(30)
+            for i, first_err in failed:
+                name, method, steps, k_i, res_i = ladder[i]
+                try:
+                    by_index[i] = measure(
+                        name, method, steps, sort_every=k_i,
+                        slot_resident=res_i,
+                        xsub=args.xsub if method == "pallas" else 1,
+                    )
+                    print(f"# {name}/{method} recovered on retry",
+                          file=sys.stderr)
+                except Exception as e:  # noqa: BLE001
+                    # a dropped row must stay driver-visible (VERDICT r3
+                    # weak 6) — recorded in the ladder doc and counted
+                    # in the last line
+                    skipped.append({
+                        "config": name, "method": method,
+                        "error": f"{type(e).__name__}: {e}"[:300],
+                        "first_error": first_err[:300],
+                    })
+                    print(
+                        f"# {name}/{method} unavailable after retry: "
+                        f"{type(e).__name__}: {e}",
+                        file=sys.stderr,
+                    )
         results = [by_index[i] for i in range(len(ladder)) if i in by_index]
 
     if not results:
