@@ -549,13 +549,17 @@ def main():
         # (BENCH_r03.json `parsed: null`), so the LAST line must stay small.
         import os as _os
 
-        ladder_path = _os.path.join(
-            _os.path.dirname(_os.path.abspath(__file__)), "bench_ladder.json"
-        )
         ladder_doc = {"flagship": flag["config"], "ladder": results,
                       "skipped": skipped}
-        with open(ladder_path, "w") as f:
-            json.dump(ladder_doc, f, indent=1)
+        if args.config == "auto":
+            # full-ladder runs only: a --config smoke must not clobber
+            # the repo's committed full record
+            ladder_path = _os.path.join(
+                _os.path.dirname(_os.path.abspath(__file__)),
+                "bench_ladder.json",
+            )
+            with open(ladder_path, "w") as f:
+                json.dump(ladder_doc, f, indent=1)
         print(json.dumps(ladder_doc))
         compact = {
             "metric": (
