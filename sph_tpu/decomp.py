@@ -775,7 +775,11 @@ def _make_spatial_reuse_local(
     grid = neighbors.GridSpec.for_slab(
         scene, spec.slab_w, ax, cap=base.cap, skin=skin
     )
-    sg = pallas_step.slot_grid(grid)
+    sg = pallas_step.slot_grid(
+        grid,
+        batch_skip=(bool(scene.emitters)
+                    and scene.params.precision != "bf16"),
+    )
 
     right = [(i, (i + 1) % n_sh) for i in range(n_sh)]
     left = [(i, (i - 1) % n_sh) for i in range(n_sh)]
@@ -1426,7 +1430,11 @@ def _make_spatial_resident_auto(
     grid = neighbors.GridSpec.for_slab(
         scene, spec.slab_w, ax, cap=base.cap, skin=skin
     )
-    sg = pallas_step.slot_grid(grid)
+    sg = pallas_step.slot_grid(
+        grid,
+        batch_skip=(bool(scene.emitters)
+                    and scene.params.precision != "bf16"),
+    )
     sp = _SlotPhysics(scene, grid, sg)
     lanes = sg.lanes
     g_cap = spec.cap_ghost

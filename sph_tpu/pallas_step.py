@@ -1025,15 +1025,18 @@ def pallas_rho_p_f(
     xb_cells: int = 4,
     addr: SlotAddr | None = None,
     row_pair: bool = False,
+    batch_skip: bool = False,
 ):
     """Drop-in replacement for neighbors.grid_rho_p_f, Pallas-fused.
 
     `addr` (a SlotAddr from build_addr) reuses a neighbor structure built
     at an earlier step — valid while every particle has moved < skin/2
     since it was built (GridSpec.for_scene skin; step.make_advance
-    sort_every)."""
+    sort_every).  A reused addr composes with any batch_skip setting:
+    the flag changes kernel scheduling only, never the addressing."""
     n, d = x.shape
-    sg = slot_grid(grid, c_rows, xb_cells, row_pair=row_pair)
+    sg = slot_grid(grid, c_rows, xb_cells, row_pair=row_pair,
+                   batch_skip=batch_skip)
     if addr is None:
         addr = build_addr(x, active, grid, sg)
     rows = (

@@ -46,7 +46,9 @@ def _rho_p_f(
 
         with jax.named_scope("sph_pallas"):
             rho, p, f = pallas_step.pallas_rho_p_f(
-                x, v, active, params, grid, addr=addr, row_pair=row_pair
+                x, v, active, params, grid, addr=addr, row_pair=row_pair,
+                batch_skip=(bool(scene.emitters)
+                            and params.precision != "bf16"),
             )
     else:
         raise ValueError(f"unknown neighbor method {method!r}")
