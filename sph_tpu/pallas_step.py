@@ -113,9 +113,17 @@ class SlotGrid:
     batch_skip: bool = False  # per-xb-batch i-occupancy skip (round 4):
     #                          lax.cond the batch's pair math on "any real
     #                          i-particle in these xb·cap lanes" (background
-    #                          slots sit at 1e18).  BITWISE-identical: an
-    #                          all-background batch computes exact zeros
-    #                          anyway (q = max(h² − 1e36, 0) ≡ 0).  Pays on
+    #                          slots sit at 1e18).  Exactness contract: a
+    #                          skipped batch contains ONLY background lanes,
+    #                          which are never gathered back to particles
+    #                          (and whose rho/p the force kernel never uses:
+    #                          far pairs zero s/t) — so per-PARTICLE outputs
+    #                          are bitwise-identical, while the raw slot
+    #                          arrays may differ on those phantom lanes (two
+    #                          coincident 1e18 sentinels give d=0, q=h²>0 →
+    #                          the non-skip path writes garbage rho there;
+    #                          the skip writes 0).  Do NOT diff/checksum raw
+    #                          slot arrays across this knob.  Pays on
     #                          FRAGMENTED rows (emitter jets: 0.76 µs per
     #                          particle vs the splash's 0.068 — see ROADMAP
     #                          round-5 queue 1); measured a wash on dense
@@ -728,8 +736,11 @@ def _density_kernel(n_ref, nbr_ref, gcount_ref, *refs, sg, params):
                         )  # [xb·cap, 1]
 
                     if sg.batch_skip:
-                        # i-empty batches (background x = 1e18) compute
-                        # exact zeros — skip their pair math (bitwise)
+                        # skip i-empty batches: only never-gathered
+                        # background lanes live there, so the 0 written
+                        # here (vs the phantom rho coincident 1e18
+                        # sentinels would compute) is invisible per
+                        # particle — see SlotGrid.batch_skip
                         occ_b = jnp.min(
                             it[k * cap : (k + xb) * cap, 0]
                         ) < 1e17
@@ -855,7 +866,8 @@ def _force_kernel(n_ref, nbr_ref, gcount_ref, *refs, sg, params):
                         return jnp.concatenate(fc, axis=1)  # [xb·cap, d]
 
                     if sg.batch_skip:
-                        # same bitwise i-empty skip as the density kernel
+                        # same i-empty skip as the density kernel (exact
+                        # per particle; phantom-lane values may differ)
                         occ_b = jnp.min(
                             it[k * cap : (k + xb) * cap, 0]
                         ) < 1e17

@@ -1287,10 +1287,13 @@ def make_advance(
             )
         # per-xb-batch i-occupancy skip for emitter scenes: jet droplets
         # fragment the compacted rows, so near-empty 64-lane groups pay
-        # full window math (ROADMAP round-5 queue 1 diagnosis); bitwise-
-        # identical (empty batches compute exact zeros), wash on dense
-        # dams (round-2 measurement), so gated to emitter scenes.  bf16
-        # features are cell-relative — the 1e18 background test fails.
+        # full window math (ROADMAP round-5 queue 1 diagnosis).  Exact per
+        # PARTICLE: skipped batches hold only never-gathered background
+        # lanes (their rho/p never feed the force kernel either — far
+        # pairs zero s/t), though raw slot arrays may differ on phantom
+        # lanes (see SlotGrid.batch_skip).  Wash on dense dams (round-2
+        # measurement), so gated to emitter scenes.  bf16 features are
+        # cell-relative — the 1e18 background test fails.
         batch_skip = (bool(scene.emitters)
                       and scene.params.precision != "bf16")
         sg = pallas_step.slot_grid(grid, xb_cells=xb_cells,

@@ -1031,30 +1031,71 @@ def test_repair_default_capacity_gate():
 
 @pytest.mark.parametrize("dim", [2, 3])
 def test_batch_skip_bitwise(dim):
-    """batch_skip (per-xb-batch i-occupancy skip, round 4): BITWISE the
-    plain kernels — an i-empty batch's pair math yields exact zeros
-    (q = max(h² − 1e36, 0) ≡ 0), so skipping it changes nothing.  Uses a
-    sparse scene (small block in a big domain → fragmented rows, real
-    skipped batches)."""
-    import dataclasses
+    """batch_skip (per-xb-batch i-occupancy skip, round 4): per-PARTICLE
+    outputs are bitwise-identical to the plain kernels.  Raw slot arrays
+    are deliberately NOT compared — a skipped batch holds only
+    never-gathered background lanes, where the non-skip path computes a
+    nonzero phantom rho (coincident 1e18 sentinels: d=0, q=h²>0) while
+    the skip writes 0 (ADVICE r4: the old raw-slot-array comparison was
+    vacuous AND would fail on any scene that actually skips).
 
+    The scene is built so the skip condition provably occurs: two
+    clusters far apart along x SHARING their (z,)y rows — each cluster's
+    128-lane group contains real particles in one xb-batch and only
+    background in another — and the test counts those skippable batches
+    from the scattered features before comparing."""
     from sph_tpu import pallas_step
     from sph_tpu.neighbors import GridSpec
+    from sph_tpu.params import Scene, SimParams
 
-    scene = small_scene(dim=dim, seed=101)
-    big = tuple(h * 3 for h in scene.hi)
-    scene = dataclasses.replace(scene, hi=big)
-    state = init(scene)
-    grid = GridSpec.for_scene(scene)
+    params = SimParams(dim=dim, gravity=(0.0,) * dim, kernel_norm="proper")
+    h = params.h  # 16.0 → cell edge 16
+    lo = (0.0,) * dim
+    hi = (8 * h,) * (dim - 1) + (20 * h,)
+    scene = Scene(params=params, lo=lo, hi=hi)
+    grid = GridSpec.for_scene(scene, cap=16)  # production cap: xc=8, xb=4
+
+    # two x-clusters (2 cells each, 8 particles/cell — under cap) sharing
+    # the same y(/z) band, ~14 cells apart: each cluster's group has a
+    # fully-background sibling batch
+    rng = np.random.default_rng(101)
+    pts = []
+    for cell_x in (0, 1, 16, 17):
+        for _ in range(8):
+            p = rng.uniform(0.2 * h, 0.8 * h, size=dim)
+            p[-1] = cell_x * h + rng.uniform(0.2 * h, 0.8 * h)
+            pts.append(p)
+    x = jnp.asarray(np.array(pts, np.float32))
+    v = jnp.asarray(rng.uniform(-5, 5, x.shape).astype(np.float32))
+    active = jnp.ones((x.shape[0],), bool)
+
+    # prove the skip precondition fires: >= 1 all-background xb-batch
+    # inside an occupied group (the kernel's exact predicate, computed
+    # here from the scattered features + per-group occupancy)
+    sg = pallas_step.slot_grid(grid, batch_skip=True)
+    addr = pallas_step.build_addr(x, active, grid, sg)
+    feat = np.asarray(
+        pallas_step.scatter_slots(addr, pallas_step._pack_rows6(x, v), sg)
+    )
+    gcounts = np.asarray(addr.gcounts)[:, 0, :]        # [c_rows, n_groups]
+    featx = feat[:, 0, :]                              # [c_rows, lanes]
+    cap, xb = sg.cap, sg.xb
+    n_skippable = 0
+    for r in range(1, sg.c_rows):
+        for g in range(1, sg.n_groups - 1):
+            if gcounts[r, g] <= 0:
+                continue  # group-level skip catches these, not batch_skip
+            blk = featx[r, g * 128:(g + 1) * 128]
+            for k in range(0, sg.xc, xb):
+                if (blk[k * cap:(k + xb) * cap] >= 1e17).all():
+                    n_skippable += 1
+    assert n_skippable >= 1, "scene exercises no skippable batch"
+
     outs = []
     for skip in (False, True):
-        sg = pallas_step.slot_grid(grid, batch_skip=skip)
-        addr = pallas_step.build_addr(state.x, state.active, grid, sg)
-        feat = pallas_step.scatter_slots(
-            addr, pallas_step._pack_rows6(state.x, state.v), sg
+        rho, p, f = pallas_step.pallas_rho_p_f(
+            x, v, active, params, grid, batch_skip=skip
         )
-        rp = pallas_step._call_density(feat, addr, sg, scene.params)
-        f = pallas_step._call_force(feat, rp, addr, sg, scene.params)
-        outs.append((np.asarray(rp), np.asarray(f)))
-    assert np.array_equal(outs[0][0], outs[1][0])
-    assert np.array_equal(outs[0][1], outs[1][1])
+        outs.append((np.asarray(rho), np.asarray(p), np.asarray(f)))
+    for a, b in zip(outs[0], outs[1]):
+        assert np.array_equal(a, b)
