@@ -143,17 +143,25 @@ def bench_config(scene, method: str, steps: int, repeats: int = 3,
     if scene.params.integrator == "leapfrog" and int(state.step) == 0:
         state = jax.jit(lambda s: prime(scene, s, method=method))(state)
     repair_k = 0
+    packed = False
     if auto_rebuild:
-        # bench the SHIPPED production policy (repair_k resolves exactly as
-        # make_audited_advance does) — r3's ladder silently measured
-        # repair_k=0 and missed the settled-state repair win
-        from sph_tpu.step import default_repair_k
+        # bench the SHIPPED production policy (repair_k AND the packed-row
+        # mode resolve exactly as make_audited_advance does) — r3's ladder
+        # silently measured repair_k=0 and missed the settled-state repair
+        # win; round 5 adds the emitter-scene packed-row probe the same way
+        from sph_tpu.step import default_repair_k, packed_fits
 
-        repair_k = default_repair_k(scene, auto=True, xsub=xsub)
+        packed = (bool(scene.emitters) and xsub == 1
+                  and scene.params.precision != "bf16"
+                  and packed_fits(scene, state, sort_every))
+        repair_k = default_repair_k(scene, auto=True, xsub=xsub,
+                                    packed_rows=packed)
+        if counters is not None:
+            counters["packed"] = packed
     adv = make_advance(scene, method, steps_per_dispatch=steps,
                        sort_every=sort_every, slot_resident=slot_resident,
                        xsub=xsub, auto_rebuild=auto_rebuild,
-                       repair_k=repair_k)
+                       repair_k=repair_k, packed_rows=packed)
 
     def one(st):
         """One dispatch; returns (state, deferred-audit thunk).
@@ -357,6 +365,8 @@ def measure(name: str, method: str, steps: int, sort_every: int = 1,
         auto_rebuild=auto, counters=counters, state0=state0,
     )
     method_label = method
+    if counters.get("packed"):
+        method_label += "+packed"  # the shipped emitter-scene sparse mode
     if sort_every > 1 and not auto:
         method_label += (
             f"+resident{sort_every}" if slot_resident

@@ -22,7 +22,11 @@ Run AFTER any other TPU process has been gone ~30 s (CLAUDE.md).
 """
 
 import dataclasses
+import os as _os
+import sys as _sys
 import time
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 from sph_tpu.platform import ensure_backend
 

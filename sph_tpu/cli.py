@@ -261,6 +261,12 @@ def _decomp_setup(args, scene, spf, dims):
     return build, mesh_desc, n_total
 
 
+def _packed_rows_arg(args):
+    """--packed-rows {auto,on,off} → None/True/False (step.run semantics)."""
+    val = getattr(args, "packed_rows", "auto")
+    return {"auto": None, "on": True, "off": False}[val]
+
+
 def _run_spatial(args, scene, state, spf, inner, dims) -> int:
     """`sph-tpu run --shards N` (slabs) or `--shards N1xN2` (pencils):
     domain decomposition across the device mesh (SURVEY.md C16/§5.7),
@@ -558,6 +564,7 @@ def cmd_run(args) -> int:
                 adaptive_cap=getattr(args, "adaptive_cap", False),
                 membership_audit=not getattr(args, "strict_audit", False),
                 repair_k=getattr(args, "repair_k", None),
+                packed_rows=_packed_rows_arg(args),
             )
 
     # interactor scene edits rebuild via the SAME factory, so the debug
@@ -712,7 +719,8 @@ def cmd_record(args) -> int:
                                                     False),
                                membership_audit=not getattr(
                                    args, "strict_audit", False),
-                               repair_k=getattr(args, "repair_k", None))
+                               repair_k=getattr(args, "repair_k", None),
+                               packed_rows=_packed_rows_arg(args))
     render_fn = jax.jit(
         lambda s: render.render_splat(
             s, scene, args.width, args.height, args.mode,
@@ -778,6 +786,13 @@ def main(argv=None) -> int:
                            "rebuild (default: auto — 2048 where "
                            "supported, measured 1.23x at the settled 1M "
                            "splash; 0 = off; see step.py repair_k)")
+    runp.add_argument("--packed-rows", choices=("auto", "on", "off"),
+                      default="auto",
+                      help="packed-row sparse-scene kernels (resident "
+                           "fast path): auto = probe the state and use "
+                           "them for sparse emitter scenes (measured "
+                           "3.05x kernels at the settled emitters3d), "
+                           "on/off = pin")
     runp.add_argument("--strict-audit", action="store_true",
                       help="disable the membership-relaxed Verlet audit "
                            "(A/B knob: drift-only audits + velocity-"
@@ -833,6 +848,13 @@ def main(argv=None) -> int:
                            "activations freeze until the next rebuild)")
     recp.add_argument("--adaptive-cap", action="store_true",
                       help="see run --adaptive-cap")
+    recp.add_argument("--packed-rows", choices=("auto", "on", "off"),
+                      default="auto",
+                      help="packed-row sparse-scene kernels (resident "
+                           "fast path): auto = probe the state and use "
+                           "them for sparse emitter scenes (measured "
+                           "3.05x kernels at the settled emitters3d), "
+                           "on/off = pin")
     recp.add_argument("--repair-k", type=int, default=None,
                       help="see run --repair-k")
     recp.add_argument("--strict-audit", action="store_true",

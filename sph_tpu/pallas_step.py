@@ -136,6 +136,22 @@ class SlotGrid:
     #                          unchanged (compacted rows are not spatially
     #                          adjacent, so the two rows' strip sets don't
     #                          merge).  c_rows is padded even.
+    packed: bool = False     # PACKED-ROW layout (round 5, the sparse-scene
+    #                          mode): each compacted row's particles occupy
+    #                          lanes 0..count-1 contiguously (pos = within-
+    #                          row rank) instead of per-cell cap slots, and
+    #                          the kernels pair each 128-lane i-group
+    #                          against the neighbor rows' occupied blocks
+    #                          (compact support annihilates far-x pairs
+    #                          branchlessly, so no x windowing is needed).
+    #                          Work scales with ceil(count/128) per row
+    #                          instead of occupied-x-span — measured-model
+    #                          0.34× the slot work at the settled emitters3d
+    #                          (mean cell occupancy 2.16) and 2.5× WORSE at
+    #                          the dense 1M splash: a scene-gated mode.
+    row_lanes: int = 0       # packed: static per-row particle capacity
+    #                          (multiple of 128); overflow is audited like
+    #                          the cell cap.
 
     @property
     def dim(self) -> int:
@@ -162,10 +178,14 @@ class SlotGrid:
 
     @property
     def n_groups(self) -> int:
+        if self.packed:
+            return self.row_lanes // LANE
         return self.h2 // self.xc
 
     @property
     def lanes(self) -> int:
+        if self.packed:
+            return self.row_lanes
         return self.h2 * self.cap
 
     @property
@@ -209,6 +229,35 @@ def slot_grid(
         xsub=grid.xsub,
         batch_skip=batch_skip,
         row_pair=row_pair,
+    )
+
+
+def packed_grid(
+    grid: GridSpec, row_lanes: int | None = None, c_rows: int | None = None
+) -> SlotGrid:
+    """Packed-row SlotGrid (see SlotGrid.packed) — the sparse-scene kernel
+    layout.  `row_lanes` is the static per-row particle capacity (rounded
+    up to 128); the default sizes it at half a full row of the slot cap
+    (generous for the sparse scenes the mode is for — emitters3d's settled
+    worst row holds 148 particles vs the preset's default of 384) and
+    overflow is audited exactly like the cell cap."""
+    if grid.xsub != 1:
+        raise ValueError("packed rows do not compose with xsub")
+    dim = len(grid.shape)
+    if row_lanes is None:
+        row_lanes = max(256, grid.cap * grid.shape[-1] // 2)
+    row_lanes = _round_up(row_lanes, LANE)
+    inner_rows = (grid.shape[0] + 2 if dim == 3 else 1) * (grid.shape[-2] + 2)
+    if c_rows is None:
+        c_rows = inner_rows if inner_rows <= 4096 else 4096
+    c_rows = min(c_rows, inner_rows) + 1  # +1: reserved dummy row 0
+    return SlotGrid(
+        inner=grid.shape,
+        cap=grid.cap,     # kept for GridSpec parity/audit surfaces only
+        c_rows=c_rows,
+        cell=grid.cell,
+        packed=True,
+        row_lanes=row_lanes,
     )
 
 
@@ -358,7 +407,21 @@ def build_addr(x, active, grid: GridSpec, sg: SlotGrid, ci_offset=None) -> SlotA
     in_cell = flat < grid.n_cells
     h0 = (ci[:, 0] + 1) if sg.dim == 3 else jnp.zeros((n,), jnp.int32)
     h1 = ci[:, -2] + 1
-    if sg.xsub == 1:
+    if sg.packed:
+        # packed-row layout: pos = within-(z,y)-row rank (stable), no cell
+        # slots; a row's particles fill lanes 0..count-1 contiguously so
+        # per-group occupancy is a prefix (the kernels skip whole empty
+        # 128-blocks via jblocks, see _density_kernel_packed)
+        code_p = h0 * sg.h1 + h1
+        n_codes_p = sg.h0 * sg.h1
+        rank, _ = cell_ranks(
+            jnp.where(in_cell, code_p, n_codes_p), n_codes_p + 1
+        )
+        valid = in_cell & (rank < sg.lanes)
+        pos = rank
+        gx = jnp.minimum(rank, sg.lanes - 1) // LANE
+        sx = ci[:, -1]  # unused for addressing; keeps `center` shared below
+    elif sg.xsub == 1:
         sx = ci[:, -1]
     else:
         # finer x binning: slot-cell index on the xsub-subdivided lattice,
@@ -370,13 +433,15 @@ def build_addr(x, active, grid: GridSpec, sg: SlotGrid, ci_offset=None) -> SlotA
             sxf = sxf - ci_offset[-1] * sg.xsub
         base_sx = ci[:, -1] * sg.xsub
         sx = jnp.clip(sxf, base_sx, base_sx + sg.xsub - 1)
-    hx = sx + sg.xc                            # one-group x halo
-    n_hrows = sg.h0 * sg.h1 * sg.h2
-    hrow = (h0 * sg.h1 + h1) * sg.h2 + hx
-    hrow = jnp.where(in_cell, hrow, n_hrows)
-    rank, _ = cell_ranks(hrow, n_hrows + 1)
-    valid = in_cell & (rank < sg.cap)
-    pos = hx * sg.cap + rank
+    if not sg.packed:
+        hx = sx + sg.xc                        # one-group x halo
+        n_hrows = sg.h0 * sg.h1 * sg.h2
+        hrow = (h0 * sg.h1 + h1) * sg.h2 + hx
+        hrow = jnp.where(in_cell, hrow, n_hrows)
+        rank, _ = cell_ranks(hrow, n_hrows + 1)
+        valid = in_cell & (rank < sg.cap)
+        pos = hx * sg.cap + rank
+        gx = hx // sg.xc
 
     code = h0 * sg.h1 + h1                     # (z, y) row code, interior
     n_codes = sg.h0 * sg.h1
@@ -410,7 +475,6 @@ def build_addr(x, active, grid: GridSpec, sg: SlotGrid, ci_offset=None) -> SlotA
         (valid & (row_pos == 0)).astype(jnp.int32)
     )
 
-    gx = hx // sg.xc
     gcounts = (
         jnp.zeros((sg.c_rows * sg.n_groups,), jnp.int32)
         .at[jnp.where(ok, row_pos * sg.n_groups + gx, 0)]
@@ -639,6 +703,10 @@ def _group_loop(sg: SlotGrid, count_fn, group_body):
 
         return 0
 
+    if sg.packed:
+        # packed rows have no x-halo groups; occupancy is a lane prefix
+        jax.lax.fori_loop(0, sg.n_groups, body, 0)
+        return
     # groups 0 and n_groups-1 are the empty x halo: skip them
     jax.lax.fori_loop(1, sg.n_groups - 1, body, 0)
 
@@ -889,6 +957,154 @@ def _force_kernel(n_ref, nbr_ref, gcount_ref, *refs, sg, params):
             _group_loop(sg, lambda g: gcount_ref[which, 0, g], group)
 
 
+def _packed_base(strips):
+    """Concat of every neighbor strip's FIRST 128-lane block: the packed
+    kernels' common-case candidate window (rows with ≤128 particles are one
+    block; dummy/unoccupied rows contribute 1e18 lanes that annihilate)."""
+    return jnp.concatenate(
+        [s[0, :, pl.ds(0, LANE)] for s in strips], axis=1
+    )
+
+
+def _density_kernel_packed(n_ref, nbr_ref, jb_ref, gcount_ref, *refs,
+                           sg, params):
+    """Packed-row density pass (SlotGrid.packed): each 128-lane i-group of
+    a compacted row pairs against the CONCATENATED first blocks of its
+    3^(D-1) neighbor rows in one vector op, plus one [128, 128] op per
+    occupied extra block (jb_ref = per-row occupied-block count, prefetched
+    to SMEM; extra blocks are rare in the sparse scenes this mode is for).
+    No x windowing: compact support annihilates far-x pairs branchlessly —
+    the same exactness argument as the slot kernels' union margins.  Same
+    arithmetic form as _density_kernel (shared rsqrt/EOS conventions)."""
+    n_r = len(sg.row_offsets)
+    strips, rp_ref = refs[:-1], refs[-1]
+    center_ref = strips[n_r // 2]
+    c_p, _, _ = kernel_constants(params.dim, params.h, params.kernel_norm)
+    h2k = params.h * params.h
+    d_dim = params.dim
+    rp_ref[...] = jnp.zeros_like(rp_ref)
+    row = pl.program_id(0)
+
+    @pl.when((row > 0) & (row <= n_ref[0]))
+    def _():
+        def group(g):
+            it = _self_block(center_ref, g)          # [128, FEAT]
+
+            def rho_of(cand):
+                r2 = None
+                for c in range(d_dim):
+                    d = it[:, c : c + 1] - cand[c : c + 1, :]
+                    r2 = d * d if r2 is None else r2 + d * d
+                q = jnp.maximum(h2k - r2, 0.0)
+                return (params.mass * c_p) * jnp.sum(
+                    q * q * q, axis=1, keepdims=True
+                )                                    # [128, 1]
+
+            rho = rho_of(_packed_base(strips))
+            for jg in range(1, sg.n_groups):
+                for s_idx in range(n_r):
+                    start = pl.multiple_of(jg * LANE, LANE)
+                    rho = rho + jax.lax.cond(
+                        jb_ref[nbr_ref[s_idx, row]] > jg,
+                        lambda s=strips[s_idx], start=start: rho_of(
+                            s[0, :, pl.ds(start, LANE)]
+                        ),
+                        lambda: jnp.zeros((LANE, 1), jnp.float32),
+                    )
+            rp = jnp.concatenate(
+                [rho, physics.eos_pressure(rho, params)], axis=1
+            )
+            rp_ref[
+                0, 0:2, pl.ds(pl.multiple_of(g * LANE, LANE), LANE)
+            ] = jnp.transpose(rp)
+
+        _group_loop(sg, lambda g: gcount_ref[0, 0, g], group)
+
+
+def _force_kernel_packed(n_ref, nbr_ref, jb_ref, gcount_ref, *refs,
+                         sg, params):
+    """Packed-row force pass — see _density_kernel_packed for the window
+    scheme and _force_kernel for the (identical) pair arithmetic."""
+    n_r = len(sg.row_offsets)
+    strips = refs[:n_r]
+    rp_strips = refs[n_r : 2 * n_r]
+    out_ref = refs[-1]
+    center_ref = strips[n_r // 2]
+    rp_center = rp_strips[n_r // 2]
+    _, c_s, c_v = kernel_constants(params.dim, params.h, params.kernel_norm)
+    hk = params.h
+    d_dim = params.dim
+    out_ref[...] = jnp.zeros_like(out_ref)
+    row = pl.program_id(0)
+
+    @pl.when((row > 0) & (row <= n_ref[0]))
+    def _():
+        def group(g):
+            it = _self_block(center_ref, g)          # [128, FEAT]
+            start_l = pl.multiple_of(g * LANE, LANE)
+            pT = jnp.transpose(
+                rp_center[0, 1:2, pl.ds(start_l, LANE)]
+            )                                        # [128, 1] self pressure
+
+            def f_of(cand, cand_rp):
+                dx = []
+                r2 = None
+                for c in range(d_dim):
+                    dc = it[:, c : c + 1] - cand[c : c + 1, :]
+                    dx.append(dc)
+                    r2 = dc * dc if r2 is None else r2 + dc * dc
+                inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-24))
+                t = jnp.maximum(hk - r2 * inv_r, 0.0)
+                s = c_s * t * t * inv_r * (r2 > 1e-24)
+                inv_rho_j = 1.0 / jnp.maximum(cand_rp[0:1, :], 1e-12)
+                coef_p = (
+                    (params.mass * 0.5)
+                    * (pT + cand_rp[1:2, :])
+                    * inv_rho_j
+                    * s
+                )
+                coef_v = (
+                    (params.viscosity * params.mass) * inv_rho_j * (c_v * t)
+                )
+                fc = [
+                    jnp.sum(
+                        coef_p * dx[c]
+                        + coef_v
+                        * (cand[3 + c : 4 + c, :] - it[:, 3 + c : 4 + c]),
+                        axis=1,
+                        keepdims=True,
+                    )
+                    for c in range(d_dim)
+                ]
+                return jnp.concatenate(fc, axis=1)   # [128, d]
+
+            f = f_of(_packed_base(strips), _packed_base(rp_strips))
+            for jg in range(1, sg.n_groups):
+                for s_idx in range(n_r):
+                    start = pl.multiple_of(jg * LANE, LANE)
+                    f = f + jax.lax.cond(
+                        jb_ref[nbr_ref[s_idx, row]] > jg,
+                        lambda s=strips[s_idx], r=rp_strips[s_idx],
+                        start=start: f_of(
+                            s[0, :, pl.ds(start, LANE)],
+                            r[0, :, pl.ds(start, LANE)],
+                        ),
+                        lambda: jnp.zeros((LANE, d_dim), jnp.float32),
+                    )
+            out_ref[0, 0:d_dim, pl.ds(start_l, LANE)] = jnp.transpose(f)
+
+        _group_loop(sg, lambda g: gcount_ref[0, 0, g], group)
+
+
+def _jblocks(addr: SlotAddr, sg: SlotGrid):
+    """[c_rows] i32 occupied-128-block count per compacted row (a prefix
+    count — packed lanes fill contiguously); prefetched to SMEM so the
+    packed kernels can skip empty extra blocks of neighbor rows."""
+    return jnp.sum(
+        (addr.gcounts[:, 0, :] > 0).astype(jnp.int32), axis=-1
+    )
+
+
 # ---------------------------------------------------------------------------
 # pallas_call wrappers
 # ---------------------------------------------------------------------------
@@ -935,8 +1151,69 @@ def _specs(sg: SlotGrid):
     return gcount_spec, strip_specs, rp_specs
 
 
+def _specs_packed(sg: SlotGrid):
+    """Packed-mode block specs: like _specs, with a third scalar-prefetch
+    operand (the _jblocks table) in every index-map signature."""
+
+    def gcount_map(i, n, nbrs, jb):
+        return i, 0, 0
+
+    gcount_spec = pl.BlockSpec(
+        (1, 1, sg.n_groups), gcount_map, memory_space=pltpu.SMEM
+    )
+
+    def strip_map_factory(s):
+        def strip_map(i, n, nbrs, jb):
+            return nbrs[s, i], 0, 0
+
+        return strip_map
+
+    strip_specs = [
+        pl.BlockSpec(
+            (1, FEAT, sg.lanes), strip_map_factory(s),
+            memory_space=pltpu.VMEM,
+        )
+        for s in range(len(sg.row_offsets))
+    ]
+    rp_specs = [
+        pl.BlockSpec(
+            (1, 2, sg.lanes), strip_map_factory(s),
+            memory_space=pltpu.VMEM,
+        )
+        for s in range(len(sg.row_offsets))
+    ]
+    return gcount_spec, strip_specs, rp_specs
+
+
 def _call_density(feat, addr: SlotAddr, sg, params):
     """→ rp_slot [c_rows, 2, lanes] lane-major (rho, EOS p)."""
+    if sg.packed:
+        gcount_spec, strip_specs, _ = _specs_packed(sg)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(sg.c_rows,),
+            in_specs=[gcount_spec] + strip_specs,
+            out_specs=pl.BlockSpec(
+                (1, 2, sg.lanes),
+                lambda i, n, nbrs, jb: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+        kern = functools.partial(_density_kernel_packed, sg=sg, params=params)
+        return pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (sg.c_rows, 2, sg.lanes), jnp.float32
+            ),
+            interpret=_interpret(),
+        )(
+            addr.n_occ,
+            addr.nbr_pos,
+            _jblocks(addr, sg),
+            addr.gcounts,
+            *([feat] * len(strip_specs)),
+        )
     nw = 2 if sg.row_pair else 1
     gcount_spec, strip_specs, _ = _specs(sg)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -965,6 +1242,34 @@ def _call_density(feat, addr: SlotAddr, sg, params):
 
 def _call_force(feat, rp, addr: SlotAddr, sg, params):
     """→ f_slot [c_rows, FOUT, lanes] lane-major."""
+    if sg.packed:
+        gcount_spec, strip_specs, rp_specs = _specs_packed(sg)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(sg.c_rows,),
+            in_specs=[gcount_spec] + strip_specs + rp_specs,
+            out_specs=pl.BlockSpec(
+                (1, FOUT, sg.lanes),
+                lambda i, n, nbrs, jb: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+        kern = functools.partial(_force_kernel_packed, sg=sg, params=params)
+        return pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (sg.c_rows, FOUT, sg.lanes), jnp.float32
+            ),
+            interpret=_interpret(),
+        )(
+            addr.n_occ,
+            addr.nbr_pos,
+            _jblocks(addr, sg),
+            addr.gcounts,
+            *([feat] * len(strip_specs)),
+            *([rp] * len(rp_specs)),
+        )
     nw = 2 if sg.row_pair else 1
     gcount_spec, strip_specs, rp_specs = _specs(sg)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1038,6 +1343,8 @@ def pallas_rho_p_f(
     addr: SlotAddr | None = None,
     row_pair: bool = False,
     batch_skip: bool = False,
+    packed_rows: bool = False,
+    row_lanes: int | None = None,
 ):
     """Drop-in replacement for neighbors.grid_rho_p_f, Pallas-fused.
 
@@ -1045,10 +1352,17 @@ def pallas_rho_p_f(
     at an earlier step — valid while every particle has moved < skin/2
     since it was built (GridSpec.for_scene skin; step.make_advance
     sort_every).  A reused addr composes with any batch_skip setting:
-    the flag changes kernel scheduling only, never the addressing."""
+    the flag changes kernel scheduling only, never the addressing.
+    packed_rows selects the sparse-scene packed-row layout (the addr must
+    then come from a packed build too — SlotGrid.packed)."""
     n, d = x.shape
-    sg = slot_grid(grid, c_rows, xb_cells, row_pair=row_pair,
-                   batch_skip=batch_skip)
+    if packed_rows:
+        if params.precision == "bf16":
+            raise ValueError("packed rows do not compose with bf16 features")
+        sg = packed_grid(grid, row_lanes, c_rows)
+    else:
+        sg = slot_grid(grid, c_rows, xb_cells, row_pair=row_pair,
+                       batch_skip=batch_skip)
     if addr is None:
         addr = build_addr(x, active, grid, sg)
     rows = (

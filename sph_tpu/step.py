@@ -24,7 +24,8 @@ from sph_tpu.state import State
 
 def _rho_p_f(
     x, v, active, movable, scene: Scene, method: str, grid=None, step=None,
-    addr=None, row_pair: bool = False,
+    addr=None, row_pair: bool = False, packed_rows: bool = False,
+    row_lanes=None,
 ):
     """Density → EOS → pairwise forces + gravity + wall penalty + external
     force fields, one x eval.  Returns (rho, p, f); `addr` (pallas only)
@@ -48,7 +49,9 @@ def _rho_p_f(
             rho, p, f = pallas_step.pallas_rho_p_f(
                 x, v, active, params, grid, addr=addr, row_pair=row_pair,
                 batch_skip=(bool(scene.emitters)
-                            and params.precision != "bf16"),
+                            and params.precision != "bf16"
+                            and not packed_rows),
+                packed_rows=packed_rows, row_lanes=row_lanes,
             )
     else:
         raise ValueError(f"unknown neighbor method {method!r}")
@@ -65,7 +68,7 @@ def _rho_p_f(
 
 def make_step(
     scene: Scene, method: str = "naive", grid=None, with_addr: bool = False,
-    row_pair: bool = False,
+    row_pair: bool = False, packed_rows: bool = False, row_lanes=None,
 ) -> Callable[[State], State]:
     """Build the pure step function for `scene` (closes over all statics).
 
@@ -95,7 +98,8 @@ def make_step(
             x = x + dt * v * mov
             rho, p, f = _rho_p_f(
                 x, v, active, movable, scene, method, grid, step=state.step,
-                addr=addr, row_pair=row_pair,
+                addr=addr, row_pair=row_pair, packed_rows=packed_rows,
+                row_lanes=row_lanes,
             )
             a = f / jnp.maximum(rho, 1e-12)[:, None]
             v = v + (0.5 * dt) * a * mov
@@ -104,7 +108,8 @@ def make_step(
             # Semi-implicit (symplectic) Euler: v += dt f/ρ; x += dt v.
             rho, p, f = _rho_p_f(
                 x, v, active, movable, scene, method, grid, step=state.step,
-                addr=addr, row_pair=row_pair,
+                addr=addr, row_pair=row_pair, packed_rows=packed_rows,
+                row_lanes=row_lanes,
             )
             a = f / jnp.maximum(rho, 1e-12)[:, None]
             v = v + dt * a * mov
@@ -233,15 +238,27 @@ def _slot_bin_refs(addr, sg):
     """Per-axis BUILD-cell indices of every slot, broadcastable against a
     [c_rows, lanes] plane.  Row 0 (dummy) and pad rows carry the safe
     interior code from build_addr; their slots are masked by `movb`
-    wherever these refs are consumed."""
+    wherever these refs are consumed.
+
+    Packed-row layouts (sg.packed) have NO per-lane x cell — their kernel
+    windows span whole neighbor rows, so the x axis is membership-exempt:
+    its ref is None and the membership helpers below skip it.  The pair-
+    coverage lemma still holds row-only: a pair within h is captured while
+    each endpoint is inside its build (z, y) cell or within skin/2 of its
+    build position — the per-axis floor-bin argument applies to the row
+    axes, and x needs no bound because every row window is x-complete."""
     code = addr.row_code.astype(jnp.int32)            # [c_rows]
     refs = []
     if sg.dim == 3:
         refs.append((code // sg.h1 - 1)[:, None])     # axis 0 (z): rows
     refs.append(((code % sg.h1 if sg.dim == 3 else code) - 1)[:, None])
-    refs.append(
-        (jnp.arange(sg.lanes, dtype=jnp.int32) // sg.cap - sg.xc)[None, :]
-    )                                                 # last axis (x): lanes
+    if sg.packed:
+        refs.append(None)                             # x unconstrained
+    else:
+        refs.append(
+            (jnp.arange(sg.lanes, dtype=jnp.int32) // sg.cap
+             - sg.xc)[None, :]
+        )                                             # last axis (x): lanes
     return refs
 
 
@@ -250,9 +267,12 @@ def _slot_inside_bin(xs, refs, grid, ci_offset=None):
     the cell the addressing assigned at build (same floor+clip arithmetic
     as neighbors.cell_index, so 'inside' is exactly 'a rebuild would bin
     it identically').  `ci_offset` ([D] int32) is the slab-local index
-    shift of a decomposition grid (decomp.py) — refs are LOCAL indices."""
+    shift of a decomposition grid (decomp.py) — refs are LOCAL indices.
+    A None ref marks a membership-exempt axis (packed rows: x)."""
     ins = None
     for a in range(xs.shape[1]):
+        if refs[a] is None:
+            continue
         ci = jnp.floor(
             (xs[:, a, :] - grid.lo[a]) / grid.cell
         ).astype(jnp.int32)
@@ -267,10 +287,14 @@ def _slot_inside_bin(xs, refs, grid, ci_offset=None):
 def _slot_bin_margin(xs, refs, grid, ci_offset=None):
     """[c_rows, 1, lanes] float: distance to the nearest face of the slot's
     BUILD cell (negative once outside) — the membership side of the auto
-    rebuild predicate (predict a bin EXIT, not mere drift)."""
+    rebuild predicate (predict a bin EXIT, not mere drift).  A None ref
+    (packed rows: x) contributes no face — the axis cannot force a
+    rebuild."""
     m = None
     for a in range(xs.shape[1]):
         ref = refs[a]
+        if ref is None:
+            continue
         if ci_offset is not None:
             ref = ref + ci_offset[a]
         lo_c = ref.astype(jnp.float32) * grid.cell + grid.lo[a]
@@ -1215,6 +1239,7 @@ def make_advance(
     auto_rebuild: bool = False, rebuild_frac: float = 1.0,
     reactive_theta: float | None = None, membership_audit: bool = True,
     repair_k: int = 0, packed_scatter: bool = False,
+    packed_rows: bool = False, row_lanes: int | None = None,
 ):
     """jitted `advance(state) -> state` running S steps in one `lax.scan`.
 
@@ -1250,6 +1275,26 @@ def make_advance(
             raise ValueError(
                 "packed_scatter composes with fp32 features only "
                 "(precision='bf16' already transports bf16 rows)"
+            )
+    if packed_rows:
+        # packed-row sparse-scene layout (pallas_step.SlotGrid.packed):
+        # measured 3.05× the slot kernels at the settled emitters3d
+        # (bench/probe_r5b.py) and 2.5× WORSE at the dense 1M — callers
+        # gate it per scene/state.  Composes with the slot-structure-
+        # agnostic machinery only.
+        if method != "pallas":
+            raise ValueError("packed_rows requires method='pallas'")
+        if xsub != 1 or row_pair or packed_scatter:
+            raise ValueError(
+                "packed_rows does not compose with xsub, row_pair, or "
+                "packed_scatter"
+            )
+        if scene.params.precision == "bf16":
+            raise ValueError("packed_rows requires fp32 features")
+        if repair_k:
+            raise ValueError(
+                "packed_rows does not support minority slot repair "
+                "(repair re-homing is per-cell-slot addressing)"
             )
     if sort_every > 1:
         # Addr reuse with a Verlet skin (SURVEY.md §7 hard-part 2, arXiv
@@ -1295,10 +1340,14 @@ def make_advance(
         # measurement), so gated to emitter scenes.  bf16 features are
         # cell-relative — the 1e18 background test fails.
         batch_skip = (bool(scene.emitters)
-                      and scene.params.precision != "bf16")
-        sg = pallas_step.slot_grid(grid, xb_cells=xb_cells,
-                                   row_pair=row_pair,
-                                   batch_skip=batch_skip)
+                      and scene.params.precision != "bf16"
+                      and not packed_rows)
+        if packed_rows:
+            sg = pallas_step.packed_grid(grid, row_lanes)
+        else:
+            sg = pallas_step.slot_grid(grid, xb_cells=xb_cells,
+                                       row_pair=row_pair,
+                                       batch_skip=batch_skip)
         blocks, rem = divmod(steps_per_dispatch, sort_every)
         if rem:
             raise ValueError(
@@ -1320,7 +1369,8 @@ def make_advance(
                 membership_audit=membership_audit,
             )
         step_a = make_step(scene, "pallas", grid=grid, with_addr=True,
-                           row_pair=row_pair)
+                           row_pair=row_pair, packed_rows=packed_rows,
+                           row_lanes=row_lanes)
         half2 = (0.5 * skin) ** 2
         use_mem = membership_audit and grid.xsub == 1
 
@@ -1361,7 +1411,8 @@ def make_advance(
 
         grid = neighbors.GridSpec.for_scene(scene, xsub=xsub)
     step = make_step(scene, method, grid=grid,
-                     row_pair=row_pair and method == "pallas")
+                     row_pair=row_pair and method == "pallas",
+                     packed_rows=packed_rows, row_lanes=row_lanes)
 
     @jax.jit
     def advance(state: State) -> State:
@@ -1382,6 +1433,49 @@ def make_advance(
 #: (55.1), rep8192 buys nothing more (52.3).  From-init neutrality
 #: (calm phase, the driver-ladder regime) measured in bench/probe_r3i.py.
 DEFAULT_REPAIR_K = 2048
+
+#: Packed-row auto-policy occupancy ceiling (make_audited_advance
+#: packed_rows=None): run the packed layout only while mean cell
+#: occupancy is at most this.  Measured anchors: 2.16 → packed kernels
+#: 3.05× FASTER (settled emitters3d, bench/probe_r5b.py); 7.38 → modeled
+#: 2.5× slower (settled 1M); ~4.4 models a slot win (dam2d).
+PACKED_MAX_OCC = 3.5
+
+def packed_fits(scene: Scene, state: State, sort_every: int = 4,
+                row_lanes: int | None = None) -> bool:
+    """Host-side occupancy probe for the packed-row auto policy: True iff
+    `state` is sparse enough for the packed layout (mean cell occupancy ≤
+    PACKED_MAX_OCC on the production skinned lattice, and the worst (z,)y
+    row fits the static row_lanes with 2× headroom).  Shared by
+    make_audited_advance(packed_rows=None) and bench.py so the ladder
+    measures exactly the shipped policy."""
+    import numpy as _np
+
+    from sph_tpu import neighbors, pallas_step
+
+    skin_p = default_skin(scene, sort_every)
+    base_g = neighbors.GridSpec.for_scene(scene)
+    grid_p = neighbors.GridSpec.for_scene(scene, cap=base_g.cap, skin=skin_p)
+    rl_eff = pallas_step.packed_grid(grid_p, row_lanes).row_lanes
+    x = _np.asarray(state.x)
+    act = _np.asarray(state.active)
+    xa = x[act]
+    if xa.shape[0] == 0:
+        return True
+    cell = grid_p.cell
+    lo = _np.asarray(scene.lo, _np.float64)
+    ci = _np.floor(
+        (xa.astype(_np.float64) - lo[None, :] + cell) / cell
+    ).astype(_np.int64)
+    mx = ci.max(0) + 2
+    key = ci[:, 0]
+    for a in range(1, ci.shape[1]):
+        key = key * mx[a] + ci[:, a]
+    occ = _np.bincount(_np.unique(key, return_inverse=True)[1])
+    rows = _np.bincount(_np.unique(key // mx[-1], return_inverse=True)[1])
+    return (float(occ.mean()) <= PACKED_MAX_OCC
+            and int(rows.max()) * 2 <= rl_eff)
+
 
 #: Smallest problem size where the repair default pays (bench/probe_r4a.py,
 #: round 4, from init): at 10k-2D the plan/apply machinery fires 16/25
@@ -1410,7 +1504,7 @@ def _seed_estimate(scene: Scene) -> int:
 def default_repair_k(
     scene: Scene, *, auto: bool, membership_audit: bool = True,
     xsub: int = 1, reactive_theta: float | None = None,
-    row_pair: bool = False,
+    row_pair: bool = False, packed_rows: bool = False,
 ) -> int:
     """Resolve repair_k=None (the production surfaces' default) to
     DEFAULT_REPAIR_K wherever minority slot repair is supported AND the
@@ -1421,6 +1515,7 @@ def default_repair_k(
     single-row compacted addressing."""
     ok = (
         auto and membership_audit and xsub == 1 and not row_pair
+        and not packed_rows
         and reactive_theta is None
         and scene.params.precision != "bf16"
         and _seed_estimate(scene) >= REPAIR_MIN_N
@@ -1434,6 +1529,7 @@ def make_audited_advance(
     grid=None, adaptive_cap: bool = False, row_pair: bool = False,
     auto_rebuild: bool = True, reactive_theta: float | None = None,
     membership_audit: bool = True, repair_k: int | None = None,
+    packed_rows: bool | None = None, row_lanes: int | None = None,
 ):
     """`advance(state) -> state` with the fast path's safety policy built
     in: when the skin/cap audit fires (e.g. a splash-impact speed spike
@@ -1463,6 +1559,18 @@ def make_audited_advance(
     import sys
 
     auto = auto_rebuild and slot_resident and sort_every > 1
+    # packed_rows=None → auto: for emitter scenes, probe the CURRENT state
+    # on first dispatch and run the packed-row sparse-scene layout while
+    # occupancy admits it (see _packed_fits below); True/False pin it.
+    packed_auto = (
+        packed_rows is None and auto and bool(scene.emitters)
+        and method == "pallas" and grid is None and not adaptive_cap
+        and xsub == 1 and not row_pair
+        and scene.params.precision != "bf16"
+        and reactive_theta is None
+    )
+    if packed_rows is None:
+        packed_rows = False
     if repair_k is None:
         # minority slot repair ON by default where supported (measured:
         # 1.23x at the settled 1M state, neutral from init — see
@@ -1471,13 +1579,15 @@ def make_audited_advance(
         repair_k = default_repair_k(
             scene, auto=auto, membership_audit=membership_audit,
             xsub=xsub, reactive_theta=reactive_theta, row_pair=row_pair,
+            packed_rows=packed_rows,
         )
     base_kw = dict(sort_every=sort_every, slot_resident=slot_resident,
                    xsub=xsub, heal=slot_resident and not auto,
                    row_pair=row_pair, auto_rebuild=auto,
                    reactive_theta=reactive_theta if auto else None,
                    membership_audit=membership_audit,
-                   repair_k=repair_k if auto else 0)
+                   repair_k=repair_k if auto else 0,
+                   packed_rows=packed_rows, row_lanes=row_lanes)
 
     def _unpack(out):
         # (state, viol) | (state, viol, healed) | (+ rebuilds[, repairs])
@@ -1615,6 +1725,76 @@ def make_audited_advance(
             audited.mode = "cap8"
             return audited
 
+    if packed_auto:
+        # PACKED-ROW auto policy (round 5): emitter scenes are sparse —
+        # the settled emitters3d runs mean cell occupancy 2.16, where the
+        # packed layout measures 3.05× the slot kernels (probe_r5b) — but
+        # a filling scene can densify past the crossover (the settled 1M
+        # splash at occupancy 7.38 models 2.5× WORSE packed).  So: probe
+        # the CURRENT state on first dispatch, run packed while the
+        # occupancy fits, and switch to the slot layout once row-overflow
+        # healing exceeds break-even (the cap-8 switch pattern).
+        blocks = max(steps_per_dispatch // sort_every, 1)
+        mode = ["probe"]
+        advp: list = []
+        advs: list = []
+
+        def audited(st: State) -> State:
+            if mode[0] == "probe":
+                mode[0] = ("packed"
+                           if packed_fits(scene, st, sort_every, row_lanes)
+                           else "slot")
+                audited.mode = mode[0]
+                if mode[0] == "slot":
+                    print(
+                        f"sph_tpu: occupancy too dense for packed rows at "
+                        f"step {int(st.step)} — running the slot fast path",
+                        file=sys.stderr,
+                    )
+            if mode[0] == "packed":
+                if not advp:
+                    advp.append(make_advance(
+                        scene, method, steps_per_dispatch,
+                        **{**base_kw, "packed_rows": True, "repair_k": 0},
+                    ))
+                st2, viol, healed = _unpack(advp[0](st))
+                audited.healed += int(healed)
+                if int(healed) > max(1, blocks // 8):
+                    mode[0] = "slot"
+                    audited.mode = "slot"
+                    print(
+                        f"sph_tpu: packed rows outgrown at step "
+                        f"{int(st.step)} ({int(healed)}/{blocks} blocks "
+                        f"healed) — switching to the slot fast path",
+                        file=sys.stderr,
+                    )
+                elif int(healed):
+                    print(
+                        f"sph_tpu: skin/row violations at step "
+                        f"{int(st.step)} — {int(healed)} block(s) re-ran "
+                        f"exactly (in-dispatch)",
+                        file=sys.stderr,
+                    )
+                return st2
+            if not advs:
+                advs.append(make_advance(
+                    scene, method, steps_per_dispatch, **base_kw
+                ))
+            st2, viol, healed = _unpack(advs[0](st))
+            audited.healed += int(healed)
+            if int(healed):
+                print(
+                    f"sph_tpu: skin/cap violations at step {int(st.step)} "
+                    f"— {int(healed)} block(s) re-ran exactly (in-dispatch)",
+                    file=sys.stderr,
+                )
+            return st2
+
+        audited.healed = 0
+        audited.repaired = 0
+        audited.mode = "probe"
+        return audited
+
     adv = make_advance(scene, method, steps_per_dispatch, grid=grid,
                        **base_kw)
     if sort_every <= 1:
@@ -1672,6 +1852,7 @@ def run(
     shard_axis2: int | None = None,
     membership_audit: bool = True,
     repair_k: int | None = None,
+    packed_rows: bool | None = None,
 ) -> State:
     """Top-level driver (reference main loop, SURVEY.md §3.5).
 
@@ -1696,6 +1877,9 @@ def run(
     semantics as make_audited_advance (CLI: --strict-audit / --repair-k).
     repair_k=None resolves to the production default (DEFAULT_REPAIR_K
     where supported); repair_k=0 pins the strict rebuild-only policy.
+    packed_rows: None = auto (emitter scenes probe the state and run the
+    packed-row sparse layout while occupancy fits — step.packed_fits);
+    True/False pin it (CLI: --packed-rows).
     """
     from sph_tpu.state import init
 
@@ -1724,7 +1908,8 @@ def run(
                                    slot_resident=slot_resident,
                                    adaptive_cap=adaptive_cap,
                                    membership_audit=membership_audit,
-                                   repair_k=repair_k)
+                                   repair_k=repair_k,
+                                   packed_rows=packed_rows)
 
     for _ in range(n_disp):
         state = advance(state)
@@ -1736,6 +1921,7 @@ def run(
             scene, method, rem, sort_every=rem_reuse,
             slot_resident=slot_resident and rem_reuse > 1,
             membership_audit=membership_audit, repair_k=repair_k,
+            packed_rows=packed_rows,
         )(state)
         if frame_callback is not None:
             frame_callback(state)
