@@ -68,10 +68,15 @@ FLOORS = {
     # emitters3d starts empty: ~68 particles active after 100 steps (first
     # emission only), so this tracks fixed per-step overhead, not pair math
     ("emitters3d", "pallas"): 1.0e4,
-    # filled-state row (n≈20k, bench/make_settled_state.py): r4 14.9
-    # ms/step after the emitter-scene skin widening (probe_r4e: ×3 skin
-    # cuts 16 rebuilds + 2 heals /25 blocks to 2 rebuilds, 1.52×)
-    ("emitters3d@settled", "resident4auto"): 9.5e5,
+    # filled-state row (n≈20k, bench/make_settled_state.py): r5 ~5.2
+    # ms/step under the SHIPPED packed-row auto policy (probe_r5d:
+    # packed resident4auto 5.18 ms default row_lanes; slot was 14.3)
+    ("emitters3d@settled", "resident4auto"): 2.7e6,
+    # vortex2d runs the production audited path (n=90k ≥ REPAIR_MIN_N →
+    # repair on); the rotating stir outruns the Verlet skin so blocks
+    # heal in-dispatch ~25/25 — the floor keys the CONSTANT-HEAL regime
+    # (soak r5: 14.92 ms/step whole-run over 4900 steps, 6.0e6 p-steps/s)
+    ("vortex2d", "audited4"): 4.0e6,
 }
 
 CONFIGS = [
@@ -100,6 +105,7 @@ CONFIGS = [
     ("splash3d_1m", "spatial-resident4auto"),
     ("emitters3d", "pallas"),
     ("emitters3d@settled", "resident4auto"),
+    ("vortex2d", "audited4"),
 ]
 
 
@@ -216,9 +222,41 @@ def bench_auto8(name, steps, repeats=3, sort_every=4):
     return n * steps / best, best / steps, n
 
 
+def bench_audited(name, steps, repeats=3, sort_every=4):
+    """The full production policy via make_audited_advance — unlike the
+    resident rows (which RAISE on violations so floor numbers stay
+    clean-path), this tolerates in-dispatch healing and times it: the
+    honest number for permanently-violent scenes (vortex2d's stir outruns
+    the Verlet skin ~25/25 blocks — soak r5)."""
+    from sph_tpu.step import MAX_PALLAS_STEPS_PER_DISPATCH, make_audited_advance
+
+    scene = preset(name)
+    steps = min(steps, MAX_PALLAS_STEPS_PER_DISPATCH)
+    steps = max(steps - steps % sort_every, sort_every)
+    state = init(scene)
+    if scene.params.integrator == "leapfrog":
+        state = jax.jit(lambda s: prime(scene, s, method="pallas"))(state)
+    adv = make_audited_advance(
+        scene, "pallas", steps, sort_every=sort_every, slot_resident=True,
+    )
+    state = adv(state)
+    checksum(state)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        state = adv(state)
+        checksum(state)
+        best = min(best, time.perf_counter() - t0)
+    n = int(state.n_active())
+    return n * steps / best, best / steps, n
+
+
 def bench_one(name, method, steps, repeats=3):
     if method == "pencil":
         return bench_pencil(name, steps)
+    if method.startswith("audited"):
+        return bench_audited(name, steps, repeats,
+                             sort_every=int(method[len("audited"):]))
     if method.startswith("spatial-resident"):
         tail = method[len("spatial-resident"):]
         auto = tail.endswith("auto")
@@ -253,13 +291,18 @@ def bench_one(name, method, steps, repeats=3):
         tail = method[len("resident"):]
         base = "pallas"
         if tail.endswith("auto"):
-            from sph_tpu.step import default_repair_k
+            from sph_tpu.step import default_repair_k, packed_fits
 
-            # bench the SHIPPED policy (repair_k resolved exactly as
-            # make_audited_advance does)
-            kw = dict(sort_every=int(tail[:-4]), slot_resident=True,
-                      auto_rebuild=True,
-                      repair_k=default_repair_k(scene, auto=True))
+            # bench the SHIPPED policy (repair_k AND the packed-row
+            # sparse-scene probe resolved exactly as make_audited_advance
+            # does — emitter scenes at fitting occupancy run packed,
+            # where repair is structurally off)
+            k_i = int(tail[:-4])
+            packed = bool(scene.emitters) and packed_fits(scene, state, k_i)
+            kw = dict(sort_every=k_i, slot_resident=True,
+                      auto_rebuild=True, packed_rows=packed,
+                      repair_k=default_repair_k(scene, auto=True,
+                                                packed_rows=packed))
         else:
             kw = dict(sort_every=int(tail), slot_resident=True)
     if base == "pallas":

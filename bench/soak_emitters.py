@@ -81,7 +81,8 @@ def main():
             ms = (t_now - window_t0) / (done - window_done) * 1e3
             print(
                 f"step {done:7d}  wall {t_now - t0:9.1f}s  n={n_act:6d}  "
-                f"{ms:7.2f} ms/step  healed={getattr(adv, 'healed', 0)} "
+                f"{ms:7.2f} ms/step  mode={getattr(adv, 'mode', '-')} "
+                f"healed={getattr(adv, 'healed', 0)} "
                 f"repaired={getattr(adv, 'repaired', 0)}  "
                 f"max|v|={mx:7.1f} rho_mean={rho_mean:9.2f}",
                 flush=True,
@@ -95,7 +96,8 @@ def main():
     print(
         f"SOAK RESULT {config}: {n_steps - 100} timed steps in {t_all:.1f}s "
         f"({t_all / (n_steps - 100) * 1e3:.2f} ms/step whole-run); "
-        f"n_final={n_final} healed={getattr(adv, 'healed', 0)} "
+        f"n_final={n_final} mode={getattr(adv, 'mode', '-')} "
+        f"healed={getattr(adv, 'healed', 0)} "
         f"repaired={getattr(adv, 'repaired', 0)}; finish healthy",
         flush=True,
     )
