@@ -219,6 +219,46 @@ def test_packed_auto_policy_probe():
     assert adv_d.mode == "slot"
 
 
+def test_packed_outgrown_switches_to_slot():
+    """The packed→slot MID-RUN switch (make_audited_advance packed auto
+    policy): when in-dispatch healing exceeds break-even (> blocks/8 per
+    dispatch — the cap-8 switch pattern), the policy abandons the packed
+    layout permanently and later dispatches run the slot fast path.
+    Trigger: velocities far above the Verlet drift budget heal every
+    block (the vortex2d constant-heal regime, round-5 soak)."""
+    import dataclasses as _dc
+
+    from sph_tpu.step import make_audited_advance, prime
+
+    spray = dataclasses.replace(_emitter_scene(), blocks=())
+    st = jax.jit(lambda s: prime(spray, s, method="pallas"))(init(spray))
+    adv = make_audited_advance(spray, "pallas", 8, sort_every=4,
+                               slot_resident=True)
+    st = adv(st)
+    assert adv.mode == "packed"
+    healed0 = adv.healed
+    # blow past the drift budget in BOTH blocks: alternating-sign
+    # velocities just above skin/2-per-window keep particles off the
+    # walls (a uniform kick slams them into the boundary in block 1 and
+    # the damped rebound never violates block 2), so every block heals
+    # (healed=2 > max(1, blocks//8)=1) → the policy must switch
+    from sph_tpu.step import default_skin
+
+    budget = default_skin(spray, 4) / 2.0
+    kick = 3.0 * budget / (4 * spray.params.dt)
+    signs = jnp.where(jnp.arange(st.capacity)[:, None] % 2 == 0, 1.0, -1.0)
+    st = _dc.replace(st, v=jnp.where(st.active[:, None], kick * signs, 0.0)
+                     * jnp.ones_like(st.v))
+    st = adv(st)
+    assert adv.mode == "slot"
+    assert adv.healed > healed0
+    # switched advance keeps running (slot fast path) and stays finite
+    st = adv(st)
+    assert adv.mode == "slot"
+    x = np.asarray(st.x)[np.asarray(st.active)]
+    assert np.isfinite(x).all()
+
+
 def test_packed_flag_gates():
     scene = small_scene(dim=2, seed=3)
     with pytest.raises(ValueError, match="packed_rows"):
