@@ -269,11 +269,15 @@ def measure(name: str, method: str, steps: int, sort_every: int = 1,
         return bench_auto(
             name, steps, int(method[len("resident"):-len("+auto8")])
         )
-    if method == "pencil":
-        # pencil (2-axis) decomposition on a 1x1 mesh: the deferred-fast-
-        # path decision's measured overhead, now a driver-visible ladder
-        # row (VERDICT r4 item 6 — deferral promoted to permanent-until-
-        # hardware with this data; docs/SCALING.md §3)
+    if method == "pencil" or method.startswith("audited"):
+        # bench_step-hosted methods on the driver ladder:
+        # - pencil: 2-axis decomposition on a 1x1 mesh — the deferred-fast-
+        #   path decision's measured overhead (VERDICT r4 item 6: deferral
+        #   promoted to permanent-until-hardware; docs/SCALING.md §3)
+        # - auditedK: the full production policy with in-dispatch healing
+        #   TOLERATED and timed — the honest number for permanently-violent
+        #   scenes (vortex2d's stir outruns the Verlet skin 25/25 blocks,
+        #   round-5 soak; the resident rows would raise instead)
         import importlib.util
         import os as _os
 
@@ -284,14 +288,21 @@ def measure(name: str, method: str, steps: int, sort_every: int = 1,
         mspec = importlib.util.spec_from_file_location("bench_step", path)
         mod = importlib.util.module_from_spec(mspec)
         mspec.loader.exec_module(mod)
-        pstep_s, s_per_step, n = mod.bench_pencil(name, steps)
+        if method == "pencil":
+            pstep_s, s_per_step, n = mod.bench_pencil(name, steps)
+            label = "pencil1x1"
+        else:
+            pstep_s, s_per_step, n = mod.bench_audited(
+                name, steps, sort_every=int(method[len("audited"):])
+            )
+            label = method
         return {
             "config": name,
-            "method": "pencil1x1",
+            "method": label,
             "n": n,
             "particle_steps_per_s": pstep_s,
             "ms_per_step": s_per_step * 1e3,
-            "slot_overflow": 0,  # audited advance raises on overflow
+            "slot_overflow": 0,  # audited advance heals/raises on overflow
             "vs_baseline": pstep_s / (SURVEY_NAIVE_PAIR_RATE / n),
         }
     if method.startswith("spatial-resident"):
@@ -492,6 +503,12 @@ def main():
         # keep those records).  The @settled row (>= 20k active, via
         # bench/make_settled_state.py) is the config's real number.
         ("emitters3d@settled", "resident4auto", args.steps, 4, True),
+        # vortex2d (L5 interaction showcase, 90k rotating stir): the
+        # production audited path — the stir holds max|v| above the
+        # Verlet drift budget so every block heals, which triggers the
+        # constant-heal DEMOTION to per-step after 2 dispatches (round-5
+        # soak: steady 8.6 ms/step demoted vs 14.2 healing, healthy)
+        ("vortex2d", "audited4", args.steps, 4, True),
         ("tutorial2d", "naive", max(args.steps, 200), 1, False),
     ]
     if args.config != "auto":

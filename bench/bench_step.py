@@ -73,10 +73,11 @@ FLOORS = {
     # packed resident4auto 5.18 ms default row_lanes; slot was 14.3)
     ("emitters3d@settled", "resident4auto"): 2.7e6,
     # vortex2d runs the production audited path (n=90k ≥ REPAIR_MIN_N →
-    # repair on); the rotating stir outruns the Verlet skin so blocks
-    # heal in-dispatch ~25/25 — the floor keys the CONSTANT-HEAL regime
-    # (soak r5: 14.92 ms/step whole-run over 4900 steps, 6.0e6 p-steps/s)
-    ("vortex2d", "audited4"): 4.0e6,
+    # repair on); the rotating stir outruns the Verlet skin 25/25 blocks,
+    # so after 2 all-heal dispatches the advance DEMOTES to per-step
+    # (constant-heal demotion, r5) — the floor keys the demoted regime
+    # (measured 1.047e7, 8.56 ms/step; re-soak steady 8.6 ms/step)
+    ("vortex2d", "audited4"): 7.5e6,
 }
 
 CONFIGS = [
@@ -225,9 +226,11 @@ def bench_auto8(name, steps, repeats=3, sort_every=4):
 def bench_audited(name, steps, repeats=3, sort_every=4):
     """The full production policy via make_audited_advance — unlike the
     resident rows (which RAISE on violations so floor numbers stay
-    clean-path), this tolerates in-dispatch healing and times it: the
-    honest number for permanently-violent scenes (vortex2d's stir outruns
-    the Verlet skin ~25/25 blocks — soak r5)."""
+    clean-path), this tolerates in-dispatch healing/demotion and times
+    it: the honest number for permanently-violent scenes.  vortex2d's
+    stir outruns the Verlet skin 25/25 blocks, so the policy demotes to
+    per-step after the warm-up dispatches (constant-heal demotion, r5)
+    and the timed repeats measure the demoted regime."""
     from sph_tpu.step import MAX_PALLAS_STEPS_PER_DISPATCH, make_audited_advance
 
     scene = preset(name)

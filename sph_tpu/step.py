@@ -1485,6 +1485,20 @@ def packed_fits(scene: Scene, state: State, sort_every: int = 4,
 #: (probe H).  Below this estimated n the default resolves to 0.
 REPAIR_MIN_N = 32768
 
+#: CONSTANT-HEAL DEMOTION (round 5, from the vortex2d soak): a healed
+#: block pays the failed fast attempt PLUS the exact per-step re-run, so
+#: a scene whose flow PERMANENTLY outruns the Verlet drift budget (the
+#: rotating stir holds max|v| ≈ 1200 above it — every block healed,
+#: 25/25, for 3800+ straight steps) is strictly better served by the
+#: plain per-step path: bitwise the same trajectory (run_exact IS the
+#: per-step step), minus the wasted attempts.  After DEMOTE_PATIENCE
+#: consecutive all-blocks-healed dispatches the audited advance demotes
+#: to per-step; every PERSTEP_REPROBE_EVERY demoted dispatches it
+#: re-probes the fast path once (heal keeps the probe exact, so a calming
+#: scene recovers the fast path for ~2% steady overhead).
+DEMOTE_PATIENCE = 2
+PERSTEP_REPROBE_EVERY = 50
+
 
 def _seed_estimate(scene: Scene) -> int:
     """Host-side problem-size estimate: explicit capacity, else the
@@ -1552,6 +1566,16 @@ def make_audited_advance(
     loses).  Physics is exact in every phase; only throughput is
     phase-dependent (a 3D collapse exceeds occupancy 8 from ~step 300 —
     see ROADMAP.md round-3 measurements).
+
+    CONSTANT-HEAL DEMOTION (slot_resident, round 5): a healed block costs
+    the failed fast attempt PLUS the exact per-step re-run, so once every
+    block of DEMOTE_PATIENCE consecutive dispatches heals (the vortex2d
+    stir holds max|v| permanently above the drift budget — 25/25 blocks
+    healed for 3800+ straight steps in the round-5 soak), the advance
+    demotes to the plain per-step path — the same trajectory run_exact
+    was already producing, minus the wasted attempts — and re-probes the
+    fast path every PERSTEP_REPROBE_EVERY dispatches so a calming scene
+    recovers it (~2% steady re-probe overhead).
 
     The single implementation of that policy; step.run and both CLI
     commands route through it.  For sort_every <= 1 this is just
@@ -1801,8 +1825,34 @@ def make_audited_advance(
         return adv
 
     if slot_resident:
+        blocks = max(steps_per_dispatch // sort_every, 1)
+        streak = [0]       # consecutive all-blocks-healed fast dispatches
+        demoted = [0]      # dispatches run since demotion (0 = fast path)
+        perstep: list = []  # per-step advance, compiled on first demotion
 
         def audited(st: State) -> State:
+            if demoted[0]:
+                # CONSTANT-HEAL regime (see DEMOTE_PATIENCE): per-step is
+                # bitwise what heal-every-block already computed, minus
+                # the failed fast attempts.  Bounded re-probe so a scene
+                # that calms down recovers the fast path.
+                demoted[0] += 1
+                if demoted[0] % PERSTEP_REPROBE_EVERY:
+                    return perstep[0](st)
+                st2, viol, healed = _unpack(adv(st))
+                audited.healed += int(healed)
+                if int(healed) >= blocks:
+                    return st2  # still violent — stay demoted
+                demoted[0] = 0
+                streak[0] = 0
+                audited.mode = "resident"
+                print(
+                    f"sph_tpu: drift back under the Verlet budget at step "
+                    f"{int(st.step)} ({int(healed)}/{blocks} blocks healed) "
+                    f"— resuming the resident fast path",
+                    file=sys.stderr,
+                )
+                return st2
             st2, viol, healed = _unpack(adv(st))
             audited.healed += int(healed)
             if int(healed):
@@ -1812,10 +1862,26 @@ def make_audited_advance(
                     f"rebuild, in-dispatch)",
                     file=sys.stderr,
                 )
+            streak[0] = streak[0] + 1 if int(healed) >= blocks else 0
+            if streak[0] >= DEMOTE_PATIENCE:
+                demoted[0] = 1
+                if not perstep:
+                    perstep.append(
+                        make_advance(scene, method, steps_per_dispatch)
+                    )
+                audited.mode = "perstep"
+                print(
+                    f"sph_tpu: flow outruns the Verlet drift budget — every "
+                    f"block healed {streak[0]} dispatches straight at step "
+                    f"{int(st.step)}; demoting to the per-step path "
+                    f"(re-probes every {PERSTEP_REPROBE_EVERY} dispatches)",
+                    file=sys.stderr,
+                )
             return st2
 
         audited.healed = 0
         audited.repaired = 0  # minority-repaired blocks (repair_k)
+        audited.mode = "resident"
         return audited
 
     exact = []  # per-step-rebuild fallback, compiled on first use

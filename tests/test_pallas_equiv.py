@@ -534,6 +534,57 @@ def test_adaptive_cap_skin_narrows_to_fit(capsys):
     assert np.isfinite(np.asarray(out.x)).all()
 
 
+def test_constant_heal_demotes_to_perstep(monkeypatch, capsys):
+    """CONSTANT-HEAL DEMOTION (round 5, the vortex2d regime): when every
+    block of DEMOTE_PATIENCE consecutive dispatches heals — the flow
+    permanently outruns the Verlet drift budget — the audited advance
+    demotes to the plain per-step path (bitwise what heal-every-block
+    already computes, minus the failed fast attempts), re-probes the fast
+    path on a bounded cadence, and RECOVERS it once the flow calms."""
+    import dataclasses
+
+    from sph_tpu import step as step_mod
+    from sph_tpu.step import default_skin, make_audited_advance
+
+    monkeypatch.setattr(step_mod, "PERSTEP_REPROBE_EVERY", 2)
+    scene = small_scene(dim=2, seed=17)
+    state = init(scene)
+    adv = make_audited_advance(scene, "pallas", 8, sort_every=4,
+                               slot_resident=True)
+    assert adv.mode == "resident"
+    budget = default_skin(scene, 4) / 2.0
+    kick = 3.0 * budget / (4 * scene.params.dt)
+    signs = jnp.where(jnp.arange(state.capacity)[:, None] % 2 == 0,
+                      1.0, -1.0)
+
+    def kicked(st):
+        return dataclasses.replace(
+            st, v=jnp.where(st.active[:, None], kick * signs, 0.0)
+            * jnp.ones_like(st.v),
+        )
+
+    st = adv(kicked(state))          # all blocks heal → streak 1
+    assert adv.mode == "resident"
+    st = adv(kicked(st))             # streak 2 = DEMOTE_PATIENCE → demote
+    assert adv.mode == "perstep"
+    assert "demoting to the per-step path" in capsys.readouterr().err
+    h_demote = adv.healed
+    st = adv(kicked(st))             # re-probe cadence: still violent
+    assert adv.mode == "perstep"
+    assert adv.healed > h_demote     # the failed re-probe healed its blocks
+
+    def calmed(s):                   # kill the kick so drift fits again
+        return dataclasses.replace(s, v=jnp.zeros_like(s.v))
+
+    st = adv(calmed(st))             # calm dispatch (perstep, off-cadence)
+    assert adv.mode == "perstep"
+    st = adv(calmed(st))             # calm re-probe → fast path recovered
+    assert adv.mode == "resident"
+    assert "resuming the resident fast path" in capsys.readouterr().err
+    assert int(st.step) == 40
+    assert np.isfinite(np.asarray(st.x)[np.asarray(st.active)]).all()
+
+
 def test_heal_with_cap8_overflow_grid():
     """An aggressive cap that overflows at build time triggers healing (not
     silent pair-dropping): the healed result equals the default-cap
