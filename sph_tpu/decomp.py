@@ -2882,44 +2882,11 @@ def make_audited_spatial_advance(
         repair_k=repair_k if auto else 0,
     )
     exact = []  # per-step spatial fallback, compiled on first use
+    blocks = max(steps_per_dispatch // max(sort_every, 1), 1)
+    streak = [0]    # consecutive all-blocks-healed fast dispatches
+    demoted = [0]   # dispatches run since demotion (0 = fast path)
 
-    def audited(loc: State) -> State:
-        # (state, worst[, rebuilds, healed[, repairs]]) — auto adds the
-        # counters; repair_k the trailing one.  ONE batched device_get
-        # for all scalars (each separate int() is a ~20 ms host
-        # round-trip through the compile tunnel — step.py _unpack note)
-        res = adv(loc)
-        out = res[0]
-        vals = [int(v) for v in jax.device_get(res[1:])]
-        worst = vals[0]
-        if len(vals) > 3:
-            audited.repaired += vals[3]
-        if len(vals) > 2 and vals[2]:
-            audited.healed += vals[2]
-            print(
-                f"sph_tpu: skin/cap violations at step {int(loc.step)} — "
-                f"{vals[2]} block(s) re-ran exactly on the per-step "
-                f"spatial path (in-dispatch, mesh-uniform)",
-                file=sys.stderr,
-            )
-        if worst == 0:
-            return out
-        if sort_every > 1:
-            if not exact:
-                exact.append(
-                    make_spatial_advance(
-                        scene, spec, mesh, method, steps_per_dispatch
-                    )
-                )
-            print(
-                f"sph_tpu: {int(worst)} skin/cap violations in a spatial "
-                f"{steps_per_dispatch}-step dispatch at step "
-                f"{int(loc.step)} — re-ran exactly (per-step rebuild)",
-                file=sys.stderr,
-            )
-            out, worst = exact[0](loc)
-            if int(worst) == 0:
-                return out
+    def _raise_overflow(loc: State, worst: int):
         raise SpatialCapOverflow(
             f"spatial dispatch at step {int(loc.step)} overflowed a static "
             f"buffer even on the per-step path (worst={int(worst)}); "
@@ -2927,8 +2894,97 @@ def make_audited_spatial_advance(
             f"(SpatialSpec.for_state) and recompile"
         )
 
+    def _exact_run(loc: State) -> State:
+        if not exact:
+            exact.append(
+                make_spatial_advance(
+                    scene, spec, mesh, method, steps_per_dispatch
+                )
+            )
+        out, worst = exact[0](loc)
+        if int(worst):
+            _raise_overflow(loc, int(worst))
+        return out
+
+    def _dispatch_fast(loc: State):
+        """One fast dispatch → (state, healed_blocks).
+
+        (state, worst[, rebuilds, healed[, repairs]]) — auto adds the
+        counters; repair_k the trailing one.  ONE batched device_get
+        for all scalars (each separate int() is a ~20 ms host
+        round-trip through the compile tunnel — step.py _unpack note)."""
+        res = adv(loc)
+        out = res[0]
+        vals = [int(v) for v in jax.device_get(res[1:])]
+        worst = vals[0]
+        healed = vals[2] if len(vals) > 2 else 0
+        if len(vals) > 3:
+            audited.repaired += vals[3]
+        if healed:
+            audited.healed += healed
+            print(
+                f"sph_tpu: skin/cap violations at step {int(loc.step)} — "
+                f"{healed} block(s) re-ran exactly on the per-step "
+                f"spatial path (in-dispatch, mesh-uniform)",
+                file=sys.stderr,
+            )
+        if worst == 0:
+            return out, healed
+        if sort_every > 1:
+            print(
+                f"sph_tpu: {int(worst)} skin/cap violations in a spatial "
+                f"{steps_per_dispatch}-step dispatch at step "
+                f"{int(loc.step)} — re-ran exactly (per-step rebuild)",
+                file=sys.stderr,
+            )
+            # the whole dispatch re-ran per-step: counts as all blocks
+            # healed for the demotion streak (per-step absorbed what the
+            # fast path could not even hold in its static buffers)
+            return _exact_run(loc), blocks
+        _raise_overflow(loc, int(worst))
+
+    def audited(loc: State) -> State:
+        # CONSTANT-HEAL DEMOTION across the mesh (round 5 — the same
+        # policy as step.make_audited_advance): a healed block pays the
+        # failed fast attempt plus the exact re-run, so a flow that holds
+        # the whole mesh above the Verlet drift budget demotes to the
+        # per-step spatial path, with a bounded fast-path re-probe.
+        from sph_tpu.step import DEMOTE_PATIENCE, PERSTEP_REPROBE_EVERY
+
+        if demoted[0]:
+            demoted[0] += 1
+            if demoted[0] % PERSTEP_REPROBE_EVERY:
+                return _exact_run(loc)
+            out, healed = _dispatch_fast(loc)
+            if healed >= blocks:
+                return out  # still violent — stay demoted
+            demoted[0] = 0
+            streak[0] = 0
+            audited.mode = "resident"
+            print(
+                f"sph_tpu: drift back under the Verlet budget at step "
+                f"{int(loc.step)} ({healed}/{blocks} blocks healed) — "
+                f"resuming the resident spatial fast path",
+                file=sys.stderr,
+            )
+            return out
+        out, healed = _dispatch_fast(loc)
+        streak[0] = streak[0] + 1 if healed >= blocks else 0
+        if streak[0] >= DEMOTE_PATIENCE:
+            demoted[0] = 1
+            audited.mode = "perstep"
+            print(
+                f"sph_tpu: flow outruns the Verlet drift budget — every "
+                f"block healed {streak[0]} dispatches straight at step "
+                f"{int(loc.step)}; demoting to the per-step spatial path "
+                f"(re-probes every {PERSTEP_REPROBE_EVERY} dispatches)",
+                file=sys.stderr,
+            )
+        return out
+
     audited.healed = 0  # cumulative in-dispatch healed blocks (observability)
     audited.repaired = 0  # cumulative minority-repaired blocks
+    audited.mode = "resident"
     return audited
 
 

@@ -967,6 +967,58 @@ def test_audited_spatial_auto_default():
     assert np.isfinite(np.asarray(merged.x)[act]).all()
 
 
+def test_audited_spatial_constant_heal_demotes(monkeypatch, capsys):
+    """CONSTANT-HEAL DEMOTION across the mesh (round 5 — the spatial
+    mirror of step.make_audited_advance's policy): a jet that outruns the
+    Verlet budget on every block for DEMOTE_PATIENCE straight dispatches
+    demotes the audited spatial advance to the per-step path, re-probes
+    the fast path on a bounded cadence, and recovers it once calm."""
+    import dataclasses
+
+    from sph_tpu import step as step_mod
+    from sph_tpu.step import prime
+
+    monkeypatch.setattr(step_mod, "PERSTEP_REPROBE_EVERY", 2)
+    scene = _wide_scene(integrator="leapfrog", eos="tait")
+    scene = scene.replace(
+        blocks=(
+            Block(
+                lo=(100.0, 20.0), hi=(500.0, 200.0),
+                velocity=(2000.0, 0.0),
+            ),
+        ),
+    )
+    mesh = decomp.mesh1d(8)
+    state = prime(scene, init(scene), method="pallas")
+    spec = decomp.SpatialSpec.for_scene(scene, 8, state.capacity)
+    loc = decomp.spatial_shard_state(state, scene, spec, mesh)
+    adv = decomp.make_audited_spatial_advance(
+        scene, spec, mesh, steps_per_dispatch=12, sort_every=4,
+        slot_resident=True,
+    )
+    assert adv.mode == "resident"
+    loc = adv(loc)                    # every block heals → streak 1
+    assert adv.mode == "resident" and adv.healed == 3
+    loc = adv(loc)                    # streak 2 = DEMOTE_PATIENCE → demote
+    assert adv.mode == "perstep"
+    assert "demoting to the per-step spatial path" in capsys.readouterr().err
+    h_demote = adv.healed
+    loc = adv(loc)                    # re-probe cadence: still violent
+    assert adv.mode == "perstep" and adv.healed > h_demote
+    loc = dataclasses.replace(loc, v=loc.v * 0.0)  # calm the jet
+    loc = adv(loc)                    # perstep (off-cadence)
+    assert adv.mode == "perstep"
+    loc = adv(loc)                    # calm re-probe → fast path recovered
+    assert adv.mode == "resident"
+    assert "resuming the resident spatial fast path" in (
+        capsys.readouterr().err
+    )
+    merged = decomp.spatial_gather_state(loc)
+    assert int(merged.step) == int(state.step) + 60
+    act = np.asarray(merged.emit_step) <= int(merged.step)
+    assert np.isfinite(np.asarray(merged.x)[act]).all()
+
+
 def test_spatial_auto_reactive_stretches_and_matches():
     """Reactive rebuild policy (measured drift only, heal backstop) under
     decomposition: no more rebuilds than the velocity predictor, zero
