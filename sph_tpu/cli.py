@@ -358,6 +358,13 @@ def _run_spatial(args, scene, state, spf, inner, dims) -> int:
             if pencil:
                 scalars["mesh"] = mesh_desc
             scalars["wall_s"] = time.perf_counter() - t0
+            # audited-policy observability (same fields as the 1-chip
+            # loop): mesh demotions become visible in metrics.jsonl
+            if hasattr(adv, "mode"):
+                scalars["advance_mode"] = adv.mode
+            if hasattr(adv, "healed"):
+                scalars["healed_blocks"] = adv.healed
+                scalars["repaired_blocks"] = getattr(adv, "repaired", 0)
             mf.write(json.dumps(scalars) + "\n")
             mf.flush()
             if args.checkpoint_every and (frame + 1) % args.checkpoint_every == 0:
@@ -652,6 +659,15 @@ def cmd_run(args) -> int:
             scalars["frame"] = frame
             scalars["step"] = int(state.step)
             scalars["wall_s"] = time.perf_counter() - t0
+            # audited-policy observability: which phase the adaptive
+            # machinery is in (cap8/cap16, packed/slot, resident/perstep)
+            # and the cumulative heal/repair counters — demotions and
+            # layout switches become visible in metrics.jsonl
+            if hasattr(adv, "mode"):
+                scalars["advance_mode"] = adv.mode
+            if hasattr(adv, "healed"):
+                scalars["healed_blocks"] = adv.healed
+                scalars["repaired_blocks"] = getattr(adv, "repaired", 0)
             if overflow_fn is not None:
                 cell_over, row_over = overflow_fn(state)
                 scalars["cap_dropped"] = int(cell_over)
