@@ -609,7 +609,7 @@ def main():
         # gated on the wall-clock budget so a slow tunnel day truncates
         # the ladder instead of timing out the whole record.
         size_rank = {"tutorial2d": 0, "dam2d_10k": 1, "emitters3d": 2,
-                     "dam3d_100k": 3, "splash3d_1m": 4}
+                     "vortex2d": 3, "dam3d_100k": 4, "splash3d_1m": 5}
         order = sorted(
             range(1, len(ladder)),
             key=lambda i: size_rank.get(ladder[i][0].split("@")[0], 9),
