@@ -230,6 +230,18 @@ def _decomp_setup(args, scene, spf, dims):
             "note: --adaptive-cap is single-chip only; ignored with --shards",
             file=sys.stderr,
         )
+    if getattr(args, "packed_rows", "auto") != "auto":
+        # the packed-row sparse-scene layout is single-chip only: the slab
+        # fast path's face-band membership lemma and interior-only repair
+        # are slot-structural (decomp.py _make_spatial_resident_auto), and
+        # a slab cut along x breaks the packed kernels' row-x-completeness
+        # argument (docs/SCALING.md).  Decomposed sparse scenes run the
+        # slot layout.
+        print(
+            "note: --packed-rows is single-chip only; ignored with "
+            "--shards (slot layout used)",
+            file=sys.stderr,
+        )
     mesh = (
         decomp.mesh2d(*dims) if pencil else decomp.mesh1d(n_total)
     )

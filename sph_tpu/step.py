@@ -1945,7 +1945,9 @@ def run(
     where supported); repair_k=0 pins the strict rebuild-only policy.
     packed_rows: None = auto (emitter scenes probe the state and run the
     packed-row sparse layout while occupancy fits — step.packed_fits);
-    True/False pin it (CLI: --packed-rows).
+    True/False pin it (CLI: --packed-rows).  Single-chip only: with
+    shards, the slot layout is used and an explicit True/False prints a
+    notice (docs/SCALING.md on why the slab lemma is slot-structural).
     """
     from sph_tpu.state import init
 
@@ -1954,6 +1956,19 @@ def run(
     if scene.params.integrator == "leapfrog" and int(state.step) == 0:
         state = jax.jit(functools.partial(prime, scene, method=method))(state)
     if shards:
+        if packed_rows is not None:
+            # packed rows are single-chip only (the slab fast path's
+            # face-band membership lemma and interior-only repair are
+            # slot-structural, and a slab cut along x breaks the packed
+            # kernels' row-x-completeness argument — docs/SCALING.md);
+            # decomposed runs use the slot layout.
+            import sys
+
+            print(
+                "sph_tpu: packed_rows is single-chip only; ignored with "
+                "shards (slot layout used)",
+                file=sys.stderr,
+            )
         return _run_decomposed(
             scene, n_steps, method, steps_per_dispatch, state,
             frame_callback, sort_every, slot_resident, shards,

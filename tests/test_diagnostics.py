@@ -323,6 +323,24 @@ def test_cli_run_shards_smoke(tmp_path):
     assert np.isfinite(rec["mean_rho"]) and rec["n_active"] > 0
 
 
+def test_cli_shards_packed_rows_notice(tmp_path, capsys):
+    """`--packed-rows on --shards N` runs on the slot layout with a
+    stderr notice (packed rows are single-chip only — docs/SCALING.md);
+    never a silent behavior fork or a traceback."""
+    from sph_tpu import cli
+
+    rc = cli.main(
+        [
+            "run", "tutorial2d", "--method", "grid",
+            "--shards", "2", "--packed-rows", "on",
+            "--frames", "1", "--steps-per-frame", "4",
+            "--out", str(tmp_path / "outs"), "--quiet",
+        ]
+    )
+    assert rc == 0
+    assert "--packed-rows is single-chip only" in capsys.readouterr().err
+
+
 def test_cli_run_shards_fastpath_smoke(tmp_path):
     """--shards with the flagship fast path flags (--sort-every 4
     --resident, method pallas) runs end-to-end under decomposition."""

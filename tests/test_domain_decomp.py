@@ -1252,3 +1252,23 @@ def test_run_shards_library_api():
                sort_every=4, slot_resident=True)
     assert int(out3.step) == 16
     assert np.isfinite(active_sorted(out3)).all()
+
+
+def test_run_shards_ignores_packed_rows(capsys):
+    """packed_rows is single-chip only: with shards it must be IGNORED
+    with a stderr notice (slot layout used), never a silent behavior
+    fork or a traceback — and the trajectory must match the same run
+    without the flag bitwise (round 5, docs/SCALING.md)."""
+    import numpy as np
+
+    from sph_tpu import run
+    from sph_tpu.params import preset
+
+    sc = preset("tutorial2d")
+    out = run(sc, 6, method="grid", steps_per_dispatch=3, shards=2,
+              packed_rows=True)
+    err = capsys.readouterr().err
+    assert "packed_rows is single-chip only" in err
+    ref = run(sc, 6, method="grid", steps_per_dispatch=3, shards=2)
+    assert int(out.step) == 6
+    assert np.array_equal(np.asarray(out.x), np.asarray(ref.x))
