@@ -3,7 +3,11 @@
 Measures particle-steps/sec for every (config, method) pair that the current
 build supports, with the honest-timing rules this platform demands
 (BASELINE.md): >=100 steps per dispatch inside lax.scan, checksum fetched to
-force completion (async timings under-report ~1000x here).
+force completion (async timings under-report ~1000x here), and timed windows
+that CHAIN enough state-dependent dispatches to amortize the ~20 ms
+checksum-fetch round-trip (see timed_chain — production pipelines async
+dispatches without per-dispatch fetches, so a single-dispatch window
+overstates per-step cost by the RTT).
 
 Usage:
   python bench/bench_step.py                 # table of all configs
@@ -40,7 +44,7 @@ from sph_tpu.step import make_advance, prime
 # "spatial-resident4" = the same fast path under spatial decomposition on
 # a 1-device mesh (ring machinery overhead guarded; VERDICT r2 weakness 3).
 FLOORS = {
-    ("tutorial2d", "naive"): 2.0e6,           # r4: 3.67e6 measured
+    ("tutorial2d", "naive"): 2.0e7,           # r5: 3.09e7 (chained windows)
     ("dam2d_10k", "grid"): 6.0e5,
     ("dam2d_10k", "pallas"): 2.8e6,           # r4: 4.07e6 measured
     ("dam2d_10k", "resident4"): 4.4e6,        # r4: 7.90e6 (post fetch-fix)
@@ -142,14 +146,7 @@ def bench_spatial(name, k, steps, repeats=3, auto=False):
     checksum(loc)
     if int(worst0):
         raise RuntimeError(f"{int(worst0)} spatial cap/skin violations")
-    best = float("inf")
-    worsts = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        loc, worst = one(loc)
-        checksum(loc)
-        best = min(best, time.perf_counter() - t0)
-        worsts.append(worst)
+    best, loc, worsts = timed_chain(one, loc, repeats)
     for worst in worsts:
         if int(worst):
             raise RuntimeError(f"{int(worst)} spatial cap/skin violations")
@@ -181,12 +178,7 @@ def bench_pencil(name, steps, repeats=3):
     )
     loc = adv(loc)
     checksum(loc)
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        loc = adv(loc)
-        checksum(loc)
-        best = min(best, time.perf_counter() - t0)
+    best, loc, _ = timed_chain(lambda st: (adv(st), None), loc, repeats)
     merged = decomp.spatial_gather_state(loc)
     n = int(jnp.sum(merged.emit_step <= merged.step))
     return n * steps / best, best / steps, n
@@ -194,6 +186,50 @@ def bench_pencil(name, steps, repeats=3):
 
 def checksum(state) -> float:
     return float(jnp.sum(state.x, dtype=jnp.float32))
+
+
+# Target device-work seconds per timed window; see timed_chain.
+CHAIN_TARGET_S = 1.0
+
+
+def timed_chain(one, state, repeats=3, target_s=CHAIN_TARGET_S):
+    """Best-of-`repeats` timed windows of CHAINED async dispatches.
+
+    `one(state) -> (state, aux)` runs one dispatch; `aux` (a device scalar
+    or None) is returned for the caller to audit AFTER timing.  The one
+    checksum fetch that forces completion is a ~20 ms tunnel round-trip
+    (CLAUDE.md) — 20% of a single 100-step dam2d dispatch and 75% of a
+    200-step tutorial2d one (bench/probe_r5e.py).  Pallas dispatches can't
+    simply run longer (MAX_PALLAS_STEPS_PER_DISPATCH is a platform crash
+    limit), but production never fetches per dispatch either: it pipelines
+    state-chained async dispatches.  So a pilot window sizes a chain that
+    holds ~target_s of device work, each timed window runs `chain`
+    dispatches and fetches ONE checksum, and the window time is divided by
+    `chain`.  Rows whose single dispatch already exceeds target_s (every
+    1M row at ~7 s) keep chain=1 — the protocol is unchanged exactly where
+    the RTT never mattered.  Paths that audit host-side inside `one` (the
+    audited advances' batched device_get) keep that cost in-window: it is
+    part of the production policy, not benchmark overhead.
+
+    Returns (best_seconds_per_dispatch, state, aux_list)."""
+    auxes = []
+    t0 = time.perf_counter()
+    state, aux = one(state)
+    checksum(state)
+    pilot = time.perf_counter() - t0
+    auxes.append(aux)
+    chain = int(min(max(-(-target_s // max(pilot, 1e-4)), 1), 64))
+    best = pilot if chain == 1 else float("inf")
+    if chain == 1:
+        repeats -= 1  # the pilot window already counts toward best-of-N
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(chain):
+            state, aux = one(state)
+            auxes.append(aux)
+        checksum(state)
+        best = min(best, (time.perf_counter() - t0) / chain)
+    return best, state, auxes
 
 
 def bench_auto8(name, steps, repeats=3, sort_every=4):
@@ -213,12 +249,7 @@ def bench_auto8(name, steps, repeats=3, sort_every=4):
     )
     state = adv(state)
     checksum(state)
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        state = adv(state)
-        checksum(state)
-        best = min(best, time.perf_counter() - t0)
+    best, state, _ = timed_chain(lambda st: (adv(st), None), state, repeats)
     n = int(state.n_active())
     return n * steps / best, best / steps, n
 
@@ -244,12 +275,7 @@ def bench_audited(name, steps, repeats=3, sort_every=4):
     )
     state = adv(state)
     checksum(state)
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        state = adv(state)
-        checksum(state)
-        best = min(best, time.perf_counter() - t0)
+    best, state, _ = timed_chain(lambda st: (adv(st), None), state, repeats)
     n = int(state.n_active())
     return n * steps / best, best / steps, n
 
@@ -333,14 +359,7 @@ def bench_one(name, method, steps, repeats=3):
     checksum(state)
     if viol0 is not None and int(viol0):
         raise RuntimeError(f"{int(viol0)} skin/cap violations")
-    best = float("inf")
-    viols = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        state, viol = one(state)
-        checksum(state)
-        best = min(best, time.perf_counter() - t0)
-        viols.append(viol)
+    best, state, viols = timed_chain(one, state, repeats)
     for viol in viols:
         if viol is not None and int(viol):
             raise RuntimeError(f"{int(viol)} skin/cap violations")
